@@ -1,0 +1,118 @@
+"""Coordinate extraction from page text — the graft's version of the
+reference's layout-autodetecting line parser (``gk-slo.c`` main-loop
+parse, SURVEY.md §2.2 S1 / §2.3 M1).
+
+The reference auto-detects per line whether tokens are projected
+``x y [H]`` vs geographic ``φ λ [h]``, decimal vs DMS; here the same
+four layouts are recognized *inside free text* with vectorized RE2
+kernels (``pyarrow.compute.extract_regex`` — C++, no Python loop) and
+normalized to a single (fi, la, system) ETRS89 representation:
+
+  system 0 = decimal degrees (WGS84/ETRS89)
+  system 1 = DMS (WGS84/ETRS89)
+  system 2 = projected D48/GK  (normalized via the Helmert chain)
+  system 3 = projected D96/TM  (normalized via TM inverse)
+  system -1 = no coordinate found (fi/la null)
+
+Magnitude-based validity mirrors the reference's autodetect bounds
+(projected ~1e5-1e6 m, geographic <90/<180, SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geokit.datums import D96_TM
+from geokit.dms import dms2deg
+from geokit.tm import tm_inv
+from geokit.transforms import gkxy2fila_wgs
+
+PAT_DEC = r"(?P<fi>\d{2}\.\d{1,6}), (?P<la>\d{2}\.\d{1,6})"
+PAT_DMS = (
+    r"(?P<fd>\d{1,2})°(?P<fm>\d{2})'(?P<fs>\d{2}\.\d{2})\" N "
+    r"(?P<ld>\d{1,3})°(?P<lm>\d{2})'(?P<ls>\d{2}\.\d{2})\" E"
+)
+PAT_D48 = r"x=(?P<x>\d{4,7}\.\d) y=(?P<y>\d{4,7}\.\d) \(D48/GK\)"
+PAT_D96 = r"x=(?P<x>\d{4,7}\.\d) y=(?P<y>\d{4,7}\.\d) \(D96/TM\)"
+
+
+def _f64(struct_arr: pa.Array, field: str) -> np.ndarray:
+    """Struct field -> float64 numpy with NaN for null (vectorized cast)."""
+    col = pc.cast(pc.struct_field(struct_arr, field), pa.float64())
+    return col.to_numpy(zero_copy_only=False)
+
+
+def extract_coords(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: pages -> pages + (fi, la, system).
+
+    Drops ``html`` if present (memory pressure at scale — SURVEY.md §4
+    backpressure row); keeps ``text`` (byte-identity invariant).
+    """
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    m_dec = pc.extract_regex(text, PAT_DEC)
+    m_dms = pc.extract_regex(text, PAT_DMS)
+    m_d48 = pc.extract_regex(text, PAT_D48)
+    m_d96 = pc.extract_regex(text, PAT_D96)
+
+    n = len(text)
+    fi = np.full(n, np.nan)
+    la = np.full(n, np.nan)
+    system = np.full(n, -1, dtype=np.int8)
+
+    # Priority: projected tags are unambiguous, match them first.
+    x48 = _f64(m_d48, "x")
+    got = ~np.isnan(x48)
+    if got.any():
+        y48 = _f64(m_d48, "y")
+        f, l, _ = gkxy2fila_wgs(x48[got], y48[got])
+        fi[got] = f
+        la[got] = l
+        system[got] = 2
+
+    x96 = _f64(m_d96, "x")
+    g96 = ~np.isnan(x96) & (system == -1)
+    if g96.any():
+        y96 = _f64(m_d96, "y")
+        f, l = tm_inv(x96[g96], y96[g96], D96_TM)
+        fi[g96] = f
+        la[g96] = l
+        system[g96] = 3
+
+    fd = _f64(m_dms, "fd")
+    gdms = ~np.isnan(fd) & (system == -1)
+    if gdms.any():
+        fi[gdms] = dms2deg(fd[gdms], _f64(m_dms, "fm")[gdms], _f64(m_dms, "fs")[gdms])
+        la[gdms] = dms2deg(
+            _f64(m_dms, "ld")[gdms], _f64(m_dms, "lm")[gdms], _f64(m_dms, "ls")[gdms]
+        )
+        system[gdms] = 1
+
+    fdec = _f64(m_dec, "fi")
+    gdec = ~np.isnan(fdec) & (system == -1)
+    if gdec.any():
+        fi[gdec] = fdec[gdec]
+        la[gdec] = _f64(m_dec, "la")[gdec]
+        system[gdec] = 0
+
+    # Validity bounds (reference M4): geographic plausibility window.
+    bad = (system >= 0) & ~((fi > 30.0) & (fi < 60.0) & (la > 5.0) & (la < 25.0))
+    fi[bad] = np.nan
+    la[bad] = np.nan
+    system[bad] = -1
+
+    keep = [c for c in batch.column_names if c != "html"]
+    out = batch.select(keep)
+    out = out.append_column("fi", pa.array(fi, pa.float64()))
+    out = out.append_column("la", pa.array(la, pa.float64()))
+    out = out.append_column("system", pa.array(system, pa.int8()))
+    return out
+
+
+def filter_has_coord(batch: pa.Table) -> pa.Table:
+    """Vectorized predicate filter (faster than ds.filter(row_fn))."""
+    return batch.filter(pc.greater_equal(batch["system"], 0))

@@ -1,0 +1,148 @@
+"""Relational join strategies (SURVEY.md §2.4-2.5, ray_guide join
+patterns).
+
+- ``broadcast_lookup``: the small side (dimension table) is shipped
+  once to the object store (``ray.put``) and materialized per worker
+  process on first use; the per-batch lookup is a vectorized
+  searchsorted / dict gather. No shuffle. This is the shape of every
+  join the reference itself performs (static small sides).
+- ``hash_join``: explicit partitioned hash join for two large sides:
+  add ``bucket = hash(key) % B`` to both, co-group with a single
+  ``groupby("bucket").map_groups`` doing a pandas merge per bucket.
+  Documented partitioning assumption: keys are hashable ints/strings;
+  hot keys should be pre-salted by the caller (split a hot key into
+  sub-buckets on the probe side and replicate the build row).
+- ``semi_filter`` / ``anti_filter``: broadcast the key set and filter
+  inside map_batches.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def broadcast_lookup(
+    ds: Dataset,
+    small: pa.Table,
+    left_key: str,
+    right_key: str,
+    take_cols: Sequence[str],
+    how: str = "left",
+) -> Dataset:
+    """Map-side join: for each row of ds, attach ``take_cols`` from
+    the broadcast ``small`` table matched on key equality. 'inner'
+    drops unmatched rows; 'left' leaves nulls."""
+    ref = ray.put(small)
+
+    class _Lookup:
+        def __init__(self):
+            t = ray.get(ref)
+            keys = t[right_key].to_numpy(zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            self.sorted_keys = keys[order]
+            self.cols = {
+                c: t[c].to_numpy(zero_copy_only=False)[order] for c in take_cols
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch[left_key]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            kv = k.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.sorted_keys, kv)
+            pos_c = np.clip(pos, 0, len(self.sorted_keys) - 1)
+            hit = self.sorted_keys[pos_c] == kv
+            if how == "inner":
+                batch = batch.filter(pa.array(hit))
+                pos_c = pos_c[hit]
+                hit = np.ones(len(pos_c), dtype=bool)
+            for c in take_cols:
+                vals = self.cols[c][pos_c]
+                if not hit.all():
+                    vals = pd.array(vals)
+                    vals[~hit] = None
+                    batch = batch.append_column(c, pa.array(vals))
+                else:
+                    batch = batch.append_column(c, pa.array(vals))
+            return batch
+
+    return ds.map_batches(_Lookup, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    num_buckets: int = 16,
+    how: str = "inner",
+) -> Dataset:
+    """Partitioned hash join of two Datasets on an equality key.
+
+    Tags each side, buckets rows by ``hash(key) % B``, co-groups the
+    union by bucket, and merges each bucket with pandas. One shuffle
+    total; B bounds per-group memory (size B so the largest bucket of
+    the bigger side fits a worker heap)."""
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {key}
+    if overlap:
+        raise ValueError(f"non-key column overlap not supported: {overlap}")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+
+    def tag(side: str, missing: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            kv = k.to_numpy(zero_copy_only=False)
+            b = np.abs(
+                (kv.astype(np.int64) * np.int64(2654435761)) % np.int64(num_buckets)
+            ).astype(np.int32)
+            batch = batch.append_column("_bucket", pa.array(b)).append_column(
+                "_side", pa.array(np.full(batch.num_rows, side))
+            )
+            # Align schemas for union: null-fill the other side's columns.
+            for c, t in missing.items():
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, t))
+            return batch
+
+        return fn
+
+    order = [key] + [c for c in l_cols if c != key] + [c for c in r_cols if c != key] + ["_bucket", "_side"]
+    lt = left.map_batches(tag("l", {c: r_types[c] for c in r_cols if c != key}), batch_format="pyarrow").select_columns(order)
+    rt = right.map_batches(tag("r", {c: l_types[c] for c in l_cols if c != key}), batch_format="pyarrow").select_columns(order)
+    both = lt.union(rt)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group.loc[group["_side"] == "l", l_cols]
+        r = group.loc[group["_side"] == "r", r_cols]
+        return l.merge(r, on=key, how=how)
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def semi_filter(ds: Dataset, keys: np.ndarray, key: str, anti: bool = False) -> Dataset:
+    """Semi/anti join: broadcast the key set, filter inside map_batches."""
+    ref = ray.put(np.sort(np.asarray(keys)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        k = batch[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, kv), 0, len(ks) - 1)
+        hit = ks[pos] == kv
+        return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

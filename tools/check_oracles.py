@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry at a given sf against its ``oracle_sql()`` DuckDB
+mirror; compare row count, schema (column-name set) and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns; floats must match to 1e-9 relative, ints/strings exactly).
+
+Usage: python -m tools.check_oracles [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(ray_df) != len(sql_df):
+        errs.append(f"rowcount ray={len(ray_df)} sql={len(sql_df)}")
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        errs.append(f"schema ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
+        return errs
+    if errs:
+        return errs
+    a, b = canon(ray_df), canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+            av = av.astype(np.float64)
+            bv = bv.astype(np.float64)
+            bad = ~np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)
+            nexact = int((av != bv).sum())
+            if bad.any():
+                i = int(np.argmax(bad))
+                errs.append(f"col {c}: {bad.sum()} mismatches, e.g. {av[i]} vs {bv[i]}")
+            elif nexact:
+                errs.append(f"col {c}: WARNING {nexact} non-bitwise float diffs (within tol)")
+        else:
+            if not np.array_equal(av, bv):
+                bad = av != bv
+                i = int(np.argmax(bad))
+                errs.append(f"col {c}: {bad.sum()} mismatches, e.g. {av[i]!r} vs {bv[i]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as ex:  # noqa: BLE001
+            print(f"[FAIL] {name}: ray query raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(ray_df)} rows, {len(ray_df.columns)} cols ({dt:.1f}s)")
+            continue
+        sql_df = con.sql(oracles[name]).df()
+        errs = compare(name, ray_df, sql_df)
+        hard = [x for x in errs if not x.startswith("col") or "WARNING" not in x]
+        if hard:
+            failures += 1
+            print(f"[FAIL] {name} ({dt:.1f}s):")
+            for e2 in errs:
+                print(f"    {e2}")
+        else:
+            w = "; ".join(x for x in errs if "WARNING" in x)
+            print(f"[ok] {name}: {len(ray_df)} rows ({dt:.1f}s){' ' + w if w else ''}")
+
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
