@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute
 import pyarrow.parquet as pq
 
 from geokit.datums import SLO_BBOX, D96_TM
@@ -55,19 +56,28 @@ def generate_points(n: int, rng: np.random.Generator) -> tuple[np.ndarray, np.nd
     return fi, la
 
 
-def _dms_str(dd: float, hemi: str) -> str:
-    d = int(dd)
+def _dms_vec(dd: np.ndarray, hemi: str) -> np.ndarray:
+    """Vectorized `46°03'25.12" N`-style strings (np.char C printf)."""
+    d = np.floor(dd).astype(np.int64)
     rem = (dd - d) * 60.0
-    m = int(rem)
+    m = np.floor(rem).astype(np.int64)
     s = (rem - m) * 60.0
-    return f"{d}°{m:02d}'{s:05.2f}\" {hemi}"
+    # Guard the rare s==60.00 rounding carry so parse == truth.
+    s = np.minimum(s, 59.994999)
+    out = np.char.add(np.char.mod("%d", d), "°")
+    out = np.char.add(out, np.char.mod("%02d", m))
+    out = np.char.add(out, "'")
+    out = np.char.add(out, np.char.mod("%05.2f", s))
+    return np.char.add(out, f'" {hemi}')
 
 
 def make_pages_table(n_rows: int, seed: int = SEED, id_offset: int = 0) -> pa.Table:
     rng = np.random.default_rng(seed)
     idx = np.arange(id_offset, id_offset + n_rows, dtype=np.int64)
     lang = LANGS[rng.choice(len(LANGS), n_rows, p=LANG_P)]
-    url = np.array([f"https://ex-{l}.example/p{i:09d}" for i, l in zip(idx, lang)])
+    url = np.char.add(
+        np.char.add("https://ex-", lang), np.char.mod(".example/p%09d", idx)
+    )
     # Deterministic spread over 2024 (us precision).
     ts = np.datetime64("2024-01-01T00:00:00", "us") + (
         (idx * np.int64(2654435761)) % np.int64(31_536_000)
@@ -81,31 +91,36 @@ def make_pages_table(n_rows: int, seed: int = SEED, id_offset: int = 0) -> pa.Ta
     x48, y48, _ = fila_wgs2gkxy(fi, la)
     x96, y96 = tm_fwd(fi, la, D96_TM)
 
-    words = rng.choice(len(_FILLER), (n_rows, 12))
-    texts = np.empty(n_rows, dtype=object)
-    for i in range(n_rows):
-        w = [_FILLER[j] for j in words[i]]
-        if has_coord[i]:
-            lo = layout[i]
-            if lo == 0:
-                c = f"{fi[i]:.4f}, {la[i]:.4f}"
-            elif lo == 1:
-                c = f"{_dms_str(fi[i], 'N')} {_dms_str(la[i], 'E')}"
-            elif lo == 2:
-                c = f"x={x48[i]:.1f} y={y48[i]:.1f} (D48/GK)"
-            else:
-                c = f"x={x96[i]:.1f} y={y96[i]:.1f} (D96/TM)"
-            pos = int(idx[i]) % 10 + 1
-            w.insert(pos, c)
-        texts[i] = " ".join(w)
+    # Coordinate strings, fully vectorized per layout.
+    coord = np.empty(n_rows, dtype=object)
+    m0 = layout == 0
+    coord[m0] = np.char.add(
+        np.char.add(np.char.mod("%.4f", fi[m0]), ", "), np.char.mod("%.4f", la[m0])
+    )
+    m1 = layout == 1
+    coord[m1] = np.char.add(np.char.add(_dms_vec(fi[m1], "N"), " "), _dms_vec(la[m1], "E"))
+    for mcode, xx, yy, tag in ((2, x48, y48, "(D48/GK)"), (3, x96, y96, "(D96/TM)")):
+        m = layout == mcode
+        c = np.char.add(np.char.mod("x=%.1f", xx[m]), np.char.mod(" y=%.1f", yy[m]))
+        coord[m] = np.char.add(c, " " + tag)
+    coord[~has_coord] = ""
 
-    html = np.array([f"<html><body>{t}</body></html>".encode() for t in texts], dtype=object)
+    # Filler text: word pool sampled as prefix/suffix phrase tables so
+    # the whole corpus builds with C-level string ops.
+    pool = np.array([" ".join(rng.choice(_FILLER, 6)) for _ in range(512)])
+    prefix = pool[(idx * 7 + rng.integers(0, 512, n_rows)) % 512]
+    suffix = pool[(idx * 13 + rng.integers(0, 512, n_rows)) % 512]
+    mid = np.where(has_coord, np.char.add(np.char.add(" ", coord.astype(str)), " "), " ")
+    texts = np.char.add(np.char.add(prefix, mid), suffix)
+
+    html_str = np.char.add(np.char.add("<html><body>", texts), "</body></html>")
+    text_arr = pa.array(texts, pa.string())
     return pa.table(
         {
             "url": pa.array(url, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
-            "html": pa.array(html, pa.binary()),
-            "text": pa.array(texts, pa.string()),
+            "html": pa.compute.cast(pa.array(html_str, pa.string()), pa.binary()),
+            "text": text_arr,
             "lang": pa.array(lang, pa.string()),
             # Ground truth (oracle columns; real corpora obviously lack
             # these — the pipeline must never read them).
@@ -120,10 +135,10 @@ def sf_to_n_rows(sf_dir: str) -> int:
     """Map a testdata sf dir to a deterministic pages row count."""
     name = os.path.basename(os.path.normpath(sf_dir))
     sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
-    return max(200, int(1_000_000 * sf))
+    return max(200, int(5_000_000 * sf))
 
 
-def pages_parquet(n_rows: int, seed: int = SEED, shards: int = 8) -> str:
+def pages_parquet(n_rows: int, seed: int = SEED, shards: int = 32) -> str:
     """Write (once, cached) the synthetic pages table as a sharded
     parquet directory under /tmp and return the path. Sharded so the
     Ray read parallelizes like a real multi-file corpus."""

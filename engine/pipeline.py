@@ -2,19 +2,21 @@
 equivalent of the ``gk-slo`` lifecycle, at corpus scale).
 
 read_parquet(url, warc_ts, text, lang — html pruned AT THE READ)
-  -> map_batches(extract_coords)        stateless, RE2-vectorized
-  -> map_batches(filter_has_coord)      vectorized predicate
-  -> map_batches(project_stage)         TM fwd + Helmert chain (menu 2/4)
-  -> map_batches(geoid_stage)           bilinear undulation, module cache
-  -> map_batches(AftTransform, actors)  triangle affine, index per actor
-  -> map_batches(cell_stage)            S2-style cell at fixed level
-  -> map_batches(PipJoin, actors)       municipality PIP join
-  -> map_batches(KnnJoin, actors)       control-point kNN join
-  -> combiner pre-agg + groupby(cell)   skew-proof per-cell aggregate
+  -> map_batches(prepare_stage)       fused stateless chain: RE2 extract
+                                      -> filter -> TM/Helmert projections
+                                      -> geoid -> S2-style cell
+  -> map_batches(spatial_join_stage)  fused small-side joins: AFT triangle
+                                      affine + municipality PIP + control-
+                                      point kNN; indexes built once per
+                                      worker process (module cache — see
+                                      SpatialJoin docstring for when an
+                                      actor pool is the better shape)
+  -> combiner pre-agg + partition-merge groupby(cell)  skew-proof rollup
 
-Everything streams; nothing materializes the corpus. Batch size 32k
-rows keeps a batch (text + ~20 float64 cols) well under 100 MB while
-amortizing kernel launch overhead.
+Everything streams; nothing materializes the corpus. Stages run at
+block granularity (batch_size=None): batches are exactly the incoming
+Arrow blocks (zero-copy, no re-slicing), so parallelism follows the
+read's block count and, at scale, DataContext.target_max_block_size.
 """
 
 from __future__ import annotations
@@ -22,55 +24,61 @@ from __future__ import annotations
 import ray.data as rd
 from ray.data import Dataset
 
-from engine.extract import extract_coords, filter_has_coord
 from engine.shuffle import grouped_count_sums, topk
-from engine.stages import (
-    AftTransform,
-    KnnJoin,
-    PipJoin,
-    cell_stage,
-    geoid_stage,
-    project_stage,
-)
+from engine.stages import prepare_stage, spatial_join_stage
 
-BATCH = 32_768
+
+def _default_actor_concurrency() -> tuple[int, int]:
+    """Size the join actor pool to the session: min ncpu/4 so the pool
+    is warm immediately instead of trickling through autoscale-up
+    (actor __init__ loads assets, ~1 s each — pay it in parallel up
+    front), max ~2/3 of CPUs (headroom for the read + reduce stages).
+    Small sessions degrade to min 1 — never deadlock a 4-CPU test."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001 — not initialised yet
+        ncpu = 4
+    return (max(1, ncpu // 4), max(2, (2 * ncpu) // 3))
 
 
 def enrich_pages(
     pages_path: str | list[str],
     level: int = 12,
     knn_k: int = 3,
-    actor_concurrency: int | tuple[int, int] = (1, 8),
+    num_blocks: int | None = None,
 ) -> Dataset:
     """The streaming enrichment pipeline; returns the lazy enriched
     Dataset (one row per geotagged page)."""
-    ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "text", "lang"])
-    ds = ds.map_batches(extract_coords, batch_format="pyarrow", batch_size=BATCH)
-    ds = ds.map_batches(filter_has_coord, batch_format="pyarrow", batch_size=BATCH)
-    ds = ds.map_batches(project_stage, batch_format="pyarrow", batch_size=BATCH)
-    ds = ds.map_batches(geoid_stage, batch_format="pyarrow", batch_size=BATCH)
-    ds = ds.map_batches(
-        AftTransform,
-        fn_constructor_kwargs=dict(direction="fwd"),
-        batch_format="pyarrow",
-        batch_size=BATCH,
-        concurrency=actor_concurrency,
+    if num_blocks is None:
+        # ~1-2 blocks per CPU: enough slack for the streaming executor
+        # without drowning the driver in per-task overhead. At real
+        # corpus scale drop override_num_blocks and let
+        # target_max_block_size govern.
+        import ray
+
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            ncpu = 8
+        num_blocks = min(128, max(16, ncpu))
+    ds = rd.read_parquet(
+        pages_path,
+        columns=["url", "warc_ts", "text", "lang"],
+        override_num_blocks=num_blocks,
     )
     ds = ds.map_batches(
-        cell_stage, fn_kwargs=dict(level=level), batch_format="pyarrow", batch_size=BATCH
+        prepare_stage,
+        fn_kwargs=dict(level=level),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     ds = ds.map_batches(
-        PipJoin,
+        spatial_join_stage,
+        fn_kwargs=dict(direction="fwd", k=knn_k),
         batch_format="pyarrow",
-        batch_size=BATCH,
-        concurrency=actor_concurrency,
-    )
-    ds = ds.map_batches(
-        KnnJoin,
-        fn_constructor_kwargs=dict(k=knn_k),
-        batch_format="pyarrow",
-        batch_size=BATCH,
-        concurrency=actor_concurrency,
+        batch_size=None,
     )
     return ds
 

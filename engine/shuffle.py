@@ -50,9 +50,22 @@ def _combine_batch(
 
 
 def grouped_count_sums(
-    ds: Dataset, key: str, sum_cols: Sequence[str] = (), mean_cols: Sequence[str] = ()
+    ds: Dataset,
+    key: str,
+    sum_cols: Sequence[str] = (),
+    mean_cols: Sequence[str] = (),
+    num_partitions: int = 64,
 ) -> Dataset:
-    """count + sums + means per key with per-batch combining.
+    """count + sums + means per key with per-batch combining and a
+    partition-wise vectorized final merge.
+
+    Phase 1 (map side): one partial row per (key, batch) — the shuffle
+    moves partials, not rows. Phase 2: Ray's sort-based aggregate
+    costs ~0.1 ms *per output group* (measured: 18 s for 87 k groups),
+    so instead of ``groupby(key).aggregate(...)`` the partials are
+    co-grouped on a coarse partition key (``hash(key) % P``) and each
+    partition is merged with one C-speed pandas groupby — per-group
+    Python overhead is paid P times, not n_keys times.
 
     Output columns: ``key, cnt, sum_<c>..., mean_<c>...``.
     """
@@ -62,22 +75,35 @@ def grouped_count_sums(
         batch_format="pyarrow",
         fn_kwargs=dict(key=key, sum_cols=sum_all),
     )
-    aggs = [Sum("_cnt", alias_name="cnt")]
-    for c in sum_all:
-        aggs.append(Sum(f"_sum_{c}", alias_name=f"sum_{c}"))
-    out = partials.groupby(key).aggregate(*aggs)
 
-    if mean_cols:
-        def add_means(batch: pa.Table) -> pa.Table:
-            cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-            for c in mean_cols:
-                s = batch[f"sum_{c}"].to_numpy(zero_copy_only=False)
-                batch = batch.append_column(f"mean_{c}", pa.array(s / cnt))
-            drop = [f"sum_{c}" for c in mean_cols if c not in tuple(sum_cols)]
-            return batch.drop_columns(drop) if drop else batch
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            h = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
+        else:
+            h = np.array([hash(x) for x in kv], dtype=np.int64)
+        return batch.append_column(
+            "_pkey", pa.array((np.abs(h) % num_partitions).astype(np.int32))
+        )
 
-        out = out.map_batches(add_means, batch_format="pyarrow")
-    return out
+    parts = partials.map_batches(add_pkey, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=["_pkey"]).groupby(key, sort=False).sum().reset_index()
+        out = pd.DataFrame({key: g[key], "cnt": g["_cnt"].astype(np.int64)})
+        for c in sum_all:
+            if c in sum_cols:
+                out[f"sum_{c}"] = g[f"_sum_{c}"]
+        for c in mean_cols:
+            out[f"mean_{c}"] = g[f"_sum_{c}"] / g["_cnt"]
+        return out
+
+    return parts.groupby("_pkey").map_groups(merge_partition, batch_format="pandas")
 
 
 def salted_groupby_count(ds: Dataset, key: str, salts: int = 16) -> Dataset:

@@ -23,7 +23,7 @@ from geokit import transforms as T
 from geokit.cells import cell_id
 from geokit.datums import D96_TM
 from geokit.geoid import geoid_undulation
-from geokit.knn import brute_knn
+from geokit.knn import PaddedGridKnn
 from geokit.polygons import pip_lookup
 from geokit.tm import tm_fwd
 
@@ -70,7 +70,63 @@ def geoid_stage(batch: pa.Table, model: str = "slo2000", h_col: str | None = Non
 def cell_stage(batch: pa.Table, level: int = 12) -> pa.Table:
     """S2-style cell id at the given level (north_rule tiling)."""
     cid = cell_id(_np(batch, "fi"), _np(batch, "la"), level)
-    return batch.append_column("cell", pa.array(cid, pa.uint64()))
+    return batch.append_column("cell", pa.array(cid, pa.int64()))
+
+
+def prepare_stage(batch: pa.Table, level: int = 12, geoid_model: str = "slo2000") -> pa.Table:
+    """Fused stateless chain: extract -> filter -> project -> geoid ->
+    cell. One map operator instead of five: per-task scheduling
+    overhead is paid once per block, and intermediate columns never
+    hit the object store."""
+    from engine.extract import extract_coords, filter_has_coord
+
+    b = filter_has_coord(extract_coords(batch))
+    b = project_stage(b)
+    b = geoid_stage(b, model=geoid_model)
+    return cell_stage(b, level=level)
+
+
+class SpatialJoin:
+    """Fused stateful stage: AFT triangle transform + municipality PIP
+    + control-point kNN. All three small sides load once per
+    process/actor (triangulation index, polygon table, padded-grid kNN
+    index); __call__ runs the three vectorized lookups back-to-back on
+    the same resident batch.
+
+    Two deployment shapes:
+    - ``spatial_join_stage`` (default in the pipeline): stateless
+      map_batches fn with a module-level singleton — the state is
+      small (~2 MB) and immutable, so persistent task workers build it
+      once per process FOR THE WHOLE SESSION and stay elastic. An
+      actor pool here would pay pool construction (new processes +
+      imports + index build) on every execution — measured 3-10 s per
+      run at 16 actors.
+    - ``map_batches(SpatialJoin, concurrency=...)`` directly: the
+      actor-pool shape, appropriate when the state is too big or too
+      slow to build in every task worker (multi-GB indexes, model
+      weights) and construction must be bounded to the pool size.
+    """
+
+    def __init__(self, direction: str = "fwd", k: int = 3):
+        self.aft = AftTransform(direction)
+        self.pip = PipJoin()
+        self.knn = KnnJoin(k=k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.knn(self.pip(self.aft(batch)))
+
+
+_SPATIAL_SINGLETON: dict[tuple, SpatialJoin] = {}
+
+
+def spatial_join_stage(batch: pa.Table, direction: str = "fwd", k: int = 3) -> pa.Table:
+    """Stateless-task wrapper around SpatialJoin with a per-process
+    cache (see SpatialJoin docstring for the deployment trade-off)."""
+    key = (direction, k)
+    sj = _SPATIAL_SINGLETON.get(key)
+    if sj is None:
+        sj = _SPATIAL_SINGLETON[key] = SpatialJoin(direction=direction, k=k)
+    return sj(batch)
 
 
 class AftTransform:
@@ -133,21 +189,21 @@ class PipJoin:
 
 class KnnJoin:
     """kNN join vs reference control points (J4): broadcast small
-    side, dense vectorized distance top-k per batch. Adds
-    nn_ids (list<int32>) + nn_dists (list<double>)."""
+    side held as a PaddedGridKnn index (exact; ~W=12 candidates per
+    query instead of all m control points — the IVF-style scale path,
+    built once per actor). Adds nn_ids (list<int32>) +
+    nn_dists (list<double>)."""
 
     def __init__(self, k: int = 3, x_col: str = "x_d96", y_col: str = "y_d96"):
         cp = assets.load_control_points()
         self.cp_id = cp["cp_id"]
-        self.cx = cp["x"]
-        self.cy = cp["y"]
-        self.k = k
+        self.index = PaddedGridKnn(cp["x"], cp["y"], k, ncells=8192)
         self.x_col, self.y_col = x_col, y_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = _np(batch, self.x_col)
         py = _np(batch, self.y_col)
-        idx, dist = brute_knn(px, py, self.cx, self.cy, self.k)
+        idx, dist = self.index.query(px, py)
         ids = self.cp_id[idx].astype(np.int32)
         n, k = ids.shape
         offsets = np.arange(0, (n + 1) * k, k, dtype=np.int32)

@@ -79,7 +79,8 @@ def _uv_to_st(u: np.ndarray) -> np.ndarray:
 
 
 def cell_id(fi_deg: np.ndarray, la_deg: np.ndarray, level: int) -> np.ndarray:
-    """lat/lon (deg) -> uint64 cell id at the given level."""
+    """lat/lon (deg) -> int64 cell id at the given level (value always
+    < 2^63; computed in uint64 bit arithmetic)."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     x, y, z = latlon_to_xyz(fi_deg, la_deg)
@@ -90,32 +91,37 @@ def cell_id(fi_deg: np.ndarray, la_deg: np.ndarray, level: int) -> np.ndarray:
     i = np.clip((s * n).astype(np.int64), 0, n - 1).astype(np.uint64)
     j = np.clip((t * n).astype(np.int64), 0, n - 1).astype(np.uint64)
     morton = _spread_bits_27(i) | (_spread_bits_27(j) << np.uint64(1))
-    return (
+    cid = (
         (np.uint64(level) << np.uint64(58))
         | (face.astype(np.uint64) << np.uint64(55))
         | morton
     )
+    # Max value (level 27, face 5, full morton) is < 2^63, so the id
+    # fits int64 exactly. int64 avoids Ray Data's Python-object
+    # fallback for uint64 shuffle boundaries and matches DuckDB BIGINT.
+    return cid.astype(np.int64)
 
 
 def cell_level(cid: np.ndarray) -> np.ndarray:
-    return (np.asarray(cid, dtype=np.uint64) >> np.uint64(58)).astype(np.int8)
+    return (np.asarray(cid).astype(np.uint64) >> np.uint64(58)).astype(np.int8)
 
 
 def cell_face(cid: np.ndarray) -> np.ndarray:
-    return ((np.asarray(cid, dtype=np.uint64) >> np.uint64(55)) & np.uint64(0x7)).astype(np.int8)
+    return ((np.asarray(cid).astype(np.uint64) >> np.uint64(55)) & np.uint64(0x7)).astype(np.int8)
 
 
 def cell_parent(cid: np.ndarray, parent_level: int) -> np.ndarray:
     """Containing cell at a coarser level (drop low Morton bit pairs)."""
-    cid = np.asarray(cid, dtype=np.uint64)
+    cid = np.asarray(cid).astype(np.uint64)
     level = (cid >> np.uint64(58)).astype(np.int64)
     if np.any(level < parent_level):
         raise ValueError("parent_level must be <= cell level")
     face = (cid >> np.uint64(55)) & np.uint64(0x7)
     morton = cid & ((np.uint64(1) << np.uint64(55)) - np.uint64(1))
     shift = (2 * (level - parent_level)).astype(np.uint64)
-    return (
+    out = (
         (np.uint64(parent_level) << np.uint64(58))
         | (face << np.uint64(55))
         | (morton >> shift)
     )
+    return out.astype(np.int64)

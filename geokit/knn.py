@@ -20,24 +20,128 @@ def brute_knn(
     cx: np.ndarray,
     cy: np.ndarray,
     k: int,
+    chunk: int = 4096,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (idx (n, k) into control points sorted by distance then
-    index, dist (n, k) Euclidean)."""
-    px = np.asarray(px, dtype=np.float64)[:, None]
-    py = np.asarray(py, dtype=np.float64)[:, None]
+    index, dist (n, k) Euclidean).
+
+    Processes points in row chunks so the (chunk, m) distance matrix
+    stays cache/allocator-friendly regardless of batch size."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
     cx = np.asarray(cx, dtype=np.float64)[None, :]
     cy = np.asarray(cy, dtype=np.float64)[None, :]
-    d2 = (px - cx) ** 2 + (py - cy) ** 2  # (n, m)
-    m = d2.shape[1]
+    n = px.shape[0]
+    m = cx.shape[1]
     k = min(k, m)
-    part = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
-    rows = np.arange(d2.shape[0])[:, None]
-    dk = d2[rows, part]
-    # Stable final order: by (distance, index) for deterministic ties.
-    order = np.lexsort((part, dk), axis=1)
-    idx = part[rows, order]
-    dist = np.sqrt(dk[rows, order])
-    return idx.astype(np.int64), dist
+    idx = np.empty((n, k), dtype=np.int64)
+    dist = np.empty((n, k), dtype=np.float64)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        d2 = (px[s:e, None] - cx) ** 2 + (py[s:e, None] - cy) ** 2  # (c, m)
+        part = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
+        rows = np.arange(e - s)[:, None]
+        dk = d2[rows, part]
+        # Stable final order: by (distance, index) for deterministic ties.
+        order = np.lexsort((part, dk), axis=1)
+        idx[s:e] = part[rows, order]
+        dist[s:e] = np.sqrt(dk[rows, order])
+    return idx, dist
+
+
+class PaddedGridKnn:
+    """Exact kNN via a precomputed per-cell candidate table.
+
+    Build (once per worker): lay a uniform grid over the control
+    points' bbox; for each cell compute the exact kth-NN distance of
+    its CENTER (one brute pass), then store every control point within
+    ``d_k(center) + 2 * half_diagonal`` as the cell's candidate set —
+    by the triangle inequality that set provably contains the true k
+    nearest for EVERY query point inside the cell. Candidate lists are
+    padded to a fixed width W, so the per-batch query is one dense
+    (n, W) gather + distance + top-k — typically W ~ 30-60 vs m = all
+    control points for brute force, and fully vectorized.
+
+    Falls back to brute force for query points outside the grid.
+    """
+
+    def __init__(self, cx: np.ndarray, cy: np.ndarray, k: int, ncells: int = 16384):
+        self.cx = np.asarray(cx, dtype=np.float64)
+        self.cy = np.asarray(cy, dtype=np.float64)
+        self.k = k
+        m = len(self.cx)
+        x0, x1 = self.cx.min(), self.cx.max()
+        y0, y1 = self.cy.min(), self.cy.max()
+        aspect = max(x1 - x0, 1e-9) / max(y1 - y0, 1e-9)
+        ngy = max(1, int(np.sqrt(ncells / max(aspect, 1e-9))))
+        ngx = max(1, ncells // ngy)
+        self.x0, self.y0 = x0, y0
+        self.dx = (x1 - x0) / ngx or 1.0
+        self.dy = (y1 - y0) / ngy or 1.0
+        self.ngx, self.ngy = ngx, ngy
+
+        # Cell centers (ngx*ngy, brute kNN of centers in one shot).
+        gx = x0 + (np.arange(ngx) + 0.5) * self.dx
+        gy = y0 + (np.arange(ngy) + 0.5) * self.dy
+        CX, CY = np.meshgrid(gx, gy, indexing="ij")
+        centers_x = CX.ravel()
+        centers_y = CY.ravel()
+        _, cdist = brute_knn(centers_x, centers_y, self.cx, self.cy, k)
+        dk = cdist[:, -1]
+        half_diag = 0.5 * np.hypot(self.dx, self.dy)
+        radius = dk + 2.0 * half_diag
+
+        # Candidate lists per cell (vectorized distance test per cell
+        # would be (cells, m); do it chunked over cells).
+        cand_lists: list[np.ndarray] = []
+        W = k
+        for s in range(0, len(centers_x), 2048):
+            e = min(s + 2048, len(centers_x))
+            d2 = (centers_x[s:e, None] - self.cx) ** 2 + (
+                centers_y[s:e, None] - self.cy
+            ) ** 2
+            within = d2 <= (radius[s:e, None] ** 2)
+            for row in within:
+                ids = np.nonzero(row)[0]
+                cand_lists.append(ids)
+                if len(ids) > W:
+                    W = len(ids)
+        self.W = W
+        cand = np.zeros((len(cand_lists), W), dtype=np.int32)
+        mask = np.ones((len(cand_lists), W), dtype=bool)  # True = padding
+        for i, ids in enumerate(cand_lists):
+            cand[i, : len(ids)] = ids
+            mask[i, : len(ids)] = False
+        self.cand = cand
+        self.pad = mask
+
+    def query(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        gx = np.floor((px - self.x0) / self.dx).astype(np.int64)
+        gy = np.floor((py - self.y0) / self.dy).astype(np.int64)
+        inside = (gx >= 0) & (gx < self.ngx) & (gy >= 0) & (gy < self.ngy)
+        cell = np.clip(gx, 0, self.ngx - 1) * self.ngy + np.clip(gy, 0, self.ngy - 1)
+
+        cand = self.cand[cell]  # (n, W)
+        pad = self.pad[cell]
+        d2 = (px[:, None] - self.cx[cand]) ** 2 + (py[:, None] - self.cy[cand]) ** 2
+        d2 = np.where(pad, np.inf, d2)
+        kk = self.k
+        part = np.argpartition(d2, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(px))[:, None]
+        dk = d2[rows, part]
+        ids = cand[rows, part]
+        order = np.lexsort((ids, dk), axis=1)
+        idx = ids[rows, order].astype(np.int64)
+        dist = np.sqrt(dk[rows, order])
+
+        if not inside.all():
+            out = ~inside
+            bi, bd = brute_knn(px[out], py[out], self.cx, self.cy, kk)
+            idx[out] = bi
+            dist[out] = bd
+        return idx, dist
 
 
 def grid_knn(

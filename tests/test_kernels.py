@@ -136,7 +136,7 @@ def test_cells_match_scalar_oracle(ctt):
         cid = cells.cell_id(ctt.fi.values, ctt.la.values, level)
         cid_s = np.array(
             [sr.cell_id_scalar(f, l, level) for f, l in zip(ctt.fi.values, ctt.la.values)],
-            dtype=np.uint64,
+            dtype=np.int64,
         )
         assert np.array_equal(cid, cid_s)
 

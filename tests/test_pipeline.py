@@ -82,7 +82,7 @@ def test_pipeline_end_to_end_invariants():
     fi = np.array(t["fi"].to_pylist())
     la = np.array(t["la"].to_pylist())
     assert np.array_equal(
-        np.array(t["cell"].to_pylist(), dtype=np.uint64), cell_id(fi, la, 12)
+        np.array(t["cell"].to_pylist(), dtype=np.int64), cell_id(fi, la, 12)
     )
 
     # 4. PIP result matches direct lookup.
