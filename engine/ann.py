@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (task mandate):
+
+- ``brute_topk``: exact cosine top-k — per-batch numpy matmul against
+  a broadcast query matrix, per-batch partial top-k, tiny final merge.
+  The baseline and the oracle for the approximate paths.
+- ``IvfIndex`` + ``ivf_topk``: IVF-style approximate search — k-means
+  centroids (fixed seeded Lloyd iterations, trained once on a sample),
+  per-batch assignment, probe only the nprobe closest lists. The
+  100 TB shape: centroids broadcast, each batch scans only its
+  resident rows, candidate lists shuffle nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _emb_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_topk(
+    ds: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k of ``query`` over the dataset. Per-batch
+    partials (k rows each) stream to the driver; the final merge is
+    over n_batches*k rows, not the corpus. Returns (vec_id, cos_milli,
+    rank) sorted by (-cos, id)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _unit(_emb_matrix(batch, vec_col))
+        sims = m @ q
+        kk = min(k + (len(exclude_ids) if exclude_ids else 0), len(ids))
+        top = np.argpartition(-sims, kth=kk - 1)[:kk]
+        return pa.table(
+            {
+                id_col: pa.array(ids[top]),
+                "cos": pa.array(sims[top]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if exclude_ids:
+        parts = parts[~parts[id_col].isin(exclude_ids)]
+    parts = parts.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
+    out = pd.DataFrame(
+        {
+            id_col: parts[id_col].to_numpy(),
+            "cos_milli": np.floor(parts["cos"].to_numpy() * 1000 + 0.5).astype(np.int64),
+            "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        }
+    )
+    return out
+
+
+class IvfIndex:
+    """Seeded fixed-iteration Lloyd k-means over a training sample.
+    Centroids are tiny -> broadcast to every batch."""
+
+    def __init__(self, train: np.ndarray, n_lists: int = 16, iters: int = 10, seed: int = 9):
+        rng = np.random.default_rng(seed)
+        t = _unit(np.asarray(train, dtype=np.float64))
+        init = t[rng.choice(len(t), size=min(n_lists, len(t)), replace=False)]
+        c = init.copy()
+        for _ in range(iters):
+            assign = np.argmax(t @ c.T, axis=1)
+            for j in range(len(c)):
+                members = t[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = _unit(c)
+        self.centroids = c
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(_unit(m) @ self.centroids.T, axis=1)
+
+
+def ivf_topk(
+    ds: Dataset,
+    index: IvfIndex,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose IVF list is among the
+    query's ``nprobe`` closest centroids. Same output contract as
+    brute_topk (approximation may differ — pytest measures recall)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(index.centroids @ q))[:nprobe].tolist())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _unit(_emb_matrix(batch, vec_col))
+        lists = index.assign(m)
+        mask = np.isin(lists, list(probe))
+        if not mask.any():
+            return pa.table({id_col: pa.array(ids[:0]), "cos": pa.array(np.zeros(0))})
+        ids = ids[mask]
+        sims = m[mask] @ q
+        kk = min(k + (len(exclude_ids) if exclude_ids else 0), len(ids))
+        top = np.argpartition(-sims, kth=kk - 1)[:kk]
+        return pa.table({id_col: pa.array(ids[top]), "cos": pa.array(sims[top])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if exclude_ids:
+        parts = parts[~parts[id_col].isin(exclude_ids)]
+    parts = parts.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
+    return pd.DataFrame(
+        {
+            id_col: parts[id_col].to_numpy(),
+            "cos_milli": np.floor(parts["cos"].to_numpy() * 1000 + 0.5).astype(np.int64),
+            "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        }
+    )

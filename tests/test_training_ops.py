@@ -1,0 +1,229 @@
+"""Tests for the training-data operator families: dedup (exact,
+MinHash-LSH, SimHash, embedding near-dup), ANN search, text analysis,
+multimodal plumbing. Brute-force oracles throughout (SURVEY.md §5.2).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from engine import dedupe
+from engine.ann import IvfIndex, brute_topk, ivf_topk
+from engine.multimodal import (
+    DecodeImage,
+    frame_sample_stage,
+    image_features_stage,
+    make_fake_media_table,
+    resize_stage,
+)
+from engine.textops import langid_batch, quality_batch, rolling_fingerprint
+
+
+def _doc_table(with_dups: bool = True) -> pa.Table:
+    rng = np.random.default_rng(31)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split()
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(60)]
+    if with_dups:
+        # Planted near-dups: copy with 2 token edits; and one exact dup.
+        base = texts[5].split()
+        base[3] = "edited"
+        base[17] = "tokens"
+        texts.append(" ".join(base))  # near-dup of 5 -> id 60
+        texts.append(texts[10])  # exact dup of 10 -> id 61
+    return pa.table(
+        {"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)), "text": pa.array(texts)}
+    )
+
+
+def test_jaccard_kernel():
+    assert dedupe.jaccard("a b c d e", "a b c d e") == 1.0
+    assert dedupe.jaccard("a b c d e", "x y z w v") == 0.0
+    j = dedupe.jaccard("a b c d e f g h", "a b c d e f g x")
+    assert 0.3 < j < 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_planted_dups():
+    t = _doc_table()
+    ds = rd.from_arrow(t)
+    pairs = dedupe.minhash_lsh_pairs(ds).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (5, 60) in got  # near-dup survives banding
+    assert (10, 61) in got  # exact dup always collides
+
+    # Verify stage: exact Jaccard over candidates vs threshold.
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    verified = dedupe.verify_pairs_jaccard(pairs, texts, threshold=0.5)
+    vg = set(zip(verified.id_a, verified.id_b))
+    assert (10, 61) in vg
+    # Brute-force O(n^2) oracle: every pair above threshold that LSH
+    # surfaced must be verified, and verified ⊆ true-above-threshold.
+    ids = t["doc_id"].to_pylist()
+    for a, b in vg:
+        assert dedupe.jaccard(texts[a], texts[b]) >= 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_components_group_dups():
+    t = _doc_table()
+    ds = rd.from_arrow(t)
+    pairs = dedupe.minhash_lsh_pairs(ds).to_pandas()
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    verified = dedupe.verify_pairs_jaccard(pairs, texts, threshold=0.5)
+    comp = dedupe.connected_components(verified, np.array(t["doc_id"].to_pylist()))
+    g = dict(zip(comp.doc_id, comp.group_id))
+    assert g[61] == g[10] == 10
+    assert g[60] == g[5] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_candidates_find_near_identical():
+    t = _doc_table()
+    ds = rd.from_arrow(t)
+    pairs = dedupe.simhash_candidates(ds, max_hamming=10).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (10, 61) in got  # identical text -> hamming 0
+    z = pairs[(pairs.id_a == 10) & (pairs.id_b == 61)]
+    assert int(z.hamming.iloc[0]) == 0
+
+
+def test_hamming64_kernel():
+    a = np.array([0, -1, 5], dtype=np.int64)
+    b = np.array([0, 0, 4], dtype=np.int64)
+    assert dedupe.hamming64(a, b).tolist() == [0, 64, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dups_planted():
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((40, 16))
+    near = base[7] + 0.01 * rng.standard_normal(16)  # ~cos 1.0 with row 7
+    emb = np.vstack([base, near])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(41, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    pairs = dedupe.embedding_dup_pairs(rd.from_arrow(t), threshold=0.95).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (7, 40) in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_brute_matches_numpy_oracle():
+    rng = np.random.default_rng(8)
+    emb = rng.standard_normal((200, 32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    q = emb[3]
+    out = brute_topk(rd.from_arrow(t), q, k=5, exclude_ids={3})
+    # numpy oracle
+    u = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = u @ (q / np.linalg.norm(q))
+    order = [i for i in np.argsort(-sims, kind="stable") if i != 3][:5]
+    assert out.vec_id.tolist() == order
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_recall():
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((400, 32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    q = emb[0]
+    index = IvfIndex(emb, n_lists=8)
+    approx = ivf_topk(rd.from_arrow(t), index, q, k=10, nprobe=4, exclude_ids={0})
+    exact = brute_topk(rd.from_arrow(t), q, k=10, exclude_ids={0})
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 lists
+
+
+def test_langid_prefers_marker_language():
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "the cat and the dog of a house",
+                    "der hund und die katze ist nicht da",
+                    "xyzzy qwerty",
+                ]
+            )
+        }
+    )
+    out = langid_batch(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "und"]
+
+
+def test_quality_batch_ints():
+    t = pa.table({"text": pa.array(["Hello, world! 123", ""])})
+    out = quality_batch(t)
+    assert out["n_punct"].to_pylist() == [2, 0]
+    assert out["n_digit"].to_pylist() == [3, 0]
+
+
+def test_rolling_fingerprint_properties():
+    texts = np.array(["hello world this is a document", "hello world this is a document", "completely different text here"], dtype=object)
+    fp = rolling_fingerprint(texts)
+    assert fp[0] == fp[1]  # identical content -> identical fingerprint
+    assert fp[0] != fp[2]
+    short = rolling_fingerprint(np.array(["abc"], dtype=object))
+    assert short.dtype == np.int64
+
+
+def test_multimodal_decode_stub_and_plumbing():
+    with pytest.raises(NotImplementedError):
+        DecodeImage(backend="real")
+    t = make_fake_media_table(6)
+    dec = DecodeImage(backend="fake", out_hw=(8, 8))
+    out = dec(t)
+    assert out["width"].to_pylist() == [8] * 6
+    pix = out["pixels"]
+    assert len(pix[0]) == 8 * 8 * 3
+    # Deterministic: same payload -> same pixels.
+    out2 = dec(t)
+    assert out["pixels"].to_pylist()[0] == out2["pixels"].to_pylist()[0]
+
+    rs = resize_stage(out, out_hw=(4, 4))
+    assert len(rs["pixels_small"][0]) == 4 * 4 * 3
+    feats = image_features_stage(out)
+    f0 = np.asarray(feats["image_feat"][0].as_py())
+    assert f0.shape == (19,)  # 3 channel means + 16 hist bins
+    assert abs(f0[3:].sum() - 64) < 1e-9  # hist sums to n_pixels
+
+    frames = frame_sample_stage(t, every_ms=1000)
+    assert frames.num_rows >= 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_actor_pipeline():
+    """The Ray-side shape: small batches + actor pool for decode."""
+    import pyarrow.parquet as pq
+    import os
+
+    t = make_fake_media_table(32)
+    path = "/tmp/geokit_media_test"
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(t, f"{path}/media.parquet")
+    ds = rd.read_parquet(path)
+    out = ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs=dict(backend="fake"),
+        batch_format="pyarrow",
+        batch_size=8,  # small batches: binary payloads are heavy
+        concurrency=(1, 2),
+    ).map_batches(image_features_stage, batch_format="pyarrow")
+    df = out.to_pandas()
+    assert len(df) == 32
+    assert "image_feat" in df.columns
