@@ -105,9 +105,17 @@ def hash_join(
             if isinstance(k, pa.ChunkedArray):
                 k = k.combine_chunks()
             kv = k.to_numpy(zero_copy_only=False)
-            b = np.abs(
-                (kv.astype(np.int64) * np.int64(2654435761)) % np.int64(num_buckets)
-            ).astype(np.int32)
+            if kv.dtype.kind in "iu":
+                hv = kv.astype(np.int64) * np.int64(2654435761)
+            else:
+                import zlib
+
+                # Deterministic across worker processes (built-in hash()
+                # is PYTHONHASHSEED-randomized per process).
+                hv = np.array(
+                    [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
+                )
+            b = np.abs(hv % np.int64(num_buckets)).astype(np.int32)
             batch = batch.append_column("_bucket", pa.array(b)).append_column(
                 "_side", pa.array(np.full(batch.num_rows, side))
             )

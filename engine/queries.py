@@ -508,3 +508,188 @@ REGISTRY.update(
         "fingerprint_docs": (q_fingerprint_docs, None),
     }
 )
+
+
+# ------------------------------------------------- windowed / sessionized
+
+
+def q_sessionize(sf_dir: str) -> Dataset:
+    """Gap-based sessionization per user (engine.windows) — the
+    stream-shaped stateful op, oracled by SQL window functions."""
+    from engine.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ds, gap_ms=30 * 60 * 1000)
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_topk_per_type(sf_dir: str) -> Dataset:
+    """Top-2 events per event_type by value (window rank)."""
+    from engine.windows import add_value_milli, topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = ds.map_batches(add_value_milli, batch_format="pyarrow").map_batches(
+        lambda b: b.drop_columns(["value"]), batch_format="pyarrow"
+    )
+    return topk_per_group(ds, group="event_type", order_col="value_milli", k=2)
+
+
+SQL_TOPK_PER_TYPE = """
+WITH r AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 1000) AS BIGINT) AS value_milli,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY CAST(ROUND(value * 1000) AS BIGINT) DESC, event_id) AS BIGINT) AS rank
+  FROM events)
+SELECT event_id, event_type, value_milli, rank FROM r WHERE rank <= 2
+"""
+
+
+def q_running_totals(sf_dir: str) -> Dataset:
+    """Per-user cumulative count + exact-int cumulative value in
+    (ts, event_id) order."""
+    from engine.windows import add_value_milli, running_totals
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(add_value_milli, batch_format="pyarrow").map_batches(
+        lambda b: b.drop_columns(["value"]), batch_format="pyarrow"
+    )
+    return running_totals(ds)
+
+
+SQL_RUNNING_TOTALS = """
+SELECT event_id, user_id,
+       CAST(ROUND(value * 1000) AS BIGINT) AS value_milli,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+       SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS running_value_milli
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_parts_by_brand(sf_dir: str) -> Dataset:
+    """part-table aggregate: size stats per brand (exact cents)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(b["p_retailprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {"p_brand": b["p_brand"], "p_size": pc.cast(b["p_size"], pa.int64()), "price_cents": c}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("p_size", alias_name="sum_size"),
+        Max("price_cents", alias_name="max_price_cents"),
+        Min("price_cents", alias_name="min_price_cents"),
+    )
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       SUM(CAST(p_size AS BIGINT)) AS sum_size,
+       MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS max_price_cents,
+       MIN(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS min_price_cents
+FROM part GROUP BY p_brand
+"""
+
+
+def q_supplier_nation(sf_dir: str) -> Dataset:
+    """supplier ⋈ nation broadcast join + per-nation balance."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    from engine.joins import broadcast_lookup
+
+    ds = broadcast_lookup(sup, nation, "s_nationkey", "n_nationkey", ["n_name"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(b["s_acctbal"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return b.append_column("bal_cents", c)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return ds.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("bal_cents", alias_name="sum_bal_cents")
+    )
+
+
+SQL_SUPPLIER_NATION = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS sum_bal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+REGISTRY.update(
+    {
+        "sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "topk_per_type": (q_topk_per_type, SQL_TOPK_PER_TYPE),
+        "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
+        "parts_by_brand": (q_parts_by_brand, SQL_PARTS_BY_BRAND),
+        "supplier_nation": (q_supplier_nation, SQL_SUPPLIER_NATION),
+    }
+)
+
+
+# ----------------------------------------------------- set ops / sampling
+
+
+def q_set_ops_names(sf_dir: str) -> Dataset:
+    """Union of two name columns (ds.union) + grouped count — the
+    thin set-op helpers (SURVEY.md §2.5 set-ops note)."""
+    nation = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda b: pa.table({"name": b["n_name"]}), batch_format="pyarrow"
+    )
+    region = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda b: pa.table({"name": b["r_name"]}), batch_format="pyarrow"
+    )
+    return nation.union(region).groupby("name").aggregate(Count(alias_name="cnt"))
+
+
+SQL_SET_OPS_NAMES = """
+SELECT name, COUNT(*) AS cnt FROM (
+  SELECT n_name AS name FROM nation
+  UNION ALL
+  SELECT r_name AS name FROM region)
+GROUP BY name
+"""
+
+
+def q_sample_lineitem(sf_dir: str) -> Dataset:
+    """Seeded deterministic sample (A6) — rows-only (sampling is not
+    SQL-mirrorable row-for-row); driver checks determinism."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return ds.random_sample(0.05, seed=42)
+
+
+REGISTRY.update(
+    {
+        "set_ops_names": (q_set_ops_names, SQL_SET_OPS_NAMES),
+        "sample_lineitem": (q_sample_lineitem, None),
+    }
+)

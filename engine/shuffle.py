@@ -84,7 +84,13 @@ def grouped_count_sums(
         if kv.dtype.kind in "iu":
             h = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
         else:
-            h = np.array([hash(x) for x in kv], dtype=np.int64)
+            # NOT built-in hash(): PYTHONHASHSEED differs per worker
+            # process, which would scatter one key across partitions.
+            import zlib
+
+            h = np.array(
+                [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
+            )
         return batch.append_column(
             "_pkey", pa.array((np.abs(h) % num_partitions).astype(np.int32))
         )
@@ -127,3 +133,43 @@ def topk(ds: Dataset, col: str, k: int, descending: bool = True) -> Dataset:
     """Top-k by column (A4): sort + limit (Ray's sort is a shuffle;
     inputs here are already reduced aggregates, so it's small)."""
     return ds.sort(col, descending=descending).limit(k)
+
+
+def sampled_key_histogram(ds: Dataset, key: str, fraction: float = 0.001, seed: int = 7):
+    """Driver-side skew probe (SURVEY.md §4): sample a fraction of the
+    dataset, return the key histogram of the sample as pandas. Used to
+    pick the salt count S for explicit salting: S ≈ ceil(max_key_share
+    * ideal_reducers). The sample is small by construction — this is
+    the one sanctioned driver-side materialization."""
+    samp = ds.random_sample(fraction, seed=seed)
+    hist = salted_groupby_count(samp, key, salts=4).to_pandas()
+    return hist.sort_values("cnt", ascending=False).reset_index(drop=True)
+
+
+def choose_salts(hist, total_rows_sampled: int, target_reducers: int = 64, cap: int = 256) -> int:
+    """Salt count from a sampled histogram: enough sub-keys that the
+    hottest key spreads across reducers instead of serializing one."""
+    if len(hist) == 0 or total_rows_sampled == 0:
+        return 1
+    top_share = float(hist.cnt.iloc[0]) / max(1, total_rows_sampled)
+    import math
+
+    return max(1, min(cap, math.ceil(top_share * target_reducers * 4)))
+
+
+def except_keys(ds: Dataset, other: Dataset, key: str) -> Dataset:
+    """EXCEPT on a key column: anti-join via broadcast key set (small
+    right side) — SURVEY.md §2.5 set-ops."""
+    import ray
+
+    keys = other.unique(key)
+    from engine.joins import semi_filter
+
+    return semi_filter(ds, np.asarray(keys), key, anti=True)
+
+
+def intersect_keys(ds: Dataset, other: Dataset, key: str) -> Dataset:
+    keys = other.unique(key)
+    from engine.joins import semi_filter
+
+    return semi_filter(ds, np.asarray(keys), key, anti=False)
