@@ -209,8 +209,10 @@ def q_segment_revenue(sf_dir: str) -> Dataset:
     orders = orders.map_batches(prep, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = hash_join(orders, cust, key="c_custkey", num_buckets=16, how="inner")
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_price_cents")
+    agg = grouped_count_sums(joined, key="c_mktsegment", sum_cols=("price_cents",))
+    return agg.map_batches(
+        lambda b: b.rename_columns(["c_mktsegment", "n_orders", "sum_price_cents"]),
+        batch_format="pyarrow",
     )
 
 
@@ -691,5 +693,139 @@ REGISTRY.update(
     {
         "set_ops_names": (q_set_ops_names, SQL_SET_OPS_NAMES),
         "sample_lineitem": (q_sample_lineitem, None),
+    }
+)
+
+
+# ------------------------------------- SQL-oracled geodesy (bitwise match)
+# Deterministic test points derived from lineitem keys by integer
+# arithmetic (identical in numpy and SQL); the TM kernels' evaluation
+# order is mirrored term-for-term in the generated SQL, and numpy and
+# DuckDB share libm — measured bitwise-equal outputs.
+
+_PTS_NP = None
+
+
+def _derived_points(sf_dir: str):
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    )
+    ok = t["l_orderkey"].to_numpy()
+    ln = t["l_linenumber"].to_numpy().astype(np.int64)
+    pk = t["l_partkey"].to_numpy()
+    fi = 45.2 + ((ok * 40503 + ln) % 100000) * 1.9e-5
+    la = 13.1 + ((ok * 69069 + pk) % 100000) * 3.6e-5
+    return ok, ln, fi, la
+
+
+_SQL_PTS = """
+WITH pts AS (
+ SELECT l_orderkey, l_linenumber,
+   45.2 + ((l_orderkey * 40503 + l_linenumber) % 100000) * 1.9e-5 AS fi,
+   13.1 + ((l_orderkey * 69069 + l_partkey) % 100000) * 3.6e-5 AS la
+ FROM lineitem)
+"""
+
+
+def q_tm_scale_convergence(sf_dir: str):
+    """TM point scale factor + meridian convergence diagnostics
+    (reference's gk-slo diagnostic outputs, SURVEY.md §2.6) on derived
+    points — bitwise-matched SQL oracle."""
+    from geokit.datums import D96_TM
+    from geokit.tm import tm_point_scale_convergence
+
+    ok, ln, fi, la = _derived_points(sf_dir)
+    k, gamma = tm_point_scale_convergence(fi, la, D96_TM)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok),
+            "l_linenumber": pa.array(ln.astype(np.int32)),
+            "k_scale": pa.array(k),
+            "gamma_deg": pa.array(gamma),
+        }
+    )
+
+
+def _sql_tm_scale_convergence() -> str:
+    from geokit.datums import D96_TM
+
+    ep2 = D96_TM.ellipsoid.ep2
+    return (
+        _SQL_PTS
+        + f""",
+c AS (SELECT l_orderkey, l_linenumber, radians(fi) AS phi, radians(la) - radians(15.0) AS dl FROM pts),
+d AS (SELECT *, cos(phi) AS cp, sin(phi) AS sp FROM c),
+e AS (SELECT *, dl * cp AS A, {ep2!r} * cp * cp AS C, (sp/cp)*(sp/cp) AS T FROM d),
+f AS (SELECT *, A*A AS A2 FROM e)
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  0.9999 * (1.0 + (1.0 + C) * A2 / 2.0 + (5.0 - 4.0 * T) * (A2*A2) / 24.0) AS k_scale,
+  degrees(dl * sp * (1.0 + (1.0 + 3.0 * C) * A2 / 3.0)) AS gamma_deg
+FROM f
+"""
+    )
+
+
+def q_tm_forward(sf_dir: str):
+    """Full Gauss-Krüger forward projection (geokit.tm.tm_fwd, the
+    reference's fila2xy_ellips K3) on derived points — the SQL oracle
+    reproduces the meridian-arc + Redfearn series term-for-term."""
+    from geokit.datums import D96_TM
+    from geokit.tm import tm_fwd
+
+    ok, ln, fi, la = _derived_points(sf_dir)
+    x, y = tm_fwd(fi, la, D96_TM)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok),
+            "l_linenumber": pa.array(ln.astype(np.int32)),
+            "x_d96": pa.array(x),
+            "y_d96": pa.array(y),
+        }
+    )
+
+
+def _sql_tm_forward() -> str:
+    from geokit.datums import D96_TM
+
+    ell = D96_TM.ellipsoid
+    e2 = ell.e2
+    e4 = e2 * e2
+    e6 = e4 * e2
+    ep2 = ell.ep2
+    a = ell.a
+    c1 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c3 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c4 = 35.0 * e6 / 3072.0
+    return (
+        _SQL_PTS
+        + f""",
+c AS (SELECT l_orderkey, l_linenumber, radians(fi) AS phi, radians(la) AS lam FROM pts),
+d AS (SELECT *, sin(phi) AS sp, cos(phi) AS cp FROM c),
+e AS (SELECT *, sp / cp AS tp,
+        {a!r} / sqrt(1.0 - {e2!r} * sp * sp) AS N,
+        {ep2!r} * cp * cp AS C,
+        (lam - radians(15.0)) * cp AS A,
+        {a!r} * ({c1!r} * phi - {c2!r} * sin(2.0 * phi) + {c3!r} * sin(4.0 * phi) - {c4!r} * sin(6.0 * phi)) AS M
+      FROM d),
+f AS (SELECT *, tp * tp AS T, A * A AS A2 FROM e),
+g AS (SELECT *, A2 * A AS A3, A2 * A2 AS A4 FROM f),
+h AS (SELECT *, A4 * A AS A5, A4 * A2 AS A6 FROM g)
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  -5000000.0 + 0.9999 * (M - 0.0 + N * tp * (A2 / 2.0
+      + (5.0 - T + 9.0 * C + 4.0 * C * C) * A4 / 24.0
+      + (61.0 - 58.0 * T + T * T + 600.0 * C - 330.0 * {ep2!r}) * A6 / 720.0)) AS x_d96,
+  500000.0 + 0.9999 * N * (A
+      + (1.0 - T + C) * A3 / 6.0
+      + (5.0 - 18.0 * T + T * T + 72.0 * C - 58.0 * {ep2!r}) * A5 / 120.0) AS y_d96
+FROM h
+"""
+    )
+
+
+REGISTRY.update(
+    {
+        "tm_scale_convergence": (q_tm_scale_convergence, _sql_tm_scale_convergence()),
+        "tm_forward": (q_tm_forward, _sql_tm_forward()),
     }
 )

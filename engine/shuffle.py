@@ -28,7 +28,9 @@ def _combine_batch(
     batch: pa.Table, key: str, sum_cols: Sequence[str]
 ) -> pa.Table:
     """Per-batch partial aggregation: one row per key with count +
-    per-column sums (+ min/max piggybacked as sums-compatible cols)."""
+    per-column sums. Integer columns accumulate in int64 (exact — the
+    oracle-facing cents/milli columns must never round-trip through
+    float64); float columns accumulate in float64."""
     keys = batch[key]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
@@ -42,9 +44,10 @@ def _combine_batch(
         v = batch[c]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        vn = v.to_numpy(zero_copy_only=False).astype(np.float64)
-        sums = np.zeros(len(uniq))
-        np.add.at(sums, inv, vn)
+        vn = v.to_numpy(zero_copy_only=False)
+        acc_dtype = np.int64 if vn.dtype.kind in "iu" else np.float64
+        sums = np.zeros(len(uniq), dtype=acc_dtype)
+        np.add.at(sums, inv, vn.astype(acc_dtype))
         cols[f"_sum_{c}"] = pa.array(sums)
     return pa.table(cols)
 

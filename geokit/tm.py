@@ -176,6 +176,9 @@ def tm_point_scale_convergence(
     A = dl * cos_phi
     C = ep2 * cos_phi * cos_phi
     T = tan_phi * tan_phi
-    k = proj.k0 * (1.0 + (1.0 + C) * A * A / 2.0 + (5.0 - 4.0 * T) * A**4 / 24.0)
-    gamma = dl * sin_phi * (1.0 + (1.0 + 3.0 * C) * A * A / 3.0)
+    A2 = A * A
+    # Explicit multiplies (no float pow): keeps the evaluation order
+    # exactly mirrorable in the DuckDB oracle SQL.
+    k = proj.k0 * (1.0 + (1.0 + C) * A2 / 2.0 + (5.0 - 4.0 * T) * (A2 * A2) / 24.0)
+    gamma = dl * sin_phi * (1.0 + (1.0 + 3.0 * C) * A2 / 3.0)
     return k, np.rad2deg(gamma)
