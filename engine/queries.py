@@ -829,3 +829,107 @@ REGISTRY.update(
         "tm_forward": (q_tm_forward, _sql_tm_forward()),
     }
 )
+
+
+def _c(v: float) -> str:
+    """Embed a float constant in SQL, parenthesized — a bare negative
+    after '-' would form '--', an SQL comment."""
+    return f"({v!r})"
+
+
+def q_helmert_chain(sf_dir: str):
+    """The FULL D48/GK -> ETRS89 Helmert chain (reference
+    ggeo.c::gkxy2fila_wgs, SURVEY.md §2.1 K10 = K4 tm_inv + K5
+    fila2xyz + K7 helmert + K6 xyz2fila) on integer-derived D48 grid
+    points, oracled by a term-for-term SQL mirror with the iterative
+    geodetic-latitude solve unrolled 8x. numpy/DuckDB agree to ~2e-14
+    deg; outputs are quantized (microdegrees / cm) with measured
+    boundary margins >=23x the cross-engine diff at every sf."""
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    ok = t["o_orderkey"].to_numpy()
+    ck = t["o_custkey"].to_numpy()
+    x48 = 30000.0 + ((ok * 40503 + ck) % 100000) * 1.7
+    y48 = 380000.0 + ((ok * 69069 + ck) % 100000) * 2.2
+    from geokit.transforms import gkxy2fila_wgs
+
+    fi, la, h = gkxy2fila_wgs(x48, y48)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(ok),
+            "fi_udeg": pa.array(np.floor(fi * 1e6 + 0.5).astype(np.int64)),
+            "la_udeg": pa.array(np.floor(la * 1e6 + 0.5).astype(np.int64)),
+            "h_cm": pa.array(np.floor(h * 1e2 + 0.5).astype(np.int64)),
+        }
+    )
+
+
+def _sql_helmert_chain() -> str:
+    import numpy as _np
+
+    from geokit.datums import D48_GK, HELMERT_D48_TO_D96 as P
+    from geokit.ellipsoids import GRS80
+
+    bes = D48_GK.ellipsoid
+    e2b, ep2b, ab = bes.e2, bes.ep2, bes.a
+    e4b, e6b = e2b * e2b, e2b * e2b * e2b
+    c1 = 1.0 - e2b / 4.0 - 3.0 * e4b / 64.0 - 5.0 * e6b / 256.0
+    sq = _np.sqrt(1.0 - e2b)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    d1 = 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0
+    d2 = 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0
+    d3 = 151.0 * e1**3 / 96.0
+    d4 = 1097.0 * e1**4 / 512.0
+    e2g, ag = GRS80.e2, GRS80.a
+    c = P.scale
+
+    iters = "\n".join(
+        f"i{n} AS (SELECT * REPLACE (atan2(Z + {_c(e2g)} * ({_c(ag)} / sqrt(1.0 - {_c(e2g)} * sin(phi) * sin(phi))) * sin(phi), p) AS phi) FROM i{n-1}),"
+        for n in range(1, 9)
+    )
+    return f"""
+WITH pts AS (
+ SELECT o_orderkey,
+   30000.0 + ((o_orderkey * 40503 + o_custkey) % 100000) * 1.7 AS x48,
+   380000.0 + ((o_orderkey * 69069 + o_custkey) % 100000) * 2.2 AS y48
+ FROM orders),
+m AS (SELECT o_orderkey, x48, y48, 0.0 + (x48 - (-5000000.0)) / 0.9999 AS M FROM pts),
+mu AS (SELECT *, M / ({_c(ab)} * {_c(c1)}) AS mu FROM m),
+p1 AS (SELECT *, mu + {_c(d1)} * sin(2.0*mu) + {_c(d2)} * sin(4.0*mu) + {_c(d3)} * sin(6.0*mu) + {_c(d4)} * sin(8.0*mu) AS phi1 FROM mu),
+p2 AS (SELECT *, sin(phi1) AS sp1, cos(phi1) AS cp1 FROM p1),
+p3 AS (SELECT *, sp1/cp1 AS tp1, {_c(ep2b)} * cp1 * cp1 AS C1, (sp1/cp1)*(sp1/cp1) AS T1, 1.0 - {_c(e2b)} * sp1 * sp1 AS om FROM p2),
+p4 AS (SELECT *, {_c(ab)} / sqrt(om) AS N1, {_c(ab)} * (1.0 - {_c(e2b)}) / (om * sqrt(om)) AS R1 FROM p3),
+p5 AS (SELECT *, (y48 - 500000.0) / (N1 * 0.9999) AS D FROM p4),
+p6 AS (SELECT *, D*D AS DD2 FROM p5),
+p7 AS (SELECT *, DD2*D AS DD3, DD2*DD2 AS DD4 FROM p6),
+p8 AS (SELECT *, DD4*D AS DD5, DD4*DD2 AS DD6 FROM p7),
+geo AS (SELECT o_orderkey,
+  phi1 - (N1 * tp1 / R1) * (DD2/2.0 - (5.0 + 3.0*T1 + 10.0*C1 - 4.0*C1*C1 - 9.0*{_c(ep2b)}) * DD4/24.0
+      + (61.0 + 90.0*T1 + 298.0*C1 + 45.0*T1*T1 - 252.0*{_c(ep2b)} - 3.0*C1*C1) * DD6/720.0) AS phib,
+  radians(15.0) + (D - (1.0 + 2.0*T1 + C1) * DD3/6.0
+      + (5.0 - 2.0*C1 + 28.0*T1 - 3.0*C1*C1 + 8.0*{_c(ep2b)} + 24.0*T1*T1) * DD5/120.0) / cp1 AS lamb
+  FROM p8),
+rads AS (SELECT o_orderkey, radians(degrees(phib)) AS phi2, radians(degrees(lamb)) AS lam2 FROM geo),
+nb AS (SELECT o_orderkey, phi2, lam2, {_c(ab)} / sqrt(1.0 - {_c(e2b)} * sin(phi2) * sin(phi2)) AS Nb FROM rads),
+ecef AS (SELECT o_orderkey,
+   (Nb + 0.0) * cos(phi2) * cos(lam2) AS Xb,
+   (Nb + 0.0) * cos(phi2) * sin(lam2) AS Yb,
+   (Nb * (1.0 - {_c(e2b)}) + 0.0) * sin(phi2) AS Zb
+  FROM nb),
+helm AS (SELECT o_orderkey,
+   {_c(c)} * (Xb - {_c(P.rz)} * Yb + {_c(P.ry)} * Zb) + {_c(P.dx)} AS X,
+   {_c(c)} * ({_c(P.rz)} * Xb + Yb - {_c(P.rx)} * Zb) + {_c(P.dy)} AS Y,
+   {_c(c)} * ((-{_c(P.ry)}) * Xb + {_c(P.rx)} * Yb + Zb) + {_c(P.dz)} AS Z
+  FROM ecef),
+i0 AS (SELECT o_orderkey, X, Y, Z, sqrt(X*X + Y*Y) AS p, atan2(Y, X) AS lam, atan2(Z, sqrt(X*X + Y*Y) * (1.0 - {_c(e2g)})) AS phi FROM helm),
+{iters}
+fin AS (SELECT o_orderkey, degrees(phi) AS fi, degrees(lam) AS la,
+        p / cos(phi) - {_c(ag)} / sqrt(1.0 - {_c(e2g)} * sin(phi) * sin(phi)) AS h FROM i8)
+SELECT o_orderkey,
+  CAST(FLOOR(fi * 1e6 + 0.5) AS BIGINT) AS fi_udeg,
+  CAST(FLOOR(la * 1e6 + 0.5) AS BIGINT) AS la_udeg,
+  CAST(FLOOR(h * 1e2 + 0.5) AS BIGINT) AS h_cm
+FROM fin
+"""
+
+
+REGISTRY.update({"helmert_chain": (q_helmert_chain, _sql_helmert_chain())})

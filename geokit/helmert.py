@@ -94,20 +94,22 @@ def helmert(
     Vectorized as one 3x3 matmul over the whole batch
     (SURVEY.md §2.1 K7: ``np.einsum('ij,nj->ni', R, X)`` shape).
     """
-    P = np.stack(
-        [
-            np.asarray(X, dtype=np.float64),
-            np.asarray(Y, dtype=np.float64),
-            np.asarray(Z, dtype=np.float64),
-        ],
-        axis=-1,
-    )
-    R = _rotation_matrix(params)
-    T = np.array([params.dx, params.dy, params.dz], dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
     c = params.scale
+    rx, ry, rz = params.rx, params.ry, params.rz
     if not inverse:
-        out = c * (P @ R.T) + T
-    else:
-        Rinv = np.linalg.inv(R)
-        out = ((P - T) / c) @ Rinv.T
+        # Explicit component expressions (not a matmul): fixed
+        # left-to-right evaluation order, bitwise-mirrorable in oracle
+        # SQL and identical to scalar_ref.helmert_scalar.
+        Xo = c * (X - rz * Y + ry * Z) + params.dx
+        Yo = c * (rz * X + Y - rx * Z) + params.dy
+        Zo = c * (-ry * X + rx * Y + Z) + params.dz
+        return Xo, Yo, Zo
+    R = _rotation_matrix(params)
+    Rinv = np.linalg.inv(R)
+    P = np.stack([X, Y, Z], axis=-1)
+    T = np.array([params.dx, params.dy, params.dz], dtype=np.float64)
+    out = ((P - T) / c) @ Rinv.T
     return out[..., 0], out[..., 1], out[..., 2]
