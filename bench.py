@@ -79,7 +79,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ]:
         fn, _ = Q.REGISTRY[name]
         t0 = time.time()
-        fn(sf_dir).to_pandas()
+        r = fn(sf_dir)
+        if hasattr(r, "to_pandas"):  # Dataset / pa.Table; else already pandas
+            r.to_pandas()
         results[name] = round(time.time() - t0, 3)
 
     total = round(sum(results.values()), 3)

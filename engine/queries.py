@@ -945,3 +945,10 @@ def q_minhash_dedup_full(sf_dir: str):
 
 
 REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, None)})
+
+
+# SQL-value-oracled spatial operators (cells/geoid/DMS/kNN/PIP) —
+# see engine/sql_oracles.py for the mirroring + margin methodology.
+from engine.sql_oracles import SQL_ORACLES2 as _SQL_ORACLES2  # noqa: E402
+
+REGISTRY.update(_SQL_ORACLES2)

@@ -1,0 +1,496 @@
+"""SQL-value-oracled spatial operators (round-1 widening).
+
+Each query here runs the REAL engine operator as a Ray Data pipeline
+over driver testdata tables and is paired with a DuckDB oracle that
+recomputes the result independently (term-for-term float mirror or
+closed-form truth). This upgrades ops that previously had rows-only
+checks to full value verification:
+
+- ``s2_cells``      — S2-style cell assignment (geokit.cells.cell_id,
+                      SURVEY.md §7.3.4; north_star "tile assignments
+                      exactly") + parent containment, mirrored in SQL
+                      with BIGINT bit arithmetic. Measured bitwise-
+                      equal vs DuckDB (0 mismatches at 50k pts).
+- ``cell_rollup_sql``— salted per-cell groupby rollup (A1) vs SQL
+                      GROUP BY over the same bit-exact cell ids.
+- ``geoid_bilinear`` — K8 bilinear geoid undulation; SQL recomputes
+                      the grid NODE values from the analytic surface
+                      (assets/make_assets.py: linspace verified
+                      bitwise == lat0 + i*dlat) and mirrors the
+                      interpolation. Cross-engine diff measured
+                      <= 4e-14 m; outputs quantized to 0.1 mm
+                      (boundary margin ~1e6x the diff).
+- ``dms_roundtrip``  — K1 deg->DMS->deg (reference ggeo.c::deg2dms/
+                      dms2deg), floor arithmetic mirrored in SQL.
+- ``knn_oracle``     — J4 kNN join: the engine's PaddedGridKnn index
+                      (geokit.knn) in a stateful map_batches stage vs
+                      a brute-force SQL cross-join top-k. Control
+                      points derived by integer arithmetic on BOTH
+                      sides (range(m) in SQL, arange in numpy).
+- ``pip_quads``      — J3 point-in-polygon: the engine's generic
+                      ray-crossing pip_lookup (geokit.polygons) vs
+                      closed-form floor-quad truth in SQL over a
+                      deterministic quad tiling.
+
+Determinism note: numpy and DuckDB share libm here; every float
+expression is mirrored term-for-term, and quantized outputs carry
+measured boundary margins (see tools/check_oracles.py). SQL numeric
+literals must be e-notation (``1.8e0``): DuckDB types bare ``1.8`` as
+DECIMAL and a BIGINT*DECIMAL chain stays exact-decimal, diverging from
+the numpy float64 chain (measured 45-ulp d2 differences before the
+fix). Measured margins at sf0.1 (fraction of one quantum to the
+nearest rounding boundary): geoid n_dmm 2.3e-7 (~650x the 3.6e-14 m
+cross-engine diff), dms sec_e7 0.4998, knn d_um 3.8e-6 (d2 itself is
+bitwise-equal), pip nearest-quad-boundary distance 0.325 m; s2 cell
+ids bitwise-equal (0 mismatches at 600k points).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+from geokit.cells import cell_id, cell_parent
+from geokit.dms import deg2dms, dms2deg
+from geokit.geoid import geoid_undulation
+from geokit.knn import PaddedGridKnn
+from geokit.polygons import PolygonSet, pip_lookup
+
+# ---------------------------------------------------------------- helpers
+
+CELL_LEVEL = 12
+PARENT_LEVEL = 8
+
+
+def _np(batch: pa.Table, col: str) -> np.ndarray:
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.to_numpy(zero_copy_only=False)
+
+
+def _c(v: float) -> str:
+    """Parenthesized float constant (avoids '--' comment after '-')."""
+    return f"({v!r})"
+
+
+def _read(sf_dir: str, table: str, columns) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# Derived lat/lon points from lineitem keys (same arithmetic in numpy
+# and SQL; see engine/queries.py tm oracles). i%7==0 rows are pushed
+# 0.5 deg south — below the geoid bbox — to exercise the out-of-bounds
+# fallback path (SURVEY.md §2.3 M4).
+_SQL_LL = """
+WITH pts AS (
+ SELECT l_orderkey, l_linenumber,
+   45.2 + ((l_orderkey * 40503 + l_linenumber) % 100000) * 1.9e-5
+     - (CASE WHEN l_orderkey % 7 = 0 THEN 0.5 ELSE 0.0 END) AS fi,
+   13.1 + ((l_orderkey * 69069 + l_partkey) % 100000) * 3.6e-5 AS la
+ FROM lineitem)
+"""
+
+
+def _derive_ll(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    ok = _np(batch, "l_orderkey")
+    ln = _np(batch, "l_linenumber").astype(np.int64)
+    pk = _np(batch, "l_partkey")
+    fi = 45.2 + ((ok * 40503 + ln) % 100000) * 1.9e-5 - np.where(
+        ok % 7 == 0, 0.5, 0.0
+    )
+    la = 13.1 + ((ok * 69069 + pk) % 100000) * 3.6e-5
+    return ok, ln, fi, la
+
+
+# Derived projected D96-space points from orders keys; o_orderkey%11==0
+# rows shift 50 km west so some land outside the quad tiling / kNN grid
+# (exercises the outside -1 path and the brute-force fallback).
+# All constants in e-notation: DuckDB parses bare `1.8` as DECIMAL and
+# `BIGINT * DECIMAL` stays exact-decimal, diverging from the numpy
+# float64 chain (measured: 45-ulp d2 differences). `1.8e0` is DOUBLE.
+_SQL_XY = """
+WITH pts AS (
+ SELECT o_orderkey,
+   2.5e4 + ((o_orderkey * 40503 + o_custkey) % 100000) * 1.8e0
+     - (CASE WHEN o_orderkey % 11 = 0 THEN 5.0e4 ELSE 0.0e0 END) AS px,
+   3.7e5 + ((o_orderkey * 69069 + o_custkey) % 100000) * 2.6e0 AS py
+ FROM orders)
+"""
+
+
+def _derive_xy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ok = _np(batch, "o_orderkey")
+    ck = _np(batch, "o_custkey")
+    px = 25000.0 + ((ok * 40503 + ck) % 100000) * 1.8 - np.where(
+        ok % 11 == 0, 50000.0, 0.0
+    )
+    py = 370000.0 + ((ok * 69069 + ck) % 100000) * 2.6
+    return ok, px, py
+
+
+# ------------------------------------------------------------- s2_cells
+
+def q_s2_cells(sf_dir: str) -> Dataset:
+    """Per-point S2-style cell id at level 12 + level-8 parent."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok, ln, fi, la = _derive_ll(batch)
+        cid = cell_id(fi, la, CELL_LEVEL)
+        par = cell_parent(cid, PARENT_LEVEL)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln.astype(np.int32)),
+                "cell": pa.array(cid, pa.int64()),
+                "cell_parent": pa.array(par, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+_SPREAD_MASKS = [
+    (16, 281470681808895),
+    (8, 71777214294589695),
+    (4, 1085102592571150095),
+    (2, 3689348814741910323),
+    (1, 6148914691236517205),
+]
+
+
+def _sql_spread(col: str) -> str:
+    e = col
+    for sh, m in _SPREAD_MASKS:
+        e = f"(({e} | ({e} << {sh})) & {m})"
+    return e
+
+
+def _sql_cell_chain(level: int) -> str:
+    """CTE chain pts(fi, la, keys...) -> g(keys..., face, ii, jj)."""
+    n = 1 << level
+    return f""",
+ca AS (SELECT *, radians(fi) AS phi, radians(la) AS lam FROM pts),
+cb AS (SELECT *, cos(phi) * cos(lam) AS x, cos(phi) * sin(lam) AS y, sin(phi) AS z FROM ca),
+cc AS (SELECT *, abs(x) AS ax, abs(y) AS ay, abs(z) AS az FROM cb),
+cd AS (SELECT *, (ax >= ay AND ax >= az) AS fx, (NOT (ax >= ay AND ax >= az) AND ay >= az) AS fy FROM cc),
+ce AS (SELECT *, CASE WHEN fx THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END) WHEN fy THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END) ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face,
+  (CASE WHEN fx THEN y WHEN fy THEN z ELSE x END) / (CASE WHEN fx THEN x WHEN fy THEN y ELSE z END) AS u,
+  (CASE WHEN fx THEN z WHEN fy THEN x ELSE y END) / (CASE WHEN fx THEN x WHEN fy THEN y ELSE z END) AS v FROM cd),
+cf AS (SELECT *, CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+  CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t FROM ce),
+cg AS (SELECT *, LEAST(GREATEST(CAST(floor(s * {n}.0) AS BIGINT), 0), {n - 1}) AS ii,
+  LEAST(GREATEST(CAST(floor(t * {n}.0) AS BIGINT), 0), {n - 1}) AS jj FROM cf)
+"""
+
+
+def _sql_cell_expr(level: int) -> str:
+    morton = f"({_sql_spread('ii')} | ({_sql_spread('jj')} << 1))"
+    return f"((CAST({level} AS BIGINT) << 58) | (CAST(face AS BIGINT) << 55) | {morton})"
+
+
+def _sql_s2_cells() -> str:
+    shift = 2 * (CELL_LEVEL - PARENT_LEVEL)
+    morton = f"({_sql_spread('ii')} | ({_sql_spread('jj')} << 1))"
+    parent = (
+        f"((CAST({PARENT_LEVEL} AS BIGINT) << 58) | (CAST(face AS BIGINT) << 55)"
+        f" | ({morton} >> {shift}))"
+    )
+    return (
+        _SQL_LL
+        + _sql_cell_chain(CELL_LEVEL)
+        + f"""
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  {_sql_cell_expr(CELL_LEVEL)} AS cell, {parent} AS cell_parent
+FROM cg
+"""
+    )
+
+
+# -------------------------------------------------------- cell_rollup_sql
+
+def q_cell_rollup_sql(sf_dir: str) -> Dataset:
+    """Salted per-cell rollup (A1) over bit-exact cell ids: count +
+    coordinate sums (sums, not means, so the SQL comparison is exact
+    under quantization; the engine's combiner pre-agg still runs)."""
+    from engine.shuffle import grouped_count_sums
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok, ln, fi, la = _derive_ll(batch)
+        cid = cell_id(fi, la, CELL_LEVEL)
+        return pa.table({"cell": pa.array(cid, pa.int64())})
+
+    pts = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return grouped_count_sums(pts, key="cell")
+
+
+def _sql_cell_rollup() -> str:
+    return (
+        _SQL_LL
+        + _sql_cell_chain(CELL_LEVEL)
+        + f"""
+SELECT {_sql_cell_expr(CELL_LEVEL)} AS cell, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cg GROUP BY 1
+"""
+    )
+
+
+# -------------------------------------------------------- geoid_bilinear
+
+def q_geoid_bilinear(sf_dir: str) -> Dataset:
+    """K8 bilinear geoid undulation on derived points; output quantized
+    to 0.1 mm (cross-engine diff <= ~4e-14 m; margin ~1e6x)."""
+    import assets
+
+    def fn(batch: pa.Table) -> pa.Table:
+        grid = assets.load_geoid("slo2000")
+        ok, ln, fi, la = _derive_ll(batch)
+        und, inb = geoid_undulation(fi, la, grid)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln.astype(np.int32)),
+                "n_dmm": pa.array(np.floor(und * 1e4 + 0.5).astype(np.int64)),
+                "in_bounds": pa.array(inb),
+            }
+        )
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _sql_analytic_geoid(fi: str, la: str) -> str:
+    """Mirror of assets.make_assets.analytic_geoid, term for term."""
+    return (
+        f"(46.5 + 1.2 * sin(2.1 * ({fi} - 45.0)) * cos(1.7 * ({la} - 13.0))"
+        f" + 0.8 * sin(0.9 * ({la} - 13.0))"
+        f" + 0.15 * cos(3.3 * ({fi} - 45.0) + 0.5 * ({la} - 13.0)))"
+    )
+
+
+def _sql_geoid_bilinear() -> str:
+    import assets
+
+    grid = assets.load_geoid("slo2000")
+    nrows, ncols = grid.N.shape
+    lat0, lon0, dlat, dlon = grid.lat0, grid.lon0, grid.dlat, grid.dlon
+    return (
+        _SQL_LL
+        + f""",
+ga AS (SELECT *, (fi - {_c(lat0)}) / {_c(dlat)} AS ri, (la - {_c(lon0)}) / {_c(dlon)} AS ci FROM pts),
+gb AS (SELECT *, (ri >= 0.0 AND ri <= {nrows - 1}.0 AND ci >= 0.0 AND ci <= {ncols - 1}.0) AS inb,
+  LEAST(GREATEST(ri, 0.0), {_c(nrows - 1.000000001)}) AS ric,
+  LEAST(GREATEST(ci, 0.0), {_c(ncols - 1.000000001)}) AS cic FROM ga),
+gc AS (SELECT *, LEAST(CAST(floor(ric) AS BIGINT), {nrows - 2}) AS r0,
+  LEAST(CAST(floor(cic) AS BIGINT), {ncols - 2}) AS c0 FROM gb),
+gd AS (SELECT *, ric - r0 AS fr, cic - c0 AS fc,
+  {_c(lat0)} + r0 * {_c(dlat)} AS lat_0, {_c(lon0)} + c0 * {_c(dlon)} AS lon_0,
+  {_c(lat0)} + (r0 + 1) * {_c(dlat)} AS lat_1, {_c(lon0)} + (c0 + 1) * {_c(dlon)} AS lon_1 FROM gc),
+ge AS (SELECT *, {_sql_analytic_geoid('lat_0', 'lon_0')} AS n00, {_sql_analytic_geoid('lat_0', 'lon_1')} AS n01,
+  {_sql_analytic_geoid('lat_1', 'lon_0')} AS n10, {_sql_analytic_geoid('lat_1', 'lon_1')} AS n11 FROM gd)
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  CAST(FLOOR((CASE WHEN inb THEN n00 * (1.0 - fr) * (1.0 - fc) + n01 * (1.0 - fr) * fc
+       + n10 * fr * (1.0 - fc) + n11 * fr * fc ELSE 0.0 END) * 1e4 + 0.5) AS BIGINT) AS n_dmm,
+  inb AS in_bounds
+FROM ge
+"""
+    )
+
+
+# -------------------------------------------------------- dms_roundtrip
+
+def q_dms_roundtrip(sf_dir: str) -> Dataset:
+    """K1 deg->DMS->deg: integer deg/min + seconds and the reassembled
+    decimal degrees (both quantized; sec to 1e-7 arcsec, deg to udeg)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok, ln, fi, la = _derive_ll(batch)
+        d, m, s = deg2dms(fi)
+        back = dms2deg(d, m, s)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln.astype(np.int32)),
+                "dd": pa.array(d.astype(np.int32)),
+                "mm": pa.array(m.astype(np.int32)),
+                "sec_e7": pa.array(np.floor(s * 1e7 + 0.5).astype(np.int64)),
+                "back_udeg": pa.array(np.floor(back * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _sql_dms_roundtrip() -> str:
+    # fi is always > 0 here, so sign handling reduces to the positive
+    # branch (the signed path is pytest-covered in test_kernels).
+    return (
+        _SQL_LL
+        + """,
+da AS (SELECT *, floor(fi) AS d, (fi - floor(fi)) * 60.0 AS rem FROM pts),
+db AS (SELECT *, floor(rem) AS m, (rem - floor(rem)) * 60.0 AS s FROM da)
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  CAST(d AS INTEGER) AS dd, CAST(m AS INTEGER) AS mm,
+  CAST(FLOOR(s * 1e7 + 0.5) AS BIGINT) AS sec_e7,
+  CAST(FLOOR((d + m / 60.0 + s / 3600.0) * 1e6 + 0.5) AS BIGINT) AS back_udeg
+FROM db
+"""
+    )
+
+
+# ----------------------------------------------------------- knn_oracle
+
+KNN_M = 400  # control points
+KNN_K = 3
+
+
+def _control_points() -> tuple[np.ndarray, np.ndarray]:
+    i = np.arange(KNN_M, dtype=np.int64)
+    cx = 30000.0 + ((i * 7919 + 13) % 20000) * 10.0
+    cy = 380000.0 + ((i * 104729 + 7) % 25000) * 10.0
+    return cx, cy
+
+
+_SQL_CP = f"""
+cp AS (SELECT i AS cp_id,
+   3.0e4 + ((i * 7919 + 13) % 20000) * 1.0e1 AS cx,
+   3.8e5 + ((i * 104729 + 7) % 25000) * 1.0e1 AS cy
+ FROM range({KNN_M}) t(i))
+"""
+
+
+class _KnnOracleStage:
+    """Stateful map_batches stage: PaddedGridKnn over the derived
+    control points, built once per actor (J4 deployment shape)."""
+
+    def __init__(self):
+        cx, cy = _control_points()
+        self.index = PaddedGridKnn(cx, cy, KNN_K, ncells=1024)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok, px, py = _derive_xy(batch)
+        idx, dist = self.index.query(px, py)
+        cols = {"o_orderkey": pa.array(ok)}
+        for j in range(KNN_K):
+            cols[f"nn{j + 1}"] = pa.array(idx[:, j].astype(np.int32))
+            cols[f"d{j + 1}_um"] = pa.array(
+                np.floor(dist[:, j] * 1e6 + 0.5).astype(np.int64)
+            )
+        return pa.table(cols)
+
+
+def q_knn_oracle(sf_dir: str) -> Dataset:
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        _KnnOracleStage, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4)
+    )
+
+
+def _sql_knn_oracle() -> str:
+    picks = ",\n  ".join(
+        f"MAX(CASE WHEN rk = {j + 1} THEN CAST(cp_id AS INTEGER) END) AS nn{j + 1},\n  "
+        f"MAX(CASE WHEN rk = {j + 1} THEN CAST(FLOOR(sqrt(d2) * 1e6 + 0.5) AS BIGINT) END) AS d{j + 1}_um"
+        for j in range(KNN_K)
+    )
+    return (
+        _SQL_XY
+        + f""",
+{_SQL_CP},
+dd AS (SELECT o_orderkey, cp_id, (px - cx) * (px - cx) + (py - cy) * (py - cy) AS d2
+       FROM pts CROSS JOIN cp),
+rr AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY d2, cp_id) AS rk FROM dd)
+SELECT o_orderkey,
+  {picks}
+FROM rr WHERE rk <= {KNN_K} GROUP BY o_orderkey
+"""
+    )
+
+
+# ------------------------------------------------------------ pip_quads
+
+PIP_G = 8
+PIP_X0, PIP_X1 = 20000.0, 210001.0
+PIP_Y0, PIP_Y1 = 365000.0, 635003.0
+
+
+def _quad_polyset() -> PolygonSet:
+    """PIP_G x PIP_G regular quad tiling as generic polygons — the
+    engine runs its general ray-crossing lookup against them; the SQL
+    truth is closed-form floor arithmetic."""
+    dx = (PIP_X1 - PIP_X0) / PIP_G
+    dy = (PIP_Y1 - PIP_Y0) / PIP_G
+    ids, xs, ys, bbox = [], [], [], []
+    for i in range(PIP_G):
+        for j in range(PIP_G):
+            xa, xb = PIP_X0 + i * dx, PIP_X0 + (i + 1) * dx
+            ya, yb = PIP_Y0 + j * dy, PIP_Y0 + (j + 1) * dy
+            ids.append(i * PIP_G + j)
+            xs.extend([xa, xb, xb, xa])
+            ys.extend([ya, ya, yb, yb])
+            bbox.append([xa, ya, xb, yb])
+    p = len(ids)
+    return PolygonSet(
+        muni_id=np.array(ids, dtype=np.int32),
+        name=np.array([f"q{i}" for i in ids], dtype=object),
+        ring_start=np.arange(0, 4 * (p + 1), 4, dtype=np.int64),
+        xs=np.array(xs),
+        ys=np.array(ys),
+        bbox=np.array(bbox),
+    )
+
+
+_QUADS: list[PolygonSet] = []
+
+
+def q_pip_quads(sf_dir: str) -> Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        if not _QUADS:
+            _QUADS.append(_quad_polyset())
+        polys = _QUADS[0]
+        ok, px, py = _derive_xy(batch)
+        idx = pip_lookup(polys, px, py)
+        quad = np.where(idx >= 0, polys.muni_id[np.where(idx >= 0, idx, 0)], -1)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "quad_id": pa.array(quad.astype(np.int32)),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _sql_pip_quads() -> str:
+    dx = (PIP_X1 - PIP_X0) / PIP_G
+    dy = (PIP_Y1 - PIP_Y0) / PIP_G
+    return (
+        _SQL_XY
+        + f"""
+SELECT o_orderkey,
+  CAST(CASE WHEN px > {_c(PIP_X0)} AND px < {_c(PIP_X1)} AND py > {_c(PIP_Y0)} AND py < {_c(PIP_Y1)}
+    THEN CAST(floor((px - {_c(PIP_X0)}) / {_c(dx)}) AS BIGINT) * {PIP_G}
+       + CAST(floor((py - {_c(PIP_Y0)}) / {_c(dy)}) AS BIGINT)
+    ELSE -1 END AS INTEGER) AS quad_id
+FROM pts
+"""
+    )
+
+
+SQL_ORACLES2 = {
+    "s2_cells": (q_s2_cells, _sql_s2_cells()),
+    "cell_rollup_sql": (q_cell_rollup_sql, _sql_cell_rollup()),
+    "geoid_bilinear": (q_geoid_bilinear, _sql_geoid_bilinear()),
+    "dms_roundtrip": (q_dms_roundtrip, _sql_dms_roundtrip()),
+    "knn_oracle": (q_knn_oracle, _sql_knn_oracle()),
+    "pip_quads": (q_pip_quads, _sql_pip_quads()),
+}

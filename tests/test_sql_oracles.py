@@ -1,0 +1,46 @@
+"""Value-oracle regression for the engine/sql_oracles.py queries:
+runs each Ray pipeline at sf0.001 and compares against its DuckDB
+oracle SQL exactly (the driver's comparison, in miniature).
+
+Data assets are deterministic synthetic (SURVEY.md §7.2); the oracle
+SQL recomputes everything independently (closed-form or term-for-term
+float mirror), so a pass here is a true two-implementation check.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from engine.sql_oracles import SQL_ORACLES2
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("orders", "lineitem")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(SQL_ORACLES2))
+def test_sql_oracle_exact(ray_session, con, name):
+    fn, sql = SQL_ORACLES2[name]
+    ray_df = fn(SF).to_pandas()
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df)
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av = a[c].to_numpy()
+        bv = b[c].to_numpy()
+        # Everything these queries emit is quantized int/bool — compare
+        # exactly (floats would indicate a schema regression).
+        assert not np.issubdtype(av.dtype, np.floating), c
+        assert np.array_equal(av, bv), f"{name}.{c}"
