@@ -483,10 +483,32 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
+    """Embedding cosine near-dup over embeddings UNION a deterministic
+    perturbed copy of every 10th vector (id + 10^9): the raw synthetic
+    embeddings are near-orthogonal random vectors (zero true dups —
+    verified), so the planted copies make the rows-only check
+    meaningful: expected output ~= one pair per planted copy."""
     from engine.dedupe import embedding_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.8)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        sel = ids % 10 == 0
+        pid = ids[sel] + 1_000_000_000
+        pemb = emb[sel] * 1.0001 + 1e-4  # same direction, tiny shift
+        out_ids = np.concatenate([ids, pid])
+        out_emb = np.vstack([emb, pemb])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids),
+                "embedding": pa.array(list(out_emb), pa.list_(pa.float64())),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return embedding_dup_pairs(planted, threshold=0.8)
 
 
 def q_fingerprint_docs(sf_dir: str):

@@ -115,6 +115,53 @@ def grouped_count_sums(
     return parts.groupby("_pkey").map_groups(merge_partition, batch_format="pandas")
 
 
+def keyed_partition_map(
+    ds: Dataset,
+    keys: Sequence[str],
+    partition_fn,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Co-group by a COARSE partition of the key columns and apply one
+    vectorized ``partition_fn(pandas.DataFrame) -> DataFrame`` per
+    partition (all rows of any fine key land in the same partition).
+
+    This replaces ``groupby(keys).map_groups(per_group_fn)`` when the
+    fine-key cardinality is large: Ray's sort-based groupby pays
+    ~0.1 ms of per-group overhead (measured 8 s for the 80k LSH band
+    buckets of a 5k-doc corpus), while this pays it ``num_partitions``
+    times and lets the partition_fn handle fine groups at C speed."""
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.int64)
+        for key in keys:
+            k = batch[key]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            kv = k.to_numpy(zero_copy_only=False)
+            if kv.dtype.kind in "iu":
+                h = h * np.int64(1000003) + (
+                    kv.astype(np.int64) * np.int64(-7046029254386353131) >> np.int64(32)
+                )
+            else:
+                import zlib
+
+                # crc32, not hash(): PYTHONHASHSEED varies per worker.
+                h = h * np.int64(1000003) + np.array(
+                    [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
+                )
+        return batch.append_column(
+            "_pkey", pa.array((np.abs(h) % num_partitions).astype(np.int32))
+        )
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow")
+
+    def run(df):
+        out = partition_fn(df.drop(columns=["_pkey"]))
+        return out
+
+    return tagged.groupby("_pkey").map_groups(run, batch_format="pandas")
+
+
 def salted_groupby_count(ds: Dataset, key: str, salts: int = 16) -> Dataset:
     """Explicit two-phase (key, salt) -> key count aggregation.
 
