@@ -28,8 +28,30 @@ from engine.shuffle import grouped_count_sums, topk
 BATCH = 65_536
 
 
-def _read(sf_dir: str, table: str, columns=None) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(
+    sf_dir: str, table: str, columns=None, rows_per_block: int = 32_768
+) -> Dataset:
+    """Projected read with a block count sized to the table: Ray's
+    default splits small files into ~2x-CPU blocks, and at test scale
+    the per-task dispatch cost then dominates wall time (measured:
+    segment_revenue 1.7 s task time vs 4.8 s wall across ~600 tiny
+    tasks). Cap blocks at ceil(rows / rows_per_block) — callers with
+    heavy per-row work (text/doc kernels) pass a smaller target. At
+    corpus scale the cap exceeds 4x CPUs and Ray's own block-size
+    policy (target_max_block_size) takes over unchanged."""
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        n = pq.read_metadata(path).num_rows
+    except Exception:  # noqa: BLE001 — directory datasets etc.
+        return rd.read_parquet(path, columns=columns)
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        ncpu = 8
+    blocks = max(1, min(4 * ncpu, -(-n // rows_per_block)))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 # ---------------------------------------------------------------- q1 agg
@@ -148,7 +170,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def q_dedup_documents(sf_dir: str) -> Dataset:
     """Exact dedup by full text content (A3 shape: hash-partition by
     content key, keep min id per group)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     out = ds.groupby("text").aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="copies")
     )
@@ -262,7 +284,7 @@ GROUP BY day, event_type
 def q_doc_token_stats(sf_dir: str) -> Dataset:
     """Token counting over documents (whitespace tokens via RE2),
     aggregated per language — the text-analysis op family."""
-    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"], rows_per_block=256)
 
     def fn(b: pa.Table) -> pa.Table:
         toks = pc.count_substring_regex(b["text"], r"\S+")
@@ -293,7 +315,7 @@ FROM documents GROUP BY lang
 def q_doc_quality(sf_dir: str) -> Dataset:
     """Per-document quality metrics (length, token count, punctuation
     count, stopword count) — all exact ints."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
 
     def fn(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -343,7 +365,7 @@ def q_langid(sf_dir: str) -> Dataset:
     with fixed precedence (engine.textops). SQL-mirrorable exactly."""
     from engine.textops import langid_batch
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     ds = ds.map_batches(langid_batch, batch_format="pyarrow")
     return ds.map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
@@ -376,7 +398,7 @@ def q_token_stats_ext(sf_dir: str) -> Dataset:
     """Whitespace + BPE-ish subword token counts per doc (textops)."""
     from engine.textops import token_count_batch
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
     return ds.map_batches(
         lambda b: b.select(["doc_id", "n_ws_tokens", "n_subword_tokens"]),
@@ -396,7 +418,7 @@ def q_quality_scores(sf_dir: str) -> Dataset:
     """Per-doc quality metrics (all exact ints; textops.quality_batch)."""
     from engine.textops import quality_batch
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     ds = ds.map_batches(quality_batch, batch_format="pyarrow")
     return ds.map_batches(
         lambda b: b.select(["doc_id", "n_chars_q", "n_punct", "n_digit", "alpha_ratio_milli"]),
@@ -428,7 +450,7 @@ def q_ann_bruteforce(sf_dir: str):
         .filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0]
         .as_py()
     )
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=256)
     return brute_topk(ds, qvec, k=10, exclude_ids={0})
 
 
@@ -459,7 +481,7 @@ def q_ann_ivf(sf_dir: str):
     train = _np.asarray(t["embedding"].to_pylist(), dtype=_np.float64)
     qvec = train[0]
     index = IvfIndex(train[: min(len(train), 2000)], n_lists=16)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=256)
     return ivf_topk(ds, index, qvec, k=10, nprobe=4, exclude_ids={0})
 
 
@@ -471,14 +493,14 @@ def q_minhash_dedup(sf_dir: str):
     per pair (rows-only; exactness vs brute-force Jaccard in pytest)."""
     from engine.dedupe import minhash_lsh_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     return minhash_lsh_pairs(ds)
 
 
 def q_simhash_pairs(sf_dir: str):
     from engine.dedupe import simhash_candidates
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     return simhash_candidates(ds, max_hamming=8)
 
 
@@ -490,7 +512,7 @@ def q_embedding_dups(sf_dir: str):
     meaningful: expected output ~= one pair per planted copy."""
     from engine.dedupe import embedding_dup_pairs
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=256)
 
     def plant(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
@@ -514,7 +536,7 @@ def q_embedding_dups(sf_dir: str):
 def q_fingerprint_docs(sf_dir: str):
     from engine.textops import fingerprint_batch
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return ds.map_batches(lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
 
@@ -962,7 +984,7 @@ def q_minhash_dedup_full(sf_dir: str):
     planted-dup recall is pytest-verified)."""
     from engine.dedupe import minhash_dedup_verdict
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     return minhash_dedup_verdict(ds)
 
 

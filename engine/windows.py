@@ -2,10 +2,13 @@
 (SURVEY.md §2.7; ray_guide streaming-shaped workloads).
 
 Ray Data has no event-time windowing; the engine's contract is the
-ordered-partitioned-log shape: partition by key (groupby shuffles),
-sort within partition by (ts, event_id), window with vectorized pandas
-inside map_groups. Ordering assumption: (ts, event_id) is a total
-order per key — stated here and mirrored in the oracle SQL's ORDER BY.
+ordered-partitioned-log shape: co-partition by key (coarse hash
+partition via engine.shuffle.keyed_partition_map — per-key map_groups
+pays ~0.1 ms/group, measured 3+ s for the events user set), sort the
+partition by (key, ts, event_id), and window with run-length
+vectorized numpy across ALL keys of the partition at once. Ordering
+assumption: (ts, event_id) is a total order per key — stated here and
+mirrored in the oracle SQL's ORDER BY.
 """
 
 from __future__ import annotations
@@ -15,6 +18,20 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
+
+from engine.shuffle import keyed_partition_map
+
+
+def _user_runs(uid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(start indices, run lengths) of equal-key runs in a sorted key
+    array."""
+    n = len(uid)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    return starts, lens
 
 
 def sessionize(
@@ -29,23 +46,43 @@ def sessionize(
     is the 1-based cumulative count of session starts in (ts,
     event_id) order — exactly SQL's SUM(new_session) OVER (...)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="stable")
-        ts = g[ts_col].astype("datetime64[us]").astype(np.int64) // 1000  # ms
-        gap = np.diff(ts, prepend=ts.iloc[0] if len(ts) else 0)
-        new_s = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new_s[1:] = (np.diff(ts) > gap_ms).astype(np.int64)
-        sess = np.cumsum(new_s)
-        out = pd.DataFrame({key: g[key].values, "session_id": sess, "_ts_ms": ts.values})
-        agg = out.groupby("session_id", sort=True).agg(
-            n_events=("_ts_ms", "size"),
-            duration_ms=("_ts_ms", lambda v: int(v.max() - v.min())),
-        ).reset_index()
-        agg[key] = g[key].iloc[0]
-        return agg[[key, "session_id", "n_events", "duration_ms"]]
+    def partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, "event_id"], kind="stable")
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype=df[key].dtype),
+                    "session_id": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                    "duration_ms": pd.Series(dtype=np.int64),
+                }
+            )
+        uid = df[key].to_numpy()
+        ts = (df[ts_col].astype("datetime64[us]").astype(np.int64) // 1000).to_numpy()
+        new_user = np.ones(n, dtype=bool)
+        gap_big = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = uid[1:] != uid[:-1]
+            gap_big[1:] = (ts[1:] - ts[:-1]) > gap_ms
+        new_s = (new_user | gap_big).astype(np.int64)
+        cs = np.cumsum(new_s)
+        ustart, ulen = _user_runs(uid)
+        base = np.repeat(cs[ustart] - new_s[ustart], ulen)
+        sess = cs - base  # 1-based session counter within user
+        sstart = np.flatnonzero(new_s)
+        slen = np.diff(np.append(sstart, n))
+        last = np.append(sstart[1:] - 1, n - 1)
+        return pd.DataFrame(
+            {
+                key: uid[sstart],
+                "session_id": sess[sstart],
+                "n_events": slen.astype(np.int64),
+                "duration_ms": (ts[last] - ts[sstart]).astype(np.int64),
+            }
+        )
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return keyed_partition_map(ds, [key], partition)
 
 
 def topk_per_group(
@@ -55,7 +92,19 @@ def topk_per_group(
     k: int = 2,
 ) -> Dataset:
     """Top-k rows per group by (order_col desc, event_id asc) — SQL
-    ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...) <= k."""
+    ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...) <= k.
+    Group cardinality is small (event types), so per-group map_groups
+    is fine here; each map task also pre-prunes to its local top-k so
+    the shuffle moves at most k rows per (block, group)."""
+
+    def prune(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        pruned = (
+            df.sort_values([order_col, "event_id"], ascending=[False, True], kind="stable")
+            .groupby(group, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(pruned, preserve_index=False)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([order_col, "event_id"], ascending=[False, True], kind="stable").head(k)
@@ -63,7 +112,8 @@ def topk_per_group(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return ds.groupby(group).map_groups(per_group, batch_format="pandas")
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.groupby(group).map_groups(per_group, batch_format="pandas")
 
 
 def running_totals(
@@ -76,13 +126,24 @@ def running_totals(
     (ts, event_id) order — SQL SUM(...) OVER (PARTITION BY key ORDER
     BY ts, event_id ROWS UNBOUNDED PRECEDING)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="stable").copy()
-        g["running_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["running_value_milli"] = g[val_milli_col].cumsum().astype(np.int64)
-        return g.drop(columns=[ts_col])
+    def partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, "event_id"], kind="stable").copy()
+        n = len(df)
+        if n == 0:
+            df["running_n"] = pd.Series(dtype=np.int64)
+            df["running_value_milli"] = pd.Series(dtype=np.int64)
+            return df.drop(columns=[ts_col])
+        uid = df[key].to_numpy()
+        ustart, ulen = _user_runs(uid)
+        idx = np.arange(n, dtype=np.int64)
+        df["running_n"] = idx - np.repeat(ustart, ulen) + 1
+        v = df[val_milli_col].to_numpy().astype(np.int64)
+        cv = np.cumsum(v)
+        base = np.repeat(cv[ustart] - v[ustart], ulen)
+        df["running_value_milli"] = (cv - base).astype(np.int64)
+        return df.drop(columns=[ts_col])
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return keyed_partition_map(ds, [key], partition)
 
 
 def add_value_milli(batch: pa.Table) -> pa.Table:
