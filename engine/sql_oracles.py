@@ -494,3 +494,214 @@ SQL_ORACLES2 = {
     "knn_oracle": (q_knn_oracle, _sql_knn_oracle()),
     "pip_quads": (q_pip_quads, _sql_pip_quads()),
 }
+
+
+# -------------------------------------------------------- aft_transform
+# K9 triangle-based affine transform (the reference's virtual-tie-point
+# datum path), SQL-value-oracled: the oracle locates the containing
+# grid cell/triangle with floor arithmetic, RECOMPUTES the four tie-
+# node destinations from scratch (full D48->ETRS89 Helmert chain + TM
+# forward + analytic wiggle — mirrors assets/make_assets.py build_aft
+# term-for-term) and barycentrically interpolates; the engine side runs
+# the real actor-held triangulation index + solved affine coeffs
+# (geokit.aft.aft_apply). Outputs quantized to 0.1 mm: measured ZERO
+# mismatches at sf0.001/0.01/0.1 (including out-of-coverage fallback
+# rows), min boundary margin 4.3e-6 quanta at sf0.1.
+
+from assets.make_assets import _projected_bbox_d48 as _aft_bbox
+
+_AFT_SP = 3000.0
+_AFT_X0, _AFT_Y0, _AFT_X1, _AFT_Y1 = _aft_bbox()
+_AFT_NX = int(np.ceil((_AFT_X1 - _AFT_X0) / _AFT_SP)) + 1
+_AFT_NY = int(np.ceil((_AFT_Y1 - _AFT_Y0) / _AFT_SP)) + 1
+
+
+_AFT_SUF = ["00", "01", "10", "11"]
+
+
+def _aft_stage(template: str, **kw) -> str:
+    """Render one CTE body with all four tie-node suffixes."""
+    return ", ".join(template.format(s=s, **kw) for s in _AFT_SUF)
+
+
+def _sql_aft_transform() -> str:
+    from geokit.datums import D48_GK, D96_TM, HELMERT_D48_TO_D96 as P
+    from geokit.ellipsoids import GRS80
+
+    bes = D48_GK.ellipsoid
+    e2b, ep2b, ab = bes.e2, bes.ep2, bes.a
+    e4b, e6b = e2b * e2b, e2b ** 3
+    c1 = 1.0 - e2b / 4.0 - 3.0 * e4b / 64.0 - 5.0 * e6b / 256.0
+    sq = np.sqrt(1.0 - e2b)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    d1 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    d2 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    d3 = 151.0 * e1 ** 3 / 96.0
+    d4 = 1097.0 * e1 ** 4 / 512.0
+    e2g, ag = GRS80.e2, GRS80.a
+    cc = P.scale
+
+    # GRS80 tm_fwd constants (D96_TM)
+    g = D96_TM.ellipsoid
+    ge2 = g.e2
+    ge4, ge6 = ge2 * ge2, ge2 ** 3
+    gep2 = g.ep2
+    ga = g.a
+    gc1 = 1.0 - ge2 / 4.0 - 3.0 * ge4 / 64.0 - 5.0 * ge6 / 256.0
+    gc2 = 3.0 * ge2 / 8.0 + 3.0 * ge4 / 32.0 + 45.0 * ge6 / 1024.0
+    gc3 = 15.0 * ge4 / 256.0 + 45.0 * ge6 / 1024.0
+    gc4 = 35.0 * ge6 / 3072.0
+
+    K = dict(
+        ab=_c(ab), e2b=_c(e2b), ep2b=_c(ep2b), c1=_c(c1),
+        d1=_c(d1), d2=_c(d2), d3=_c(d3), d4=_c(d4),
+        e2g=_c(e2g), ag=_c(ag), cscale=_c(cc),
+        dx=_c(P.dx), dy=_c(P.dy), dz=_c(P.dz),
+        rx=_c(P.rx), ry=_c(P.ry), rz=_c(P.rz),
+        ga=_c(ga), ge2=_c(ge2), gep2=_c(gep2),
+        gc1=_c(gc1), gc2=_c(gc2), gc3=_c(gc3), gc4=_c(gc4),
+    )
+
+    ctes = []
+
+    def add(name, template, base=None, replace=False):
+        prev = ctes[-1][0] if ctes else base
+        body = _aft_stage(template, **K)
+        if replace:
+            ctes.append((name, f"SELECT * REPLACE ({body}) FROM {prev}"))
+        else:
+            ctes.append((name, f"SELECT *, {body} FROM {prev}"))
+
+    # node coords per suffix
+    ctes.append((
+        "nd",
+        "SELECT *, "
+        f"{_c(_AFT_X0)} + i0q * 3.0e3 AS gx00, {_c(_AFT_Y0)} + j0q * 3.0e3 AS gy00, "
+        f"{_c(_AFT_X0)} + i0q * 3.0e3 AS gx01, {_c(_AFT_Y0)} + (j0q + 1) * 3.0e3 AS gy01, "
+        f"{_c(_AFT_X0)} + (i0q + 1) * 3.0e3 AS gx10, {_c(_AFT_Y0)} + j0q * 3.0e3 AS gy10, "
+        f"{_c(_AFT_X0)} + (i0q + 1) * 3.0e3 AS gx11, {_c(_AFT_Y0)} + (j0q + 1) * 3.0e3 AS gy11 "
+        "FROM loc",
+    ))
+    # ---- helmert chain (mirror of engine/queries.py _sql_helmert_chain)
+    add("hm1", "0.0e0 + (gx{s} - (-5.0e6)) / 0.9999e0 AS M{s}")
+    add("hm2", "M{s} / ({ab} * {c1}) AS mu{s}")
+    add("hm3", "mu{s} + {d1} * sin(2.0e0*mu{s}) + {d2} * sin(4.0e0*mu{s}) + {d3} * sin(6.0e0*mu{s}) + {d4} * sin(8.0e0*mu{s}) AS phi1{s}")
+    add("hm4", "sin(phi1{s}) AS sp1{s}, cos(phi1{s}) AS cp1{s}")
+    add("hm5", "sp1{s}/cp1{s} AS tp1{s}, {ep2b} * cp1{s} * cp1{s} AS C1{s}, (sp1{s}/cp1{s})*(sp1{s}/cp1{s}) AS T1{s}, 1.0e0 - {e2b} * sp1{s} * sp1{s} AS om{s}")
+    add("hm6", "{ab} / sqrt(om{s}) AS N1{s}, {ab} * (1.0e0 - {e2b}) / (om{s} * sqrt(om{s})) AS R1{s}")
+    add("hm7", "(gy{s} - 5.0e5) / (N1{s} * 0.9999e0) AS D{s}")
+    add("hm8", "D{s}*D{s} AS DD2{s}")
+    add("hm9", "DD2{s}*D{s} AS DD3{s}, DD2{s}*DD2{s} AS DD4{s}")
+    add("hm10", "DD4{s}*D{s} AS DD5{s}, DD4{s}*DD2{s} AS DD6{s}")
+    add("hm11",
+        "phi1{s} - (N1{s} * tp1{s} / R1{s}) * (DD2{s}/2.0e0 - (5.0e0 + 3.0e0*T1{s} + 10.0e0*C1{s} - 4.0e0*C1{s}*C1{s} - 9.0e0*{ep2b}) * DD4{s}/24.0e0"
+        " + (61.0e0 + 90.0e0*T1{s} + 298.0e0*C1{s} + 45.0e0*T1{s}*T1{s} - 252.0e0*{ep2b} - 3.0e0*C1{s}*C1{s}) * DD6{s}/720.0e0) AS phib{s},"
+        " radians(15.0e0) + (D{s} - (1.0e0 + 2.0e0*T1{s} + C1{s}) * DD3{s}/6.0e0"
+        " + (5.0e0 - 2.0e0*C1{s} + 28.0e0*T1{s} - 3.0e0*C1{s}*C1{s} + 8.0e0*{ep2b} + 24.0e0*T1{s}*T1{s}) * DD5{s}/120.0e0) / cp1{s} AS lamb{s}")
+    add("hm12", "radians(degrees(phib{s})) AS phi2{s}, radians(degrees(lamb{s})) AS lam2{s}")
+    add("hm13", "{ab} / sqrt(1.0e0 - {e2b} * sin(phi2{s}) * sin(phi2{s})) AS Nb{s}")
+    add("hm14",
+        "(Nb{s} + 0.0e0) * cos(phi2{s}) * cos(lam2{s}) AS Xb{s},"
+        " (Nb{s} + 0.0e0) * cos(phi2{s}) * sin(lam2{s}) AS Yb{s},"
+        " (Nb{s} * (1.0e0 - {e2b}) + 0.0e0) * sin(phi2{s}) AS Zb{s}")
+    add("hm15",
+        "{cscale} * (Xb{s} - {rz} * Yb{s} + {ry} * Zb{s}) + {dx} AS HX{s},"
+        " {cscale} * ({rz} * Xb{s} + Yb{s} - {rx} * Zb{s}) + {dy} AS HY{s},"
+        " {cscale} * ((-{ry}) * Xb{s} + {rx} * Yb{s} + Zb{s}) + {dz} AS HZ{s}")
+    add("hm16", "sqrt(HX{s}*HX{s} + HY{s}*HY{s}) AS pp{s}, atan2(HY{s}, HX{s}) AS lam3{s}, atan2(HZ{s}, sqrt(HX{s}*HX{s} + HY{s}*HY{s}) * (1.0e0 - {e2g})) AS phi3{s}")
+    for it in range(8):
+        add(f"it{it}", "atan2(HZ{s} + {e2g} * ({ag} / sqrt(1.0e0 - {e2g} * sin(phi3{s}) * sin(phi3{s}))) * sin(phi3{s}), pp{s}) AS phi3{s}", replace=True)
+    add("fin", "degrees(phi3{s}) AS fi{s}, degrees(lam3{s}) AS la{s}")
+    # ---- tm_fwd on GRS80 / D96 (mirror of _sql_tm_forward)
+    add("tf1", "radians(fi{s}) AS tphi{s}, radians(la{s}) AS tlam{s}")
+    add("tf2", "sin(tphi{s}) AS tsp{s}, cos(tphi{s}) AS tcp{s}")
+    add("tf3",
+        "tsp{s} / tcp{s} AS ttp{s},"
+        " {ga} / sqrt(1.0e0 - {ge2} * tsp{s} * tsp{s}) AS TN{s},"
+        " {gep2} * tcp{s} * tcp{s} AS TC{s},"
+        " (tlam{s} - radians(15.0e0)) * tcp{s} AS TA{s},"
+        " {ga} * ({gc1} * tphi{s} - {gc2} * sin(2.0e0 * tphi{s}) + {gc3} * sin(4.0e0 * tphi{s}) - {gc4} * sin(6.0e0 * tphi{s})) AS TM{s}")
+    add("tf4", "ttp{s} * ttp{s} AS TT{s}, TA{s} * TA{s} AS TA2{s}")
+    add("tf5", "TA2{s} * TA{s} AS TA3{s}, TA2{s} * TA2{s} AS TA4{s}")
+    add("tf6", "TA4{s} * TA{s} AS TA5{s}, TA4{s} * TA2{s} AS TA6{s}")
+    add("tf7",
+        "-5.0e6 + 0.9999e0 * (TM{s} - 0.0e0 + TN{s} * ttp{s} * (TA2{s} / 2.0e0"
+        " + (5.0e0 - TT{s} + 9.0e0 * TC{s} + 4.0e0 * TC{s} * TC{s}) * TA4{s} / 24.0e0"
+        " + (61.0e0 - 58.0e0 * TT{s} + TT{s} * TT{s} + 600.0e0 * TC{s} - 330.0e0 * {gep2}) * TA6{s} / 720.0e0)) AS tmx{s},"
+        " 5.0e5 + 0.9999e0 * TN{s} * (TA{s}"
+        " + (1.0e0 - TT{s} + TC{s}) * TA3{s} / 6.0e0"
+        " + (5.0e0 - 18.0e0 * TT{s} + TT{s} * TT{s} + 72.0e0 * TC{s} - 58.0e0 * {gep2}) * TA5{s} / 120.0e0) AS tmy{s}")
+    # ---- wiggle (mirror of assets.make_assets.aft_wiggle)
+    add("wg",
+        "tmx{s} + (0.30e0 * sin(gx{s} / 2.3e4) * cos(gy{s} / 1.7e4) + 0.12e0 * sin(gy{s} / 3.1e4)) AS dstx{s},"
+        " tmy{s} + (0.25e0 * cos(gx{s} / 1.9e4) * sin(gy{s} / 2.7e4) + 0.10e0 * cos(gx{s} / 4.1e4)) AS dsty{s}")
+
+    chain = ",\n".join(f"{n} AS ({q})" for n, q in ctes)
+
+    return f"""
+WITH pts AS (
+ SELECT o_orderkey,
+   3.0e4 + ((o_orderkey * 40503 + o_custkey) % 100000) * 1.7e0
+     - (CASE WHEN o_orderkey % 13 = 0 THEN 6.0e4 ELSE 0.0e0 END) AS px,
+   3.8e5 + ((o_orderkey * 69069 + o_custkey) % 100000) * 2.2e0 AS py
+ FROM orders),
+loc AS (
+ SELECT *, (px - {_c(_AFT_X0)}) / 3.0e3 AS xi, (py - {_c(_AFT_Y0)}) / 3.0e3 AS yj,
+   ((px - {_c(_AFT_X0)}) / 3.0e3 >= 0.0e0 AND (px - {_c(_AFT_X0)}) / 3.0e3 <= {_AFT_NX - 1}.0e0
+    AND (py - {_c(_AFT_Y0)}) / 3.0e3 >= 0.0e0 AND (py - {_c(_AFT_Y0)}) / 3.0e3 <= {_AFT_NY - 1}.0e0) AS in_cov,
+   LEAST(GREATEST(CAST(floor((px - {_c(_AFT_X0)}) / 3.0e3) AS BIGINT), 0), {_AFT_NX - 2}) AS i0q,
+   LEAST(GREATEST(CAST(floor((py - {_c(_AFT_Y0)}) / 3.0e3) AS BIGINT), 0), {_AFT_NY - 2}) AS j0q
+ FROM pts),
+{chain},
+bary AS (
+ SELECT *, (px - gx00) / 3.0e3 AS u, (py - gy00) / 3.0e3 AS v FROM wg)
+SELECT o_orderkey,
+  in_cov AS aft_found,
+  CAST(FLOOR((CASE WHEN NOT in_cov THEN px
+    WHEN u + v <= 1.0e0 THEN (1.0e0 - u - v) * dstx00 + v * dstx01 + u * dstx10
+    ELSE (1.0e0 - u) * dstx01 + (u + v - 1.0e0) * dstx11 + (1.0e0 - v) * dstx10 END) * 1e4 + 0.5e0) AS BIGINT) AS x_dmm,
+  CAST(FLOOR((CASE WHEN NOT in_cov THEN py
+    WHEN u + v <= 1.0e0 THEN (1.0e0 - u - v) * dsty00 + v * dsty01 + u * dsty10
+    ELSE (1.0e0 - u) * dsty01 + (u + v - 1.0e0) * dsty11 + (1.0e0 - v) * dsty10 END) * 1e4 + 0.5e0) AS BIGINT) AS y_dmm
+FROM bary
+"""
+
+
+
+
+class _AftOracleStage:
+    """Stateful map_batches stage: triangulation + grid index loaded
+    once per actor (the K9/J1 deployment shape, SURVEY.md §2.1)."""
+
+    def __init__(self):
+        import assets
+
+        self.aft = assets.load_aft("fwd")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from geokit.aft import aft_apply
+
+        ok = _np(batch, "o_orderkey")
+        ck = _np(batch, "o_custkey")
+        px = 30000.0 + ((ok * 40503 + ck) % 100000) * 1.7 - np.where(
+            ok % 13 == 0, 60000.0, 0.0
+        )
+        py = 380000.0 + ((ok * 69069 + ck) % 100000) * 2.2
+        xo, yo, found = aft_apply(self.aft, px, py)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "aft_found": pa.array(found),
+                "x_dmm": pa.array(np.floor(xo * 1e4 + 0.5).astype(np.int64)),
+                "y_dmm": pa.array(np.floor(yo * 1e4 + 0.5).astype(np.int64)),
+            }
+        )
+
+
+def q_aft_transform(sf_dir: str) -> Dataset:
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        _AftOracleStage, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4)
+    )
+
+
+SQL_ORACLES2["aft_transform"] = (q_aft_transform, _sql_aft_transform())
