@@ -705,3 +705,47 @@ def q_aft_transform(sf_dir: str) -> Dataset:
 
 
 SQL_ORACLES2["aft_transform"] = (q_aft_transform, _sql_aft_transform())
+
+
+# -------------------------------------------------------- format_points
+# S2 fixed-precision output formatting (reference gk-slo writer,
+# SURVEY.md §2.2/§2.6): geokit.dms.format_deg / format_m vs DuckDB
+# printf — measured string-identical including round-half-even
+# boundary cases (0.0005 -> "0.001", 2.675, negative-zero).
+
+
+def q_format_points(sf_dir: str) -> Dataset:
+    from geokit.dms import format_deg, format_m
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok, ln, fi, la = _derive_ll(batch)
+        metres = fi * 10000.0  # metre-scale magnitude for format_m
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln.astype(np.int32)),
+                "fi_str": pa.array(format_deg(fi, 9)),
+                "la_str": pa.array(format_deg(la, 9)),
+                "m_str": pa.array(format_m(metres, 3)),
+            }
+        )
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _sql_format_points() -> str:
+    return (
+        _SQL_LL
+        + """
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  printf('%.9f', fi) AS fi_str,
+  printf('%.9f', la) AS la_str,
+  printf('%.3f', fi * 1.0e4) AS m_str
+FROM pts
+"""
+    )
+
+
+SQL_ORACLES2["format_points"] = (q_format_points, _sql_format_points())
