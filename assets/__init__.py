@@ -56,7 +56,10 @@ def load_aft(direction: str = "fwd") -> AftTriangulation:
     else:
         raise ValueError(direction)
     tri = AftTriangulation(name=f"aft_{direction}", verts=verts, tris=z["tris"], coef=coef)
-    return build_index(tri)
+    # 64k cells: ~3.5 candidate triangles/cell vs 10.7 at the old 4k
+    # default — AFT locate measured 4x faster (16 ms vs 64 ms per 44k
+    # rows); index is ~1 MB and builds in ~17 ms once per worker.
+    return build_index(tri, target_cells=65536)
 
 
 @lru_cache(maxsize=None)
