@@ -72,10 +72,17 @@ def q_lineitem_agg(sf_dir: str) -> Dataset:
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=BATCH)
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("base_cents", alias_name="sum_base_cents"),
-        Count(alias_name="cnt"),
+    # Combiner pre-agg + coarse-partition merge (engine/shuffle.py):
+    # the shuffle moves one partial row per (flag, status, block), and
+    # Ray's per-block Aggregate overhead is avoided entirely.
+    agg = grouped_count_sums(
+        ds, key=["l_returnflag", "l_linestatus"], sum_cols=("l_quantity", "base_cents")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["l_returnflag", "l_linestatus", "cnt", "sum_qty", "sum_base_cents"]
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -259,11 +266,25 @@ def q_events_daily(sf_dir: str) -> Dataset:
         return pa.table({"day": day, "event_type": b["event_type"], "value_milli": vc})
 
     ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=BATCH)
-    return ds.groupby(["day", "event_type"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_milli", alias_name="sum_value_milli"),
-        Min("value_milli", alias_name="min_value_milli"),
-        Max("value_milli", alias_name="max_value_milli"),
+    agg = grouped_count_sums(
+        ds,
+        key=["day", "event_type"],
+        sum_cols=("value_milli",),
+        min_cols=("value_milli",),
+        max_cols=("value_milli",),
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            [
+                "day",
+                "event_type",
+                "n_events",
+                "sum_value_milli",
+                "min_value_milli",
+                "max_value_milli",
+            ]
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -25,75 +25,84 @@ from ray.data.aggregate import Count, Sum
 
 
 def _combine_batch(
-    batch: pa.Table, key: str, sum_cols: Sequence[str]
+    batch: pa.Table,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
 ) -> pa.Table:
-    """Per-batch partial aggregation: one row per key with count +
-    per-column sums. Integer columns accumulate in int64 (exact — the
-    oracle-facing cents/milli columns must never round-trip through
-    float64); float columns accumulate in float64."""
-    keys = batch[key]
-    if isinstance(keys, pa.ChunkedArray):
-        keys = keys.combine_chunks()
-    karr = keys.to_numpy(zero_copy_only=False)
-    uniq, inv, counts = np.unique(karr, return_inverse=True, return_counts=True)
-    cols: dict[str, pa.Array] = {
-        key: pa.array(uniq),
-        "_cnt": pa.array(counts.astype(np.int64)),
-    }
+    """Per-batch partial aggregation: one row per key tuple with count
+    + per-column sums/mins/maxs (one C-speed pandas groupby). Integer
+    columns accumulate in int64 (exact — the oracle-facing cents/milli
+    columns must never round-trip through float64)."""
+    import pandas as pd
+
+    df = batch.to_pandas()
+    g = df.groupby(list(keys), sort=False)
+    agg: dict[str, tuple] = {"_cnt": (keys[0], "size")}
     for c in sum_cols:
-        v = batch[c]
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        vn = v.to_numpy(zero_copy_only=False)
-        acc_dtype = np.int64 if vn.dtype.kind in "iu" else np.float64
-        sums = np.zeros(len(uniq), dtype=acc_dtype)
-        np.add.at(sums, inv, vn.astype(acc_dtype))
-        cols[f"_sum_{c}"] = pa.array(sums)
-    return pa.table(cols)
+        agg[f"_sum_{c}"] = (c, "sum")
+    for c in min_cols:
+        agg[f"_min_{c}"] = (c, "min")
+    for c in max_cols:
+        agg[f"_max_{c}"] = (c, "max")
+    out = g.agg(**agg).reset_index()
+    out["_cnt"] = out["_cnt"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def grouped_count_sums(
     ds: Dataset,
-    key: str,
+    key: str | Sequence[str],
     sum_cols: Sequence[str] = (),
     mean_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
     num_partitions: int = 64,
 ) -> Dataset:
-    """count + sums + means per key with per-batch combining and a
-    partition-wise vectorized final merge.
+    """count + sums + means + mins/maxs per key tuple with per-batch
+    combining and a partition-wise vectorized final merge.
 
-    Phase 1 (map side): one partial row per (key, batch) — the shuffle
-    moves partials, not rows. Phase 2: Ray's sort-based aggregate
-    costs ~0.1 ms *per output group* (measured: 18 s for 87 k groups),
-    so instead of ``groupby(key).aggregate(...)`` the partials are
-    co-grouped on a coarse partition key (``hash(key) % P``) and each
-    partition is merged with one C-speed pandas groupby — per-group
-    Python overhead is paid P times, not n_keys times.
+    Phase 1 (map side): one partial row per (key tuple, batch) — the
+    shuffle moves partials, not rows. Phase 2: Ray's sort-based
+    aggregate costs ~0.1 ms *per output group* (measured: 18 s for
+    87 k groups) plus ~100 ms/block fixed Aggregate cost, so instead
+    of ``groupby(key).aggregate(...)`` the partials are co-grouped on
+    a coarse partition key (``hash(keys) % P``) and each partition is
+    merged with one C-speed pandas groupby — per-group Python overhead
+    is paid P times, not n_keys times.
 
-    Output columns: ``key, cnt, sum_<c>..., mean_<c>...``.
+    Output columns: ``keys..., cnt, sum_<c>..., mean_<c>...,
+    min_<c>..., max_<c>...``.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     sum_all = tuple(dict.fromkeys(tuple(sum_cols) + tuple(mean_cols)))
     partials = ds.map_batches(
         _combine_batch,
         batch_format="pyarrow",
-        fn_kwargs=dict(key=key, sum_cols=sum_all),
+        fn_kwargs=dict(
+            keys=keys, sum_cols=sum_all, min_cols=min_cols, max_cols=max_cols
+        ),
     )
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        k = batch[key]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        kv = k.to_numpy(zero_copy_only=False)
-        if kv.dtype.kind in "iu":
-            h = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
-        else:
-            # NOT built-in hash(): PYTHONHASHSEED differs per worker
-            # process, which would scatter one key across partitions.
-            import zlib
+        h = np.zeros(batch.num_rows, dtype=np.int64)
+        for k in keys:
+            kc = batch[k]
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            kv = kc.to_numpy(zero_copy_only=False)
+            if kv.dtype.kind in "iu":
+                hk = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
+            else:
+                # NOT built-in hash(): PYTHONHASHSEED differs per worker
+                # process, which would scatter one key across partitions.
+                import zlib
 
-            h = np.array(
-                [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
-            )
+                hk = np.array(
+                    [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
+                )
+            h = h * np.int64(1000003) + hk
         return batch.append_column(
             "_pkey", pa.array((np.abs(h) % num_partitions).astype(np.int32))
         )
@@ -103,13 +112,25 @@ def grouped_count_sums(
     import pandas as pd
 
     def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop(columns=["_pkey"]).groupby(key, sort=False).sum().reset_index()
-        out = pd.DataFrame({key: g[key], "cnt": g["_cnt"].astype(np.int64)})
+        g = df.drop(columns=["_pkey"]).groupby(keys, sort=False)
+        agg: dict[str, tuple] = {"_cnt": ("_cnt", "sum")}
         for c in sum_all:
-            if c in sum_cols:
-                out[f"sum_{c}"] = g[f"_sum_{c}"]
+            agg[f"_sum_{c}"] = (f"_sum_{c}", "sum")
+        for c in min_cols:
+            agg[f"_min_{c}"] = (f"_min_{c}", "min")
+        for c in max_cols:
+            agg[f"_max_{c}"] = (f"_max_{c}", "max")
+        g = g.agg(**agg).reset_index()
+        out = g[keys].copy()
+        out["cnt"] = g["_cnt"].astype(np.int64)
+        for c in sum_cols:
+            out[f"sum_{c}"] = g[f"_sum_{c}"]
         for c in mean_cols:
             out[f"mean_{c}"] = g[f"_sum_{c}"] / g["_cnt"]
+        for c in min_cols:
+            out[f"min_{c}"] = g[f"_min_{c}"]
+        for c in max_cols:
+            out[f"max_{c}"] = g[f"_max_{c}"]
         return out
 
     return parts.groupby("_pkey").map_groups(merge_partition, batch_format="pandas")
