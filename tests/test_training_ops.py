@@ -240,3 +240,36 @@ def test_minhash_dedup_verdict_end_to_end():
     # everyone else unaffected
     assert v.loc[0:59, "keep"].drop([5, 10]).all() or True
     assert v.keep.sum() == len(v) - 2
+
+
+def test_connected_components_distributed_matches_driver(ray_session):
+    """Distributed min-label propagation == driver-side CC on a graph
+    with chains (multi-hop labels), a cycle, and singleton pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.dedupe import connected_components, connected_components_distributed
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # chain -> all label 1
+        (10, 11), (11, 12), (12, 10),        # cycle -> label 10
+        (20, 21),                            # pair
+        (30, 31), (31, 32), (30, 32),        # triangle
+        (100, 7), (7, 40),                   # chain crossing id order
+    ]
+    pairs_pd = pd.DataFrame(
+        {"id_a": [a for a, b in edges], "id_b": [b for a, b in edges]}
+    ).astype(np.int64)
+    ids = np.unique(np.concatenate([pairs_pd.id_a.values, pairs_pd.id_b.values]))
+    want = connected_components(pairs_pd, ids).sort_values("doc_id").reset_index(drop=True)
+
+    ds = rd.from_arrow(pa.Table.from_pandas(pairs_pd, preserve_index=False))
+    got = (
+        connected_components_distributed(ds, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype(np.int64))
