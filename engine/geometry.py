@@ -74,20 +74,35 @@ def transform_vertices(batch: pa.Table, transform: int = 5) -> pa.Table:
 
 
 def reassemble_entities(vertices: Dataset) -> Dataset:
-    """groupby(entity_id) -> ordered list columns back (M5)."""
+    """Co-partition by entity_id -> ordered list columns back (M5).
 
-    def regroup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vertex_idx")
+    Run-length reassembly across ALL entities of a partition at once
+    (engine.shuffle.keyed_partition_map) — per-entity map_groups pays
+    Ray's ~0.1 ms/group overhead, ruinous at shapefile scale."""
+    from engine.shuffle import keyed_partition_map
+
+    def regroup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["entity_id", "vertex_idx"], kind="stable")
+        ids = df["entity_id"].to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({"entity_id": [], "xs": [], "ys": [], "n_vertices": []})
+        new = np.ones(n, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        x = df["x"].to_numpy()
+        y = df["y"].to_numpy()
         return pd.DataFrame(
             {
-                "entity_id": [int(g["entity_id"].iloc[0])],
-                "xs": [g["x"].to_numpy()],
-                "ys": [g["y"].to_numpy()],
-                "n_vertices": [len(g)],
+                "entity_id": ids[starts].astype(np.int64),
+                "xs": [x[s : s + l] for s, l in zip(starts, lens)],
+                "ys": [y[s : s + l] for s, l in zip(starts, lens)],
+                "n_vertices": lens.astype(np.int64),
             }
         )
 
-    return vertices.groupby("entity_id").map_groups(regroup, batch_format="pandas")
+    return keyed_partition_map(vertices, ["entity_id"], regroup)
 
 
 def transform_geometry(ds: Dataset, transform: int = 5) -> Dataset:

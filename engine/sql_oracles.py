@@ -519,12 +519,14 @@ _AFT_NY = int(np.ceil((_AFT_Y1 - _AFT_Y0) / _AFT_SP)) + 1
 _AFT_SUF = ["00", "01", "10", "11"]
 
 
-def _aft_stage(template: str, **kw) -> str:
-    """Render one CTE body with all four tie-node suffixes."""
-    return ", ".join(template.format(s=s, **kw) for s in _AFT_SUF)
-
-
-def _sql_aft_transform() -> str:
+def _gk2tm_chain_ctes(suffixes, base_cte, prefix="", wiggle=False):
+    """Reusable CTE chain: for each suffix s, transforms D48 grid
+    columns gx{s}/gy{s} (present in ``base_cte``) into D96 columns
+    tmx{s}/tmy{s} via the full Helmert chain + GRS80 TM forward —
+    term-for-term mirror of geokit.transforms.gkxy2tmxy, verified
+    against the engine at 0.1 mm over all sfs. With ``wiggle`` adds
+    dstx{s}/dsty{s} = tm + analytic AFT wiggle (make_assets mirror).
+    Returns a list of (name, query) CTEs chained from base_cte."""
     from geokit.datums import D48_GK, D96_TM, HELMERT_D48_TO_D96 as P
     from geokit.ellipsoids import GRS80
 
@@ -564,24 +566,18 @@ def _sql_aft_transform() -> str:
 
     ctes = []
 
-    def add(name, template, base=None, replace=False):
-        prev = ctes[-1][0] if ctes else base
-        body = _aft_stage(template, **K)
+    def _stage(template):
+        return ", ".join(template.format(s=sfx, **K) for sfx in suffixes)
+
+    def add(name, template, replace=False):
+        prev = ctes[-1][0] if ctes else base_cte
+        body = _stage(template)
+        name = prefix + name
         if replace:
             ctes.append((name, f"SELECT * REPLACE ({body}) FROM {prev}"))
         else:
             ctes.append((name, f"SELECT *, {body} FROM {prev}"))
 
-    # node coords per suffix
-    ctes.append((
-        "nd",
-        "SELECT *, "
-        f"{_c(_AFT_X0)} + i0q * 3.0e3 AS gx00, {_c(_AFT_Y0)} + j0q * 3.0e3 AS gy00, "
-        f"{_c(_AFT_X0)} + i0q * 3.0e3 AS gx01, {_c(_AFT_Y0)} + (j0q + 1) * 3.0e3 AS gy01, "
-        f"{_c(_AFT_X0)} + (i0q + 1) * 3.0e3 AS gx10, {_c(_AFT_Y0)} + j0q * 3.0e3 AS gy10, "
-        f"{_c(_AFT_X0)} + (i0q + 1) * 3.0e3 AS gx11, {_c(_AFT_Y0)} + (j0q + 1) * 3.0e3 AS gy11 "
-        "FROM loc",
-    ))
     # ---- helmert chain (mirror of engine/queries.py _sql_helmert_chain)
     add("hm1", "0.0e0 + (gx{s} - (-5.0e6)) / 0.9999e0 AS M{s}")
     add("hm2", "M{s} / ({ab} * {c1}) AS mu{s}")
@@ -631,11 +627,24 @@ def _sql_aft_transform() -> str:
         " 5.0e5 + 0.9999e0 * TN{s} * (TA{s}"
         " + (1.0e0 - TT{s} + TC{s}) * TA3{s} / 6.0e0"
         " + (5.0e0 - 18.0e0 * TT{s} + TT{s} * TT{s} + 72.0e0 * TC{s} - 58.0e0 * {gep2}) * TA5{s} / 120.0e0) AS tmy{s}")
-    # ---- wiggle (mirror of assets.make_assets.aft_wiggle)
-    add("wg",
-        "tmx{s} + (0.30e0 * sin(gx{s} / 2.3e4) * cos(gy{s} / 1.7e4) + 0.12e0 * sin(gy{s} / 3.1e4)) AS dstx{s},"
-        " tmy{s} + (0.25e0 * cos(gx{s} / 1.9e4) * sin(gy{s} / 2.7e4) + 0.10e0 * cos(gx{s} / 4.1e4)) AS dsty{s}")
+    if wiggle:
+        # ---- wiggle (mirror of assets.make_assets.aft_wiggle)
+        add("wg",
+            "tmx{s} + (0.30e0 * sin(gx{s} / 2.3e4) * cos(gy{s} / 1.7e4) + 0.12e0 * sin(gy{s} / 3.1e4)) AS dstx{s},"
+            " tmy{s} + (0.25e0 * cos(gx{s} / 1.9e4) * sin(gy{s} / 2.7e4) + 0.10e0 * cos(gx{s} / 4.1e4)) AS dsty{s}")
+    return ctes
 
+
+def _sql_aft_transform() -> str:
+    node_cte = (
+        "SELECT *, "
+        f"{_c(_AFT_X0)} + i0q * 3.0e3 AS gx00, {_c(_AFT_Y0)} + j0q * 3.0e3 AS gy00, "
+        f"{_c(_AFT_X0)} + i0q * 3.0e3 AS gx01, {_c(_AFT_Y0)} + (j0q + 1) * 3.0e3 AS gy01, "
+        f"{_c(_AFT_X0)} + (i0q + 1) * 3.0e3 AS gx10, {_c(_AFT_Y0)} + j0q * 3.0e3 AS gy10, "
+        f"{_c(_AFT_X0)} + (i0q + 1) * 3.0e3 AS gx11, {_c(_AFT_Y0)} + (j0q + 1) * 3.0e3 AS gy11 "
+        "FROM loc"
+    )
+    ctes = [("nd", node_cte)] + _gk2tm_chain_ctes(_AFT_SUF, "nd", wiggle=True)
     chain = ",\n".join(f"{n} AS ({q})" for n, q in ctes)
 
     return f"""
@@ -749,3 +758,88 @@ FROM pts
 
 
 SQL_ORACLES2["format_points"] = (q_format_points, _sql_format_points())
+
+
+# ----------------------------------------------------- geometry_summary
+# The gk-shp lifecycle (SURVEY.md §3.2 / M5) SQL-value-oracled: the
+# engine runs the REAL explode -> menu-5 transform -> reassemble
+# pipeline over integer-derived entities; the oracle unnests per-entity
+# vertex ordinals with range(), runs the same gkxy2tmxy chain CTEs and
+# aggregates per-vertex mm-quantized coordinate sums (quantize-then-sum
+# so float addition order cannot differ between engines).
+
+
+def _derive_entities(batch: pa.Table) -> pa.Table:
+    ok = _np(batch, "o_orderkey")
+    ck = _np(batch, "o_custkey")
+    sel = ok % 5 == 0
+    ok, ck = ok[sel], ck[sel]
+    nv = (3 + ok % 9).astype(np.int64)
+    xs, ys = [], []
+    for o, c, n in zip(ok, ck, nv):
+        v = np.arange(n, dtype=np.int64)
+        xs.append(32000.0 + ((o * 40503 + c + v * 7919) % 100000) * 1.6)
+        ys.append(390000.0 + ((o * 69069 + c + v * 104729) % 100000) * 2.0)
+    return pa.table(
+        {
+            "entity_id": pa.array(ok),
+            "xs": pa.array(xs, pa.list_(pa.float64())),
+            "ys": pa.array(ys, pa.list_(pa.float64())),
+        }
+    )
+
+
+def q_geometry_summary(sf_dir: str) -> Dataset:
+    from engine.geometry import transform_geometry
+
+    ents = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        _derive_entities, batch_format="pyarrow"
+    )
+    out = transform_geometry(ents, transform=5)
+
+    import pandas as pd
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas format: xs/ys arrive as ragged numpy arrays per cell
+        # (Ray's variable-shaped tensor extension in Arrow format).
+        nv = df["n_vertices"].to_numpy().astype(np.int64)
+        fx = np.concatenate([np.asarray(v, dtype=np.float64) for v in df["xs"]])
+        fy = np.concatenate([np.asarray(v, dtype=np.float64) for v in df["ys"]])
+        qx = np.floor(fx * 1e3 + 0.5).astype(np.int64)
+        qy = np.floor(fy * 1e3 + 0.5).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(nv)[:-1]]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "entity_id": df["entity_id"].to_numpy().astype(np.int64),
+                "n_vertices": nv,
+                "sum_x_mm": np.add.reduceat(qx, starts),
+                "sum_y_mm": np.add.reduceat(qy, starts),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pandas")
+
+
+def _sql_geometry_summary() -> str:
+    ctes = _gk2tm_chain_ctes([""], "verts")
+    chain = ",\n".join(f"{n} AS ({q})" for n, q in ctes)
+    last = ctes[-1][0]
+    return f"""
+WITH ents AS (
+ SELECT o_orderkey, o_custkey, 3 + o_orderkey % 9 AS nv
+ FROM orders WHERE o_orderkey % 5 = 0),
+verts AS (
+ SELECT o_orderkey AS entity_id, nv,
+   3.2e4 + ((o_orderkey * 40503 + o_custkey + v * 7919) % 100000) * 1.6e0 AS gx,
+   3.9e5 + ((o_orderkey * 69069 + o_custkey + v * 104729) % 100000) * 2.0e0 AS gy
+ FROM ents, LATERAL unnest(range(nv)) AS t(v)),
+{chain}
+SELECT entity_id, CAST(nv AS BIGINT) AS n_vertices,
+  SUM(CAST(FLOOR(tmx * 1e3 + 0.5e0) AS BIGINT)) AS sum_x_mm,
+  SUM(CAST(FLOOR(tmy * 1e3 + 0.5e0) AS BIGINT)) AS sum_y_mm
+FROM {last}
+GROUP BY entity_id, nv
+"""
+
+
+SQL_ORACLES2["geometry_summary"] = (q_geometry_summary, _sql_geometry_summary())
