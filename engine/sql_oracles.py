@@ -843,3 +843,170 @@ GROUP BY entity_id, nv
 
 
 SQL_ORACLES2["geometry_summary"] = (q_geometry_summary, _sql_geometry_summary())
+
+
+# --------------------------------------------------- raster <-> vector
+# north_rule "raster<->vector": all three operator families SQL-value-
+# oracled. Raster geometry constants are non-commensurate with the
+# point derivations (no exact pixel/quad-boundary hits possible — see
+# pip_quads analysis); raster node values are an analytic trig surface
+# mirrored term-for-term.
+
+from engine.raster import RasterSampler, RasterSpec, pixel_table, rasterize_points, zonal_stats
+
+_RSPEC = RasterSpec(
+    x0=20000.0, y0=365000.0, dx=2000.125, dy=3000.25, nrows=96, ncols=91
+)
+
+
+def _raster_value(r, c):
+    """Analytic raster surface over pixel indices (float math)."""
+    return (
+        10.0
+        + 3.0 * np.sin(0.37 * r) * np.cos(0.53 * c)
+        + 0.5 * np.sin(0.11 * (r + c))
+    )
+
+
+def _sql_raster_value(r: str, c: str) -> str:
+    return (
+        f"(1.0e1 + 3.0e0 * sin(3.7e-1 * ({r})) * cos(5.3e-1 * ({c}))"
+        f" + 5.0e-1 * sin(1.1e-1 * (({r}) + ({c}))))"
+    )
+
+
+def q_rasterize(sf_dir: str) -> Dataset:
+    """Vector -> raster: derived orders points with an integer value
+    column binned per pixel (combiner shuffle); exact BIGINT sums."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ok, px, py = _derive_xy(batch)
+        ck = _np(batch, "o_custkey")
+        v = ((ok * 7919 + ck) % 100000).astype(np.int64)
+        return pa.table(
+            {"x": pa.array(px), "y": pa.array(py), "v_cents": pa.array(v)}
+        )
+
+    pts = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return rasterize_points(pts, _RSPEC, value_cols=("v_cents",))
+
+
+def _sql_rasterize() -> str:
+    sp = _RSPEC
+    return (
+        _SQL_XY
+        + f""",
+q AS (SELECT o_orderkey, px, py, (o_orderkey * 7919 + o_custkey) % 100000 AS v,
+   CAST(floor((px - {_c(sp.x0)}) / {_c(sp.dx)}) AS BIGINT) AS r,
+   CAST(floor((py - {_c(sp.y0)}) / {_c(sp.dy)}) AS BIGINT) AS c
+ FROM pts JOIN orders USING (o_orderkey))
+SELECT r AS pix_row, c AS pix_col, CAST(COUNT(*) AS BIGINT) AS cnt,
+  SUM(v) AS sum_v_cents
+FROM q WHERE r >= 0 AND r < {sp.nrows} AND c >= 0 AND c < {sp.ncols}
+GROUP BY r, c
+"""
+    )
+
+
+class _RasterSampleStage:
+    """Raster array built once per actor (broadcast-small-side)."""
+
+    def __init__(self):
+        self.sampler = RasterSampler(_RSPEC, value_fn=_raster_value)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok, px, py = _derive_xy(batch)
+        near, bilin, inb = self.sampler.sample(px, py)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "near_u": pa.array(np.floor(near * 1e6 + 0.5).astype(np.int64)),
+                "bilin_u": pa.array(np.floor(bilin * 1e6 + 0.5).astype(np.int64)),
+                "in_bounds": pa.array(inb),
+            }
+        )
+
+
+def q_raster_sample(sf_dir: str) -> Dataset:
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        _RasterSampleStage, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4)
+    )
+
+
+def _sql_raster_sample() -> str:
+    sp = _RSPEC
+    nr, nc = sp.nrows, sp.ncols
+    return (
+        _SQL_XY
+        + f""",
+ra AS (SELECT o_orderkey, (px - {_c(sp.x0)}) / {_c(sp.dx)} - 0.5e0 AS rf,
+              (py - {_c(sp.y0)}) / {_c(sp.dy)} - 0.5e0 AS cf FROM pts),
+rb AS (SELECT *, (rf >= 0.0e0 AND rf <= {nr - 1}.0e0 AND cf >= 0.0e0 AND cf <= {nc - 1}.0e0) AS inb,
+  LEAST(GREATEST(rf, 0.0e0), {_c(nr - 1.000000001)}) AS rfc,
+  LEAST(GREATEST(cf, 0.0e0), {_c(nc - 1.000000001)}) AS cfc FROM ra),
+rc AS (SELECT *, LEAST(CAST(floor(rfc) AS BIGINT), {nr - 2}) AS r0,
+  LEAST(CAST(floor(cfc) AS BIGINT), {nc - 2}) AS c0,
+  LEAST(GREATEST(CAST(floor(rfc + 0.5e0) AS BIGINT), 0), {nr - 1}) AS rn,
+  LEAST(GREATEST(CAST(floor(cfc + 0.5e0) AS BIGINT), 0), {nc - 1}) AS cn FROM rb),
+rd AS (SELECT *, rfc - r0 AS fr, cfc - c0 AS fc,
+  {_sql_raster_value('r0', 'c0')} AS n00, {_sql_raster_value('r0', 'c0 + 1')} AS n01,
+  {_sql_raster_value('r0 + 1', 'c0')} AS n10, {_sql_raster_value('r0 + 1', 'c0 + 1')} AS n11,
+  {_sql_raster_value('rn', 'cn')} AS nv FROM rc)
+SELECT o_orderkey,
+  CAST(FLOOR((CASE WHEN inb THEN nv ELSE 0.0e0 END) * 1e6 + 0.5e0) AS BIGINT) AS near_u,
+  CAST(FLOOR((CASE WHEN inb THEN n00 * (1.0e0 - fr) * (1.0e0 - fc) + n01 * (1.0e0 - fr) * fc
+      + n10 * fr * (1.0e0 - fc) + n11 * fr * fc ELSE 0.0e0 END) * 1e6 + 0.5e0) AS BIGINT) AS bilin_u,
+  inb AS in_bounds
+FROM rd
+"""
+    )
+
+
+def q_zonal_stats(sf_dir: str) -> Dataset:
+    """Raster x vector: per-quad-zone count + exact integer sum of
+    quantized pixel values (pixel centers PIP'd against the quad
+    polygons by the engine's generic ray-crossing lookup). sf-invariant
+    input (the dense pixel table) — the zone assignment and sums are
+    the oracle's subject."""
+    import ray.data as rd_mod
+
+    t = pixel_table(_RSPEC, _raster_value)
+    vq = np.floor(t["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    t = t.drop_columns(["value"]).append_column("value_u", pa.array(vq))
+    pixels = rd_mod.from_arrow(t)
+    return zonal_stats(pixels, _quad_polyset(), value_col="value_u").map_batches(
+        lambda b: b.rename_columns(["zone", "cnt", "sum_value_u"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_zonal_stats() -> str:
+    sp = _RSPEC
+    dxq = (PIP_X1 - PIP_X0) / PIP_G
+    dyq = (PIP_Y1 - PIP_Y0) / PIP_G
+    return f"""
+WITH px AS (
+ SELECT r, c, {_c(sp.x0)} + (r + 0.5e0) * {_c(sp.dx)} AS cx,
+        {_c(sp.y0)} + (c + 0.5e0) * {_c(sp.dy)} AS cy,
+        CAST(FLOOR({_sql_raster_value('CAST(r AS DOUBLE)', 'CAST(c AS DOUBLE)')} * 1e6 + 0.5e0) AS BIGINT) AS value_u
+ FROM range({sp.nrows}) t1(r), range({sp.ncols}) t2(c)),
+z AS (
+ SELECT CAST(CASE WHEN cx > {_c(PIP_X0)} AND cx < {_c(PIP_X1)} AND cy > {_c(PIP_Y0)} AND cy < {_c(PIP_Y1)}
+   THEN CAST(floor((cx - {_c(PIP_X0)}) / {_c(dxq)}) AS BIGINT) * {PIP_G}
+      + CAST(floor((cy - {_c(PIP_Y0)}) / {_c(dyq)}) AS BIGINT)
+   ELSE -1 END AS INTEGER) AS zone, value_u
+ FROM px)
+SELECT zone, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(value_u) AS sum_value_u
+FROM z GROUP BY zone
+"""
+
+
+SQL_ORACLES2.update(
+    {
+        "rasterize": (q_rasterize, _sql_rasterize()),
+        "raster_sample": (q_raster_sample, _sql_raster_sample()),
+        "zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
+    }
+)
