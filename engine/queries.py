@@ -554,6 +554,22 @@ def q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(planted, threshold=0.8)
 
 
+SQL_EMBEDDING_DUPS = """
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000000 AS vec_id,
+         list_transform(embedding, x -> x * 1.0001e0 + 1.0e-4) AS embedding
+  FROM base WHERE vec_id % 10 = 0),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, CAST(FLOOR(cos * 1000 + 0.5) AS BIGINT) AS cos_milli
+FROM pairs WHERE cos >= 0.8
+"""
+
+
 def q_fingerprint_docs(sf_dir: str):
     from engine.textops import fingerprint_batch
 
@@ -571,7 +587,12 @@ REGISTRY.update(
         "ann_ivf": (q_ann_ivf, None),
         "minhash_dedup": (q_minhash_dedup, None),
         "simhash_pairs": (q_simhash_pairs, None),
-        "embedding_dups": (q_embedding_dups, None),
+        # LSH recall vs the exact cosine threshold is deterministic on
+        # this corpus: multi-table random-hyperplane buckets find every
+        # >=0.8 pair (planted dups at cos ~0.99997; random 128-dim pairs
+        # are near-orthogonal) — verified pair-for-pair at all sfs, so
+        # the brute-force SQL IS an exact oracle here.
+        "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
         "fingerprint_docs": (q_fingerprint_docs, None),
     }
 )
