@@ -254,6 +254,29 @@ GROUP BY c_mktsegment
 """
 
 
+def q_hash_sample(sf_dir: str) -> Dataset:
+    """Deterministic hash-based 10% sample (A6 scale path: seeded
+    random_sample is not reproducible in SQL; key-hash sampling is
+    exact on both sides AND stable under repartitioning at any scale
+    — the property resumable sampling jobs need)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ok * 2654435761 + ln * 97) % 1000 < 100
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE (l_orderkey * 2654435761 + l_linenumber * 97) % 1000 < 100
+"""
+
+
 # ------------------------------------------------------- windowed events
 
 
@@ -1031,6 +1054,7 @@ def q_minhash_dedup_full(sf_dir: str):
 
 
 REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, None)})
+REGISTRY.update({"hash_sample": (q_hash_sample, SQL_HASH_SAMPLE)})
 
 
 # SQL-value-oracled spatial operators (cells/geoid/DMS/kNN/PIP) —

@@ -104,8 +104,9 @@ def rolling_fingerprint(texts: np.ndarray, window: int = 16) -> np.ndarray:
         n = len(b)
         if n < window:
             h = np.uint64(14695981039346656037)
-            for byte in b:
-                h = (h * _B + byte) & _MOD_MASK
+            with np.errstate(over="ignore"):  # mod-2^64 wrap intended
+                for byte in b:
+                    h = (h * _B + byte) & _MOD_MASK
             out[i] = np.int64(h >> np.uint64(1))
             continue
         # All w-byte window hashes in one C-level matmul over a
