@@ -249,14 +249,15 @@ def q_geoid_bilinear(sf_dir: str) -> Dataset:
     import assets
 
     def fn(batch: pa.Table) -> pa.Table:
-        grid = assets.load_geoid("slo2000")
         ok, ln, fi, la = _derive_ll(batch)
-        und, inb = geoid_undulation(fi, la, grid)
+        und, inb = geoid_undulation(fi, la, assets.load_geoid("slo2000"))
+        und_e, _ = geoid_undulation(fi, la, assets.load_geoid("egm2008"))
         return pa.table(
             {
                 "l_orderkey": pa.array(ok),
                 "l_linenumber": pa.array(ln.astype(np.int32)),
                 "n_dmm": pa.array(np.floor(und * 1e4 + 0.5).astype(np.int64)),
+                "n_egm_dmm": pa.array(np.floor(und_e * 1e4 + 0.5).astype(np.int64)),
                 "in_bounds": pa.array(inb),
             }
         )
@@ -275,31 +276,47 @@ def _sql_analytic_geoid(fi: str, la: str) -> str:
     )
 
 
-def _sql_geoid_bilinear() -> str:
+def _sql_geoid_interp_ctes(model: str, p: str) -> str:
+    """Interpolation CTE chain for one geoid model, column prefix p."""
     import assets
 
-    grid = assets.load_geoid("slo2000")
+    grid = assets.load_geoid(model)
     nrows, ncols = grid.N.shape
     lat0, lon0, dlat, dlon = grid.lat0, grid.lon0, grid.dlat, grid.dlon
+    return f""",
+{p}ga AS (SELECT *, (fi - {_c(lat0)}) / {_c(dlat)} AS {p}ri, (la - {_c(lon0)}) / {_c(dlon)} AS {p}ci FROM {{prev}}),
+{p}gb AS (SELECT *, ({p}ri >= 0.0 AND {p}ri <= {nrows - 1}.0 AND {p}ci >= 0.0 AND {p}ci <= {ncols - 1}.0) AS {p}inb,
+  LEAST(GREATEST({p}ri, 0.0), {_c(nrows - 1.000000001)}) AS {p}ric,
+  LEAST(GREATEST({p}ci, 0.0), {_c(ncols - 1.000000001)}) AS {p}cic FROM {p}ga),
+{p}gc AS (SELECT *, LEAST(CAST(floor({p}ric) AS BIGINT), {nrows - 2}) AS {p}r0,
+  LEAST(CAST(floor({p}cic) AS BIGINT), {ncols - 2}) AS {p}c0 FROM {p}gb),
+{p}gd AS (SELECT *, {p}ric - {p}r0 AS {p}fr, {p}cic - {p}c0 AS {p}fc,
+  {_c(lat0)} + {p}r0 * {_c(dlat)} AS {p}lat_0, {_c(lon0)} + {p}c0 * {_c(dlon)} AS {p}lon_0,
+  {_c(lat0)} + ({p}r0 + 1) * {_c(dlat)} AS {p}lat_1, {_c(lon0)} + ({p}c0 + 1) * {_c(dlon)} AS {p}lon_1 FROM {p}gc),
+{p}ge AS (SELECT *, {_sql_analytic_geoid(p + 'lat_0', p + 'lon_0')} AS {p}n00, {_sql_analytic_geoid(p + 'lat_0', p + 'lon_1')} AS {p}n01,
+  {_sql_analytic_geoid(p + 'lat_1', p + 'lon_0')} AS {p}n10, {_sql_analytic_geoid(p + 'lat_1', p + 'lon_1')} AS {p}n11 FROM {p}gd)"""
+
+
+def _sql_geoid_und_expr(p: str) -> str:
+    return (
+        f"CASE WHEN {p}inb THEN {p}n00 * (1.0 - {p}fr) * (1.0 - {p}fc) + {p}n01 * (1.0 - {p}fr) * {p}fc"
+        f" + {p}n10 * {p}fr * (1.0 - {p}fc) + {p}n11 * {p}fr * {p}fc ELSE 0.0 END"
+    )
+
+
+def _sql_geoid_bilinear() -> str:
+    a = _sql_geoid_interp_ctes("slo2000", "s_").replace("{prev}", "pts")
+    b = _sql_geoid_interp_ctes("egm2008", "e_").replace("{prev}", "s_ge")
     return (
         _SQL_LL
-        + f""",
-ga AS (SELECT *, (fi - {_c(lat0)}) / {_c(dlat)} AS ri, (la - {_c(lon0)}) / {_c(dlon)} AS ci FROM pts),
-gb AS (SELECT *, (ri >= 0.0 AND ri <= {nrows - 1}.0 AND ci >= 0.0 AND ci <= {ncols - 1}.0) AS inb,
-  LEAST(GREATEST(ri, 0.0), {_c(nrows - 1.000000001)}) AS ric,
-  LEAST(GREATEST(ci, 0.0), {_c(ncols - 1.000000001)}) AS cic FROM ga),
-gc AS (SELECT *, LEAST(CAST(floor(ric) AS BIGINT), {nrows - 2}) AS r0,
-  LEAST(CAST(floor(cic) AS BIGINT), {ncols - 2}) AS c0 FROM gb),
-gd AS (SELECT *, ric - r0 AS fr, cic - c0 AS fc,
-  {_c(lat0)} + r0 * {_c(dlat)} AS lat_0, {_c(lon0)} + c0 * {_c(dlon)} AS lon_0,
-  {_c(lat0)} + (r0 + 1) * {_c(dlat)} AS lat_1, {_c(lon0)} + (c0 + 1) * {_c(dlon)} AS lon_1 FROM gc),
-ge AS (SELECT *, {_sql_analytic_geoid('lat_0', 'lon_0')} AS n00, {_sql_analytic_geoid('lat_0', 'lon_1')} AS n01,
-  {_sql_analytic_geoid('lat_1', 'lon_0')} AS n10, {_sql_analytic_geoid('lat_1', 'lon_1')} AS n11 FROM gd)
+        + a
+        + b
+        + f"""
 SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
-  CAST(FLOOR((CASE WHEN inb THEN n00 * (1.0 - fr) * (1.0 - fc) + n01 * (1.0 - fr) * fc
-       + n10 * fr * (1.0 - fc) + n11 * fr * fc ELSE 0.0 END) * 1e4 + 0.5) AS BIGINT) AS n_dmm,
-  inb AS in_bounds
-FROM ge
+  CAST(FLOOR(({_sql_geoid_und_expr('s_')}) * 1e4 + 0.5) AS BIGINT) AS n_dmm,
+  CAST(FLOOR(({_sql_geoid_und_expr('e_')}) * 1e4 + 0.5) AS BIGINT) AS n_egm_dmm,
+  s_inb AS in_bounds
+FROM e_ge
 """
     )
 
