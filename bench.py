@@ -40,7 +40,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from engine.pipeline import cell_rollup, enrich_pages
     from engine import queries as Q
 
-    n_pages = sf_to_n_rows(sf_dir) * int(os.environ.get("GRAFT_PAGES_MULT", "1"))
+    # 4x the sf row count by default: at 500k rows the ~0.7 s fixed
+    # startup (read + worker pool) dominates and understates steady-state
+    # throughput by ~2x; pages_rows is reported so the ratio is explicit.
+    n_pages = sf_to_n_rows(sf_dir) * int(os.environ.get("GRAFT_PAGES_MULT", "4"))
     pages_path = pages_parquet(n_pages)  # untimed generation (cached)
 
     # Warm the OS page cache so we measure compute+shuffle, not cold disk.
