@@ -72,8 +72,10 @@ def _np(batch: pa.Table, col: str) -> np.ndarray:
 
 
 def _c(v: float) -> str:
-    """Parenthesized float constant (avoids '--' comment after '-')."""
-    return f"({v!r})"
+    """Float constant as an explicit DOUBLE (bare decimal literals are
+    DECIMAL-typed in DuckDB: DECIMAL*DECIMAL overflows and DECIMAL
+    chains diverge from float64; parenthesized so '-' can precede)."""
+    return f"(CAST({v!r} AS DOUBLE))"
 
 
 def _read(sf_dir: str, table: str, columns) -> Dataset:
@@ -1027,3 +1029,79 @@ SQL_ORACLES2.update(
         "zonal_stats": (q_zonal_stats, _sql_zonal_stats()),
     }
 )
+
+
+# ---------------------------------------------------------- tm_inverse
+# Menu 1 (reference tmxy2fila_wgs = K4 tm_inv on GRS80/D96): the
+# remaining TM direction not yet independently oracled (helmert_chain
+# covers the Bessel inverse). Derived D96 grid points; SQL mirrors
+# geokit.tm.tm_inv term-for-term. Outputs quantized to 1e-9 deg
+# (~0.1 mm) with measured margins.
+
+
+def q_tm_inverse(sf_dir: str) -> Dataset:
+    from geokit.datums import D96_TM
+    from geokit.tm import tm_inv
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = _np(batch, "o_orderkey")
+        ck = _np(batch, "o_custkey")
+        x96 = 30000.0 + ((ok * 40503 + ck) % 100000) * 1.7
+        y96 = 380000.0 + ((ok * 69069 + ck) % 100000) * 2.2
+        fi, la = tm_inv(x96, y96, D96_TM)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "fi_ndeg": pa.array(np.floor(fi * 1e9 + 0.5).astype(np.int64)),
+                "la_ndeg": pa.array(np.floor(la * 1e9 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _sql_tm_inverse() -> str:
+    from geokit.datums import D96_TM
+
+    g = D96_TM.ellipsoid
+    e2, ep2, a = g.e2, g.ep2, g.a
+    e4, e6 = e2 * e2, e2 ** 3
+    c1 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    sq = np.sqrt(1.0 - e2)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    d1 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    d2 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    d3 = 151.0 * e1 ** 3 / 96.0
+    d4 = 1097.0 * e1 ** 4 / 512.0
+    return f"""
+WITH pts AS (
+ SELECT o_orderkey,
+   3.0e4 + ((o_orderkey * 40503 + o_custkey) % 100000) * 1.7e0 AS x96,
+   3.8e5 + ((o_orderkey * 69069 + o_custkey) % 100000) * 2.2e0 AS y96
+ FROM orders),
+m AS (SELECT o_orderkey, x96, y96, 0.0e0 + (x96 - (-5.0e6)) / 0.9999e0 AS M FROM pts),
+mu AS (SELECT *, M / ({_c(a)} * {_c(c1)}) AS mu FROM m),
+p1 AS (SELECT *, mu + {_c(d1)} * sin(2.0e0*mu) + {_c(d2)} * sin(4.0e0*mu) + {_c(d3)} * sin(6.0e0*mu) + {_c(d4)} * sin(8.0e0*mu) AS phi1 FROM mu),
+p2 AS (SELECT *, sin(phi1) AS sp1, cos(phi1) AS cp1 FROM p1),
+p3 AS (SELECT *, sp1/cp1 AS tp1, {_c(ep2)} * cp1 * cp1 AS C1, (sp1/cp1)*(sp1/cp1) AS T1, 1.0e0 - {_c(e2)} * sp1 * sp1 AS om FROM p2),
+p4 AS (SELECT *, {_c(a)} / sqrt(om) AS N1, {_c(a)} * (1.0e0 - {_c(e2)}) / (om * sqrt(om)) AS R1 FROM p3),
+p5 AS (SELECT *, (y96 - 5.0e5) / (N1 * 0.9999e0) AS D FROM p4),
+p6 AS (SELECT *, D*D AS DD2 FROM p5),
+p7 AS (SELECT *, DD2*D AS DD3, DD2*DD2 AS DD4 FROM p6),
+p8 AS (SELECT *, DD4*D AS DD5, DD4*DD2 AS DD6 FROM p7),
+geo AS (SELECT o_orderkey,
+  phi1 - (N1 * tp1 / R1) * (DD2/2.0e0 - (5.0e0 + 3.0e0*T1 + 10.0e0*C1 - 4.0e0*C1*C1 - 9.0e0*{_c(ep2)}) * DD4/24.0e0
+      + (61.0e0 + 90.0e0*T1 + 298.0e0*C1 + 45.0e0*T1*T1 - 252.0e0*{_c(ep2)} - 3.0e0*C1*C1) * DD6/720.0e0) AS phi,
+  radians(15.0e0) + (D - (1.0e0 + 2.0e0*T1 + C1) * DD3/6.0e0
+      + (5.0e0 - 2.0e0*C1 + 28.0e0*T1 - 3.0e0*C1*C1 + 8.0e0*{_c(ep2)} + 24.0e0*T1*T1) * DD5/120.0e0) / cp1 AS lam
+  FROM p8)
+SELECT o_orderkey,
+  CAST(FLOOR(degrees(phi) * 1e9 + 0.5e0) AS BIGINT) AS fi_ndeg,
+  CAST(FLOOR(degrees(lam) * 1e9 + 0.5e0) AS BIGINT) AS la_ndeg
+FROM geo
+"""
+
+
+SQL_ORACLES2["tm_inverse"] = (q_tm_inverse, _sql_tm_inverse())
