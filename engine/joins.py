@@ -8,7 +8,9 @@ patterns).
   join the reference itself performs (static small sides).
 - ``hash_join``: explicit partitioned hash join for two large sides:
   add ``bucket = hash(key) % B`` to both, co-group with a single
-  ``groupby("bucket").map_groups`` doing a pandas merge per bucket.
+  ``groupby("bucket").map_groups`` doing an Arrow-native join per
+  bucket (int64-exact; pandas merges cast null-filled int columns to
+  float64 and corrupt 62-bit ids).
   Documented partitioning assumption: keys are hashable ints/strings;
   hot keys should be pre-salted by the caller (split a hot key into
   sub-buckets on the probe side and replicate the build row).
@@ -23,6 +25,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -131,12 +134,18 @@ def hash_join(
     rt = right.map_batches(tag("r", {c: l_types[c] for c in l_cols if c != key}), batch_format="pyarrow").select_columns(order)
     both = lt.union(rt)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["_side"] == "l", l_cols]
-        r = group.loc[group["_side"] == "r", r_cols]
-        return l.merge(r, on=key, how=how)
+    arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer", "outer": "full outer"}[how]
 
-    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    def merge(group: pa.Table) -> pa.Table:
+        # Arrow-native join: a pandas merge here silently casts the
+        # null-filled union's int64 columns to float64, corrupting
+        # values above 2^53 (observed on 62-bit cell ids).
+        l = group.filter(pc.equal(group["_side"], "l")).select(l_cols)
+        r = group.filter(pc.equal(group["_side"], "r")).select(r_cols)
+        out = l.join(r, keys=key, join_type=arrow_how)
+        return out.select(l_cols + [c for c in r_cols if c != key])
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def semi_filter(ds: Dataset, keys: np.ndarray, key: str, anti: bool = False) -> Dataset:

@@ -1105,3 +1105,59 @@ FROM geo
 
 
 SQL_ORACLES2["tm_inverse"] = (q_tm_inverse, _sql_tm_inverse())
+
+
+# ------------------------------------------------------------ tile_join
+# J5: cell-equality join of two LARGE sides via the explicit bucketed
+# hash join (engine.joins.hash_join — one shuffle, co-grouped pandas
+# merges). Probe side = per-point cells from the lineitem derivation;
+# build side = the per-cell rollup of the same points (Zipfian cell
+# counts, the north_rule skew shape). SQL oracle = subquery join.
+
+
+def q_tile_join(sf_dir: str) -> Dataset:
+    from engine.joins import hash_join
+    from engine.shuffle import grouped_count_sums
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok, ln, fi, la = _derive_ll(batch)
+        cid = cell_id(fi, la, CELL_LEVEL)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln.astype(np.int32)),
+                "cell": pa.array(cid, pa.int64()),
+            }
+        )
+
+    pts = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    rollup = grouped_count_sums(
+        pts.map_batches(lambda b: b.select(["cell"]), batch_format="pyarrow"),
+        key="cell",
+    ).map_batches(
+        lambda b: b.rename_columns(["cell", "cell_cnt"]), batch_format="pyarrow"
+    )
+    joined = hash_join(pts, rollup, key="cell", num_buckets=32, how="inner")
+    return joined.map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber", "cell", "cell_cnt"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_tile_join() -> str:
+    return (
+        _SQL_LL
+        + _sql_cell_chain(CELL_LEVEL)
+        + f""",
+pc2 AS (SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+        {_sql_cell_expr(CELL_LEVEL)} AS cell FROM cg),
+ru AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_cnt FROM pc2 GROUP BY cell)
+SELECT p.l_orderkey, p.l_linenumber, p.cell, ru.cell_cnt
+FROM pc2 p JOIN ru USING (cell)
+"""
+    )
+
+
+SQL_ORACLES2["tile_join"] = (q_tile_join, _sql_tile_join())
