@@ -1161,3 +1161,102 @@ FROM pc2 p JOIN ru USING (cell)
 
 
 SQL_ORACLES2["tile_join"] = (q_tile_join, _sql_tile_join())
+
+
+# ------------------------------------------------------- fila_wgs2gkxy
+# Menu 4 (reference fila_wgs2gkxy): ETRS89 geographic -> D48/GK grid =
+# fila2xyz(GRS80) -> EXACT inverse Helmert (engine inverts the
+# similarity with linalg.inv — the oracle embeds that Rinv's nine
+# elements as constants, so both engines use bitwise-identical
+# matrices) -> xyz2fila(Bessel, 8 fixed iterations) -> tm_fwd(Bessel).
+# Outputs quantized to cm (measured cross-engine diff <= ~1e-9 m from
+# the matmul accumulation order; margin ~1e7).
+
+
+def q_fila2gk(sf_dir: str) -> Dataset:
+    from geokit.transforms import fila_wgs2gkxy
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok, ln, fi, la = _derive_ll(batch)
+        x, y, h = fila_wgs2gkxy(fi, la)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "l_linenumber": pa.array(ln.astype(np.int32)),
+                "x48_cm": pa.array(np.floor(x * 1e2 + 0.5).astype(np.int64)),
+                "y48_cm": pa.array(np.floor(y * 1e2 + 0.5).astype(np.int64)),
+                "h_cm": pa.array(np.floor(h * 1e2 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _sql_fila2gk() -> str:
+    from geokit.datums import D48_GK, HELMERT_D48_TO_D96 as P
+    from geokit.ellipsoids import GRS80
+    from geokit.helmert import _rotation_matrix
+
+    Rinv = np.linalg.inv(_rotation_matrix(P))
+    ag, e2g = GRS80.a, GRS80.e2
+    bes = D48_GK.ellipsoid
+    ab, e2b, ep2b = bes.a, bes.e2, bes.ep2
+    e4b, e6b = e2b * e2b, e2b ** 3
+    bc1 = 1.0 - e2b / 4.0 - 3.0 * e4b / 64.0 - 5.0 * e6b / 256.0
+    bc2 = 3.0 * e2b / 8.0 + 3.0 * e4b / 32.0 + 45.0 * e6b / 1024.0
+    bc3 = 15.0 * e4b / 256.0 + 45.0 * e6b / 1024.0
+    bc4 = 35.0 * e6b / 3072.0
+    iters = "\n".join(
+        f"j{n} AS (SELECT * REPLACE (atan2(Zc + {_c(e2b)} * ({_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi))) * sin(phi), p) AS phi) FROM j{n-1}),"
+        for n in range(1, 9)
+    )
+    return (
+        _SQL_LL
+        + f""",
+ea AS (SELECT l_orderkey, l_linenumber, radians(fi) AS phi0, radians(la) AS lam0 FROM pts),
+eb AS (SELECT *, sin(phi0) AS sp, cos(phi0) AS cp FROM ea),
+ec AS (SELECT *, {_c(ag)} / sqrt(1.0e0 - {_c(e2g)} * sp * sp) AS N FROM eb),
+ed AS (SELECT l_orderkey, l_linenumber,
+   (N + 0.0e0) * cp * cos(lam0) AS X,
+   (N + 0.0e0) * cp * sin(lam0) AS Y,
+   (N * (1.0e0 - {_c(e2g)}) + 0.0e0) * sp AS Z FROM ec),
+ee AS (SELECT l_orderkey, l_linenumber,
+   (X - {_c(P.dx)}) / {_c(P.scale)} AS Xs,
+   (Y - {_c(P.dy)}) / {_c(P.scale)} AS Ys,
+   (Z - {_c(P.dz)}) / {_c(P.scale)} AS Zs FROM ed),
+ef AS (SELECT l_orderkey, l_linenumber,
+   Xs * {_c(Rinv[0, 0])} + Ys * {_c(Rinv[0, 1])} + Zs * {_c(Rinv[0, 2])} AS Xc,
+   Xs * {_c(Rinv[1, 0])} + Ys * {_c(Rinv[1, 1])} + Zs * {_c(Rinv[1, 2])} AS Yc,
+   Xs * {_c(Rinv[2, 0])} + Ys * {_c(Rinv[2, 1])} + Zs * {_c(Rinv[2, 2])} AS Zc FROM ee),
+j0 AS (SELECT *, sqrt(Xc*Xc + Yc*Yc) AS p, atan2(Yc, Xc) AS lam,
+   atan2(Zc, sqrt(Xc*Xc + Yc*Yc) * (1.0e0 - {_c(e2b)})) AS phi FROM ef),
+{iters}
+fb AS (SELECT l_orderkey, l_linenumber, lam, phi, sin(phi) AS sp2, cos(phi) AS cp2,
+   {_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi)) AS Nb, p FROM j8),
+fc AS (SELECT *, p / cp2 - Nb AS hb,
+   radians(degrees(phi)) AS tphi, radians(degrees(lam)) AS tlam FROM fb),
+fd AS (SELECT *, sin(tphi) AS tsp, cos(tphi) AS tcp FROM fc),
+fe AS (SELECT *, tsp / tcp AS ttp,
+   {_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * tsp * tsp) AS TN,
+   {_c(ep2b)} * tcp * tcp AS TC,
+   (tlam - radians(15.0e0)) * tcp AS TA,
+   {_c(ab)} * ({_c(bc1)} * tphi - {_c(bc2)} * sin(2.0e0 * tphi) + {_c(bc3)} * sin(4.0e0 * tphi) - {_c(bc4)} * sin(6.0e0 * tphi)) AS TM FROM fd),
+ff AS (SELECT *, ttp * ttp AS TT, TA * TA AS TA2 FROM fe),
+fg AS (SELECT *, TA2 * TA AS TA3, TA2 * TA2 AS TA4 FROM ff),
+fh AS (SELECT *, TA4 * TA AS TA5, TA4 * TA2 AS TA6 FROM fg)
+SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+  CAST(FLOOR((-5.0e6 + 0.9999e0 * (TM - 0.0e0 + TN * ttp * (TA2 / 2.0e0
+      + (5.0e0 - TT + 9.0e0 * TC + 4.0e0 * TC * TC) * TA4 / 24.0e0
+      + (61.0e0 - 58.0e0 * TT + TT * TT + 600.0e0 * TC - 330.0e0 * {_c(ep2b)}) * TA6 / 720.0e0))) * 1e2 + 0.5e0) AS BIGINT) AS x48_cm,
+  CAST(FLOOR((5.0e5 + 0.9999e0 * TN * (TA
+      + (1.0e0 - TT + TC) * TA3 / 6.0e0
+      + (5.0e0 - 18.0e0 * TT + TT * TT + 72.0e0 * TC - 58.0e0 * {_c(ep2b)}) * TA5 / 120.0e0)) * 1e2 + 0.5e0) AS BIGINT) AS y48_cm,
+  CAST(FLOOR(hb * 1e2 + 0.5e0) AS BIGINT) AS h_cm
+FROM fh
+"""
+    )
+
+
+SQL_ORACLES2["fila2gk"] = (q_fila2gk, _sql_fila2gk())
