@@ -122,6 +122,8 @@ def q_media_pipeline(sf_dir: str):
     from engine.multimodal import DecodeImage, image_features_stage, make_fake_media_table
     from engine.pages import sf_to_n_rows
 
+    from engine.multimodal import DecodeAudio, audio_features_stage, frame_sample_stage
+
     n = max(64, sf_to_n_rows(sf_dir) // 200)
     ds = rd.from_arrow(make_fake_media_table(n))
     ds = ds.map_batches(
@@ -132,7 +134,15 @@ def q_media_pipeline(sf_dir: str):
         concurrency=(1, 4),
     )
     ds = ds.map_batches(image_features_stage, batch_format="pyarrow")
-    return ds.select_columns(["media_id", "width", "height"])
+    ds = ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs=dict(backend="fake"),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    ds = ds.map_batches(audio_features_stage, batch_format="pyarrow")
+    return ds.select_columns(["media_id", "width", "height", "rms_milli", "zero_crossings"])
 
 
 GEO_REGISTRY.update(

@@ -155,3 +155,48 @@ def make_fake_media_table(n: int, seed: int = 7) -> pa.Table:
             "duration_ms": pa.array(rng.integers(1000, 10000, n).astype(np.int32)),
         }
     )
+
+
+class DecodeAudio:
+    """Actor-pool stage: binary payload -> waveform column. Same stub
+    contract as DecodeImage: ``backend="real"`` raises (no audio lib in
+    this container); ``backend="fake"`` emits a deterministic payload-
+    digest-seeded waveform with the real schema (fixed sample count at
+    ``rate_hz`` over a fixed window)."""
+
+    def __init__(self, backend: str = "fake", n_samples: int = 256):
+        if backend == "real":
+            raise NotImplementedError(
+                "audio decode backend not available in this environment; "
+                "install soundfile/librosa and implement _decode_real()"
+            )
+        self.n_samples = n_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        wav = np.empty((n, self.n_samples), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            digest = hashlib.sha256(p).digest()
+            rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+            wav[i] = rng.standard_normal(self.n_samples, dtype=np.float32)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(wav.ravel(), pa.float32()), self.n_samples
+        )
+        return batch.append_column("waveform", arr)
+
+
+def audio_features_stage(batch: pa.Table) -> pa.Table:
+    """Real numpy features over the decoded waveform: RMS energy
+    (milli-units, exact int) + zero-crossing count."""
+    col = batch["waveform"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = batch.num_rows
+    ns = col.type.list_size
+    wav = col.flatten().to_numpy(zero_copy_only=False).reshape(n, ns).astype(np.float64)
+    rms = np.sqrt((wav * wav).mean(axis=1))
+    zc = (np.signbit(wav[:, 1:]) != np.signbit(wav[:, :-1])).sum(axis=1)
+    return batch.append_column(
+        "rms_milli", pa.array(np.floor(rms * 1000 + 0.5).astype(np.int64))
+    ).append_column("zero_crossings", pa.array(zc.astype(np.int64)))

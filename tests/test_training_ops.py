@@ -273,3 +273,33 @@ def test_connected_components_distributed_matches_driver(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want.astype(np.int64))
+
+
+def test_audio_stage_and_frame_sample(ray_session):
+    """Audio decode stub determinism + features; frame-sample explode
+    emits ceil-guarded one-row-per-frame plans."""
+    import numpy as np
+
+    from engine.multimodal import (
+        DecodeAudio,
+        audio_features_stage,
+        frame_sample_stage,
+        make_fake_media_table,
+    )
+
+    t = make_fake_media_table(32)
+    dec = DecodeAudio(backend="fake")
+    a = audio_features_stage(dec(t))
+    b = audio_features_stage(dec(t))
+    assert a["rms_milli"].to_pylist() == b["rms_milli"].to_pylist()  # deterministic
+    assert all(v > 0 for v in a["rms_milli"].to_pylist())
+    assert a["zero_crossings"].to_pylist() == b["zero_crossings"].to_pylist()
+
+    fs = frame_sample_stage(t, every_ms=1000)
+    dur = t["duration_ms"].to_numpy()
+    want = int(np.maximum(dur // 1000, 1).sum())
+    assert fs.num_rows == want
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(backend="real")
