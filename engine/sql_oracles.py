@@ -1194,7 +1194,7 @@ def q_fila2gk(sf_dir: str) -> Dataset:
     )
 
 
-def _sql_fila2gk() -> str:
+def _sql_fila2gk(src_sql: str | None = None, keys: str = "l_orderkey, l_linenumber") -> str:
     from geokit.datums import D48_GK, HELMERT_D48_TO_D96 as P
     from geokit.ellipsoids import GRS80
     from geokit.helmert import _rotation_matrix
@@ -1212,28 +1212,30 @@ def _sql_fila2gk() -> str:
         f"j{n} AS (SELECT * REPLACE (atan2(Zc + {_c(e2b)} * ({_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi))) * sin(phi), p) AS phi) FROM j{n-1}),"
         for n in range(1, 9)
     )
+    if src_sql is None:
+        src_sql = _SQL_LL
     return (
-        _SQL_LL
+        src_sql
         + f""",
-ea AS (SELECT l_orderkey, l_linenumber, radians(fi) AS phi0, radians(la) AS lam0 FROM pts),
+ea AS (SELECT {keys}, radians(fi) AS phi0, radians(la) AS lam0 FROM pts),
 eb AS (SELECT *, sin(phi0) AS sp, cos(phi0) AS cp FROM ea),
 ec AS (SELECT *, {_c(ag)} / sqrt(1.0e0 - {_c(e2g)} * sp * sp) AS N FROM eb),
-ed AS (SELECT l_orderkey, l_linenumber,
+ed AS (SELECT {keys},
    (N + 0.0e0) * cp * cos(lam0) AS X,
    (N + 0.0e0) * cp * sin(lam0) AS Y,
    (N * (1.0e0 - {_c(e2g)}) + 0.0e0) * sp AS Z FROM ec),
-ee AS (SELECT l_orderkey, l_linenumber,
+ee AS (SELECT {keys},
    (X - {_c(P.dx)}) / {_c(P.scale)} AS Xs,
    (Y - {_c(P.dy)}) / {_c(P.scale)} AS Ys,
    (Z - {_c(P.dz)}) / {_c(P.scale)} AS Zs FROM ed),
-ef AS (SELECT l_orderkey, l_linenumber,
+ef AS (SELECT {keys},
    Xs * {_c(Rinv[0, 0])} + Ys * {_c(Rinv[0, 1])} + Zs * {_c(Rinv[0, 2])} AS Xc,
    Xs * {_c(Rinv[1, 0])} + Ys * {_c(Rinv[1, 1])} + Zs * {_c(Rinv[1, 2])} AS Yc,
    Xs * {_c(Rinv[2, 0])} + Ys * {_c(Rinv[2, 1])} + Zs * {_c(Rinv[2, 2])} AS Zc FROM ee),
 j0 AS (SELECT *, sqrt(Xc*Xc + Yc*Yc) AS p, atan2(Yc, Xc) AS lam,
    atan2(Zc, sqrt(Xc*Xc + Yc*Yc) * (1.0e0 - {_c(e2b)})) AS phi FROM ef),
 {iters}
-fb AS (SELECT l_orderkey, l_linenumber, lam, phi, sin(phi) AS sp2, cos(phi) AS cp2,
+fb AS (SELECT {keys}, lam, phi, sin(phi) AS sp2, cos(phi) AS cp2,
    {_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi)) AS Nb, p FROM j8),
 fc AS (SELECT *, p / cp2 - Nb AS hb,
    radians(degrees(phi)) AS tphi, radians(degrees(lam)) AS tlam FROM fb),
@@ -1246,7 +1248,7 @@ fe AS (SELECT *, tsp / tcp AS ttp,
 ff AS (SELECT *, ttp * ttp AS TT, TA * TA AS TA2 FROM fe),
 fg AS (SELECT *, TA2 * TA AS TA3, TA2 * TA2 AS TA4 FROM ff),
 fh AS (SELECT *, TA4 * TA AS TA5, TA4 * TA2 AS TA6 FROM fg)
-SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+SELECT {keys},
   CAST(FLOOR((-5.0e6 + 0.9999e0 * (TM - 0.0e0 + TN * ttp * (TA2 / 2.0e0
       + (5.0e0 - TT + 9.0e0 * TC + 4.0e0 * TC * TC) * TA4 / 24.0e0
       + (61.0e0 - 58.0e0 * TT + TT * TT + 600.0e0 * TC - 330.0e0 * {_c(ep2b)}) * TA6 / 720.0e0))) * 1e2 + 0.5e0) AS BIGINT) AS x48_cm,
@@ -1259,4 +1261,58 @@ FROM fh
     )
 
 
-SQL_ORACLES2["fila2gk"] = (q_fila2gk, _sql_fila2gk())
+SQL_ORACLES2["fila2gk"] = (
+    q_fila2gk,
+    _sql_fila2gk(keys="l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber")
+    .replace("SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber, radians(fi)",
+             "SELECT l_orderkey, l_linenumber, radians(fi)"),
+)
+
+
+# ---------------------------------------------------------- tmxy2gkxy
+# Menu 6 (D96/TM grid -> D48/GK grid): composition of the two verified
+# mirrors — tm_inverse (GRS80) feeding the fila2gk inverse-Helmert +
+# Bessel-TM chain. With menus 1-5 this makes every Helmert-path menu
+# entry independently SQL-value-verified.
+
+
+def q_tm2gk(sf_dir: str) -> Dataset:
+    from geokit.transforms import tmxy2gkxy
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = _np(batch, "o_orderkey")
+        ck = _np(batch, "o_custkey")
+        x96 = 30000.0 + ((ok * 40503 + ck) % 100000) * 1.7
+        y96 = 380000.0 + ((ok * 69069 + ck) % 100000) * 2.2
+        x, y, h = tmxy2gkxy(x96, y96)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "x48_cm": pa.array(np.floor(x * 1e2 + 0.5).astype(np.int64)),
+                "y48_cm": pa.array(np.floor(y * 1e2 + 0.5).astype(np.int64)),
+                "h_cm": pa.array(np.floor(h * 1e2 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _sql_tm2gk() -> str:
+    import re as _re
+
+    inv = _sql_tm_inverse()
+    head = inv.rsplit("SELECT o_orderkey,", 1)[0].rstrip().rstrip(",")
+    # tm_inverse's source CTE is also named `pts` — rename its whole
+    # namespace so the fila2gk chain's `pts` (fi/la degrees) is free.
+    head = _re.sub(r"\bpts\b", "tp0", head)
+    src = (
+        head
+        + """,
+pts AS (SELECT o_orderkey, degrees(phi) AS fi, degrees(lam) AS la FROM geo)"""
+    )
+    return _sql_fila2gk(src_sql=src, keys="o_orderkey")
+
+
+SQL_ORACLES2["tm2gk"] = (q_tm2gk, _sql_tm2gk())
