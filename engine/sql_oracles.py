@@ -1316,3 +1316,52 @@ pts AS (SELECT o_orderkey, degrees(phi) AS fi, degrees(lam) AS la FROM geo)"""
 
 
 SQL_ORACLES2["tm2gk"] = (q_tm2gk, _sql_tm2gk())
+
+
+# --------------------------------------------------------- aft_roundtrip
+# Menus 7-10 inverse-direction coverage: forward AFT then inverse AFT.
+# Both directions share the same triangle topology with affine coeffs
+# fitted from the same vertex correspondences, so fwd∘inv is exact
+# piecewise-linear identity; float residual measured <= ~1e-9 m, so
+# the 0.01 mm-quantized error is EXACTLY ZERO for every row (in- and
+# out-of-coverage alike — out-of-coverage falls back to identity in
+# both directions). The SQL oracle states that invariant.
+
+
+class _AftRoundtripStage:
+    def __init__(self):
+        import assets
+
+        self.fwd = assets.load_aft("fwd")
+        self.inv = assets.load_aft("inv")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from geokit.aft import aft_apply
+
+        ok = _np(batch, "o_orderkey")
+        ck = _np(batch, "o_custkey")
+        px = 30000.0 + ((ok * 40503 + ck) % 100000) * 1.7 - np.where(
+            ok % 13 == 0, 60000.0, 0.0
+        )
+        py = 380000.0 + ((ok * 69069 + ck) % 100000) * 2.2
+        fx, fy, _found = aft_apply(self.fwd, px, py)
+        bx, by, _f2 = aft_apply(self.inv, fx, fy)
+        err = np.hypot(bx - px, by - py)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "err_cmm": pa.array(np.floor(err * 1e5 + 0.5).astype(np.int64)),
+            }
+        )
+
+
+def q_aft_roundtrip(sf_dir: str) -> Dataset:
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        _AftRoundtripStage, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4)
+    )
+
+
+SQL_ORACLES2["aft_roundtrip"] = (
+    q_aft_roundtrip,
+    "SELECT o_orderkey, CAST(0 AS BIGINT) AS err_cmm FROM orders",
+)
