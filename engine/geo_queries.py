@@ -16,7 +16,7 @@ from __future__ import annotations
 from ray.data import Dataset
 
 from engine.pages import pages_parquet, sf_to_n_rows
-from engine.pipeline import cell_rollup, densest_cells, enrich_pages
+from engine.pipeline import cell_day_rollup, cell_rollup, densest_cells, enrich_pages
 from engine.shuffle import grouped_count_sums
 
 
@@ -62,7 +62,13 @@ def q_geo_muni_rollup(sf_dir: str) -> Dataset:
     return grouped_count_sums(ds, key="muni_id", mean_cols=("H_orth",))
 
 
+def q_geo_cell_day(sf_dir: str) -> Dataset:
+    """Pages per (cell, warc day) — the §2.7 event-time window."""
+    return cell_day_rollup(enrich_pages(_pages(sf_dir)))
+
+
 GEO_REGISTRY = {
+    "geo_cell_day": q_geo_cell_day,
     "geo_enriched": q_geo_enriched,
     "geo_cell_rollup": q_geo_cell_rollup,
     "geo_densest_cells": q_geo_densest_cells,

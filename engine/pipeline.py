@@ -90,6 +90,28 @@ def cell_rollup(enriched: Dataset) -> Dataset:
     return grouped_count_sums(slim, key="cell", mean_cols=("fi", "la"))
 
 
+def cell_day_rollup(enriched: Dataset) -> Dataset:
+    """Event-time window aggregate (SURVEY.md §2.7): pages per
+    (cell, warc day) — groupby((cell, date)) with the combiner
+    shuffle. Batch windowing, not true streaming (documented)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_day(b: pa.Table) -> pa.Table:
+        # Integer epoch-day, not a strftime string: int keys hash and
+        # group ~10x faster through the combiner shuffle.
+        day = pc.cast(
+            pc.divide(pc.cast(b["warc_ts"], pa.int64()), 86_400_000_000),
+            pa.int32(),
+        )
+        return pa.table({"cell": b["cell"], "epoch_day": day})
+
+    slim = enriched.select_columns(["cell", "warc_ts"]).map_batches(
+        add_day, batch_format="pyarrow"
+    )
+    return grouped_count_sums(slim, key=["cell", "epoch_day"])
+
+
 def densest_cells(enriched: Dataset, k: int = 20) -> Dataset:
     """Top-k densest cells (A4) over the already-reduced rollup."""
     return topk(cell_rollup(enriched), "cnt", k)

@@ -523,7 +523,10 @@ SQL_ORACLES2 = {
 # forward + analytic wiggle — mirrors assets/make_assets.py build_aft
 # term-for-term) and barycentrically interpolates; the engine side runs
 # the real actor-held triangulation index + solved affine coeffs
-# (geokit.aft.aft_apply). Outputs quantized to 0.1 mm: measured ZERO
+# (geokit.aft.aft_apply). The irreducible cross-engine gap is the
+# engine's solved-affine apply vs the oracle's barycentric form of the
+# same linear map: measured max 4.4e-9 m over 300k values. Outputs
+# quantize to cm (gap = 4.4e-7 of a quantum): measured ZERO
 # mismatches at sf0.001/0.01/0.1 (including out-of-coverage fallback
 # rows), min boundary margin 4.3e-6 quanta at sf0.1.
 
@@ -687,10 +690,10 @@ SELECT o_orderkey,
   in_cov AS aft_found,
   CAST(FLOOR((CASE WHEN NOT in_cov THEN px
     WHEN u + v <= 1.0e0 THEN (1.0e0 - u - v) * dstx00 + v * dstx01 + u * dstx10
-    ELSE (1.0e0 - u) * dstx01 + (u + v - 1.0e0) * dstx11 + (1.0e0 - v) * dstx10 END) * 1e4 + 0.5e0) AS BIGINT) AS x_dmm,
+    ELSE (1.0e0 - u) * dstx01 + (u + v - 1.0e0) * dstx11 + (1.0e0 - v) * dstx10 END) * 1e2 + 0.5e0) AS BIGINT) AS x_cm,
   CAST(FLOOR((CASE WHEN NOT in_cov THEN py
     WHEN u + v <= 1.0e0 THEN (1.0e0 - u - v) * dsty00 + v * dsty01 + u * dsty10
-    ELSE (1.0e0 - u) * dsty01 + (u + v - 1.0e0) * dsty11 + (1.0e0 - v) * dsty10 END) * 1e4 + 0.5e0) AS BIGINT) AS y_dmm
+    ELSE (1.0e0 - u) * dsty01 + (u + v - 1.0e0) * dsty11 + (1.0e0 - v) * dsty10 END) * 1e2 + 0.5e0) AS BIGINT) AS y_cm
 FROM bary
 """
 
@@ -720,8 +723,8 @@ class _AftOracleStage:
             {
                 "o_orderkey": pa.array(ok),
                 "aft_found": pa.array(found),
-                "x_dmm": pa.array(np.floor(xo * 1e4 + 0.5).astype(np.int64)),
-                "y_dmm": pa.array(np.floor(yo * 1e4 + 0.5).astype(np.int64)),
+                "x_cm": pa.array(np.floor(xo * 1e2 + 0.5).astype(np.int64)),
+                "y_cm": pa.array(np.floor(yo * 1e2 + 0.5).astype(np.int64)),
             }
         )
 
