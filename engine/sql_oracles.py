@@ -787,7 +787,7 @@ SQL_ORACLES2["format_points"] = (q_format_points, _sql_format_points())
 # engine runs the REAL explode -> menu-5 transform -> reassemble
 # pipeline over integer-derived entities; the oracle unnests per-entity
 # vertex ordinals with range(), runs the same gkxy2tmxy chain CTEs and
-# aggregates per-vertex mm-quantized coordinate sums (quantize-then-sum
+# aggregates per-vertex cm-quantized coordinate sums (quantize-then-sum
 # so float addition order cannot differ between engines).
 
 
@@ -827,15 +827,15 @@ def q_geometry_summary(sf_dir: str) -> Dataset:
         nv = df["n_vertices"].to_numpy().astype(np.int64)
         fx = np.concatenate([np.asarray(v, dtype=np.float64) for v in df["xs"]])
         fy = np.concatenate([np.asarray(v, dtype=np.float64) for v in df["ys"]])
-        qx = np.floor(fx * 1e3 + 0.5).astype(np.int64)
-        qy = np.floor(fy * 1e3 + 0.5).astype(np.int64)
+        qx = np.floor(fx * 1e2 + 0.5).astype(np.int64)
+        qy = np.floor(fy * 1e2 + 0.5).astype(np.int64)
         starts = np.concatenate([[0], np.cumsum(nv)[:-1]]).astype(np.int64)
         return pd.DataFrame(
             {
                 "entity_id": df["entity_id"].to_numpy().astype(np.int64),
                 "n_vertices": nv,
-                "sum_x_mm": np.add.reduceat(qx, starts),
-                "sum_y_mm": np.add.reduceat(qy, starts),
+                "sum_x_cm": np.add.reduceat(qx, starts),
+                "sum_y_cm": np.add.reduceat(qy, starts),
             }
         )
 
@@ -857,8 +857,8 @@ verts AS (
  FROM ents, LATERAL unnest(range(nv)) AS t(v)),
 {chain}
 SELECT entity_id, CAST(nv AS BIGINT) AS n_vertices,
-  SUM(CAST(FLOOR(tmx * 1e3 + 0.5e0) AS BIGINT)) AS sum_x_mm,
-  SUM(CAST(FLOOR(tmy * 1e3 + 0.5e0) AS BIGINT)) AS sum_y_mm
+  SUM(CAST(FLOOR(tmx * 1e2 + 0.5e0) AS BIGINT)) AS sum_x_cm,
+  SUM(CAST(FLOOR(tmy * 1e2 + 0.5e0) AS BIGINT)) AS sum_y_cm
 FROM {last}
 GROUP BY entity_id, nv
 """
