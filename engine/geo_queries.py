@@ -128,7 +128,7 @@ def q_media_pipeline(sf_dir: str):
     from engine.multimodal import DecodeImage, image_features_stage, make_fake_media_table
     from engine.pages import sf_to_n_rows
 
-    from engine.multimodal import DecodeAudio, audio_features_stage, frame_sample_stage
+    from engine.multimodal import DecodeAudio, audio_features_stage
 
     n = max(64, sf_to_n_rows(sf_dir) // 200)
     ds = rd.from_arrow(make_fake_media_table(n))

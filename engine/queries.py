@@ -23,7 +23,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from engine.joins import broadcast_lookup, hash_join
-from engine.shuffle import grouped_count_sums, topk
+from engine.shuffle import grouped_count_sums
 
 BATCH = 65_536
 
