@@ -136,3 +136,50 @@ def ivf_topk(
             "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
         }
     )
+
+
+def brute_topk_many(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k for MANY queries at once — the broadcast-
+    query-matrix shape: each batch does ONE (batch, dim) @ (dim, q)
+    matmul and emits k partial rows per query; the driver-side final
+    merge touches n_batches*q*k rows, never the corpus. Returns
+    (query_id, vec_id, cos_milli, rank)."""
+    Q = _unit(np.asarray(queries, dtype=np.float64))  # (q, dim)
+    nq = len(Q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _unit(_emb_matrix(batch, vec_col))
+        sims = m @ Q.T  # (n, q)
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (kk, q)
+        qid = np.tile(np.arange(nq, dtype=np.int64), kk)
+        rows = top.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                id_col: pa.array(ids[rows]),
+                "cos": pa.array(sims[rows, np.tile(np.arange(nq), kk)]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "cos", id_col], ascending=[True, False, True], kind="stable"
+    )
+    parts = parts.groupby("query_id", sort=True).head(k)
+    parts["rank"] = parts.groupby("query_id").cumcount() + 1
+    return pd.DataFrame(
+        {
+            "query_id": parts["query_id"].to_numpy(),
+            id_col: parts[id_col].to_numpy(),
+            "cos_milli": np.floor(parts["cos"].to_numpy() * 1000 + 0.5).astype(np.int64),
+            "rank": parts["rank"].to_numpy().astype(np.int64),
+        }
+    )

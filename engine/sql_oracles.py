@@ -1368,3 +1368,44 @@ SQL_ORACLES2["aft_roundtrip"] = (
     q_aft_roundtrip,
     "SELECT o_orderkey, CAST(0 AS BIGINT) AS err_cmm FROM orders",
 )
+
+
+# ------------------------------------------------------------ ann_multi
+# Multi-query brute-force ANN (the broadcast-query-matrix shape the
+# mandate names): queries = vectors of vec_id 0..7; exact top-10 per
+# query (self-matches included — they rank first with cos 1000,
+# a deterministic fixture). Oracle = per-query window top-k.
+
+ANN_NQ = 8
+ANN_K = 10
+
+
+def q_ann_multi(sf_dir: str):
+    import pyarrow.compute as pc2
+    import pyarrow.parquet as pq2
+
+    from engine.ann import brute_topk_many
+
+    t = pq2.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = t.filter(pc2.less(t["vec_id"], ANN_NQ)).sort_by("vec_id")
+    Q = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_topk_many(ds, Q, k=ANN_K)
+
+
+def _sql_ann_multi() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {ANN_NQ}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(e.embedding, q.qv) AS cos
+  FROM embeddings e CROSS JOIN q),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sims)
+SELECT query_id, vec_id,
+  CAST(FLOOR(cos * 1000 + 0.5) AS BIGINT) AS cos_milli,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {ANN_K}
+"""
+
+
+SQL_ORACLES2["ann_multi"] = (q_ann_multi, _sql_ann_multi())
