@@ -30,7 +30,8 @@ def con():
 @pytest.mark.parametrize("name", sorted(SQL_ORACLES2))
 def test_sql_oracle_exact(ray_session, con, name):
     fn, sql = SQL_ORACLES2[name]
-    ray_df = fn(SF).to_pandas()
+    r = fn(SF)
+    ray_df = r.to_pandas() if hasattr(r, "to_pandas") else r
     sql_df = con.sql(sql).df()
     assert len(ray_df) == len(sql_df)
     assert sorted(ray_df.columns) == sorted(sql_df.columns)
