@@ -16,7 +16,7 @@ import pytest
 from engine.sql_oracles import SQL_ORACLES2
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("orders", "lineitem")
+TABLES = ("orders", "lineitem", "embeddings", "documents")
 
 
 @pytest.fixture(scope="module")
