@@ -203,6 +203,23 @@ def jaccard(texts_a: str, texts_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+
+def _bucket_runs(df: pd.DataFrame, bucket_cols: list[str], id_col: str):
+    """Shared LSH-bucket scaffolding: keep only rows whose bucket key
+    occurs >= 2x, sort by (bucket, id), return (sorted df, run bounds)
+    — one implementation for the minhash and simhash pair emitters."""
+    dup = df.duplicated(subset=bucket_cols, keep=False)
+    df = df.loc[dup].sort_values(bucket_cols + [id_col], kind="stable")
+    if df.empty:
+        return df, np.zeros(1, dtype=np.int64)
+    change = np.zeros(len(df) - 1, dtype=bool)
+    for c in bucket_cols:
+        v = df[c].to_numpy()
+        change |= v[1:] != v[:-1]
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(df)]])
+    return df, bounds
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     id_col: str = "doc_id",
@@ -220,20 +237,14 @@ def minhash_lsh_pairs(
     )
 
     def bucket_pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
-        # Vectorized over ALL fine buckets in this partition: keep only
-        # rows whose (band, band_hash) occurs >= 2x (the candidate
-        # buckets — a tiny fraction), then emit triu pairs per run.
-        dup = df.duplicated(subset=["band", "band_hash"], keep=False)
-        df = df.loc[dup].sort_values(["band", "band_hash", id_col], kind="stable")
+        # Vectorized over ALL fine buckets in this partition (the
+        # candidate buckets are a tiny fraction — see _bucket_runs).
+        df, bounds = _bucket_runs(df, ["band", "band_hash"], id_col)
         if df.empty:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
             )
-        band = df["band"].to_numpy()
-        bh = df["band_hash"].to_numpy()
         ids = df[id_col].to_numpy()
-        new = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
-        bounds = np.concatenate([[0], new, [len(ids)]])
         out_a, out_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             ia, ib = np.triu_indices(e - s, k=1)
@@ -303,24 +314,25 @@ def connected_components_distributed(
         lambda df: df.groupby("node", sort=False)["label"].min().reset_index(),
         num_partitions=num_partitions,
     ).materialize()
+    def edge_msgs(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, bb])),
+                "other": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    # Loop-invariant: the endpoint fan-out depends only on the edges.
+    endpoint = edges.map_batches(edge_msgs, batch_format="pyarrow").materialize()
+
     prev_sum = None
     for _ in range(max_rounds):
         # One round: for each edge emit (id_b, label(id_a)) and
         # (id_a, label(id_b)). The label lookup is a co-group: label
         # rows and edge-endpoint rows hash-partition by node, resolve
         # inside each partition, then per-node min with current labels.
-        def edge_msgs(b: pa.Table) -> pa.Table:
-            a = b["id_a"].to_numpy(zero_copy_only=False)
-            bb = b["id_b"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "node": pa.array(np.concatenate([a, bb])),
-                    "other": pa.array(np.concatenate([bb, a])),
-                }
-            )
-
-        endpoint = edges.map_batches(edge_msgs, batch_format="pyarrow")
-
         def tag_label(b: pa.Table) -> pa.Table:
             return pa.table(
                 {
@@ -463,8 +475,7 @@ def simhash_candidates(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
     ex = sh.map_batches(explode, batch_format="pyarrow")
 
     def bucket_verify_partition(df: pd.DataFrame) -> pd.DataFrame:
-        dup = df.duplicated(subset=["chunk_id", "chunk_val"], keep=False)
-        df = df.loc[dup].sort_values(["chunk_id", "chunk_val", id_col], kind="stable")
+        df, bounds = _bucket_runs(df, ["chunk_id", "chunk_val"], id_col)
         if df.empty:
             return pd.DataFrame(
                 {
@@ -473,12 +484,8 @@ def simhash_candidates(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
                     "hamming": pd.Series(dtype=np.int64),
                 }
             )
-        cid = df["chunk_id"].to_numpy()
-        cv = df["chunk_val"].to_numpy()
         ids = df[id_col].to_numpy()
         h = df["simhash"].to_numpy()
-        new = np.flatnonzero((np.diff(cid) != 0) | (np.diff(cv) != 0)) + 1
-        bounds = np.concatenate([[0], new, [len(ids)]])
         out_a, out_b, out_h = [], [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             ia, ib = np.triu_indices(e - s, k=1)
@@ -524,13 +531,27 @@ def embedding_dup_pairs(
     (1 - (1 - acos(c)/pi)^planes)^tables — ~2e-5 at c=0.9996 with the
     defaults (pytest checks recall on planted dups)."""
 
+    _planes_cache: dict[tuple, np.ndarray] = {}
+
     def bucketize(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "table_id": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
         dim = emb.shape[1]
-        planes = np.random.default_rng(777).standard_normal(
-            (num_tables, dim, num_planes)
-        )
+        key = (num_tables, dim, num_planes)
+        planes = _planes_cache.get(key)
+        if planes is None:  # deterministic; built once per worker
+            planes = _planes_cache[key] = np.random.default_rng(777).standard_normal(
+                (num_tables, dim, num_planes)
+            )
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.maximum(norm, 1e-12)
         tabs, buckets, oids, units = [], [], [], []

@@ -52,8 +52,17 @@ def broadcast_lookup(
             self.cols = {
                 c: t[c].to_numpy(zero_copy_only=False)[order] for c in take_cols
             }
+            self.types = {c: t.schema.field(c).type for c in take_cols}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.sorted_keys) == 0:  # empty small side
+                if how == "inner":
+                    return batch.slice(0, 0)
+                for c in take_cols:
+                    batch = batch.append_column(
+                        c, pa.nulls(batch.num_rows, self.types[c])
+                    )
+                return batch
             k = batch[left_key]
             if isinstance(k, pa.ChunkedArray):
                 k = k.combine_chunks()
@@ -104,20 +113,12 @@ def hash_join(
 
     def tag(side: str, missing: dict):
         def fn(batch: pa.Table) -> pa.Table:
-            k = batch[key]
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            kv = k.to_numpy(zero_copy_only=False)
-            if kv.dtype.kind in "iu":
-                hv = kv.astype(np.int64) * np.int64(2654435761)
-            else:
-                import zlib
+            from engine.shuffle import deterministic_key_hash
 
-                # Deterministic across worker processes (built-in hash()
-                # is PYTHONHASHSEED-randomized per process).
-                hv = np.array(
-                    [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
-                )
+            # Shared well-mixed hash: the earlier raw Knuth multiply is
+            # the identity mod power-of-two bucket counts (2654435761 %
+            # 16 == 1), collapsing stride-aligned keys into one bucket.
+            hv = deterministic_key_hash(batch, [key])
             b = np.abs(hv % np.int64(num_buckets)).astype(np.int32)
             batch = batch.append_column("_bucket", pa.array(b)).append_column(
                 "_side", pa.array(np.full(batch.num_rows, side))
@@ -154,6 +155,9 @@ def semi_filter(ds: Dataset, keys: np.ndarray, key: str, anti: bool = False) -> 
 
     def fn(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref)
+        if len(ks) == 0:  # empty key set: semi keeps nothing, anti all
+            keep = np.full(batch.num_rows, bool(anti))
+            return batch.filter(pa.array(keep))
         k = batch[key]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()

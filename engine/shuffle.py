@@ -24,6 +24,31 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 
+def deterministic_key_hash(batch: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Deterministic int64 hash of one or more key columns, identical
+    across worker processes (NOT built-in hash(): PYTHONHASHSEED
+    differs per process) and well-mixed in the high bits (the raw
+    Knuth multiply is the identity permutation mod a power of two —
+    ``2654435761 % 16 == 1`` — so always fold with >> 32). Shared by
+    keyed_partition_map, grouped_count_sums and joins.hash_join."""
+    h = np.zeros(batch.num_rows, dtype=np.int64)
+    for k in keys:
+        kc = batch[k]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        kv = kc.to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            hk = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
+        else:
+            import zlib
+
+            hk = np.array(
+                [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
+            )
+        h = h * np.int64(1000003) + hk
+    return h
+
+
 def _combine_batch(
     batch: pa.Table,
     keys: Sequence[str],
@@ -38,7 +63,7 @@ def _combine_batch(
     import pandas as pd
 
     df = batch.to_pandas()
-    g = df.groupby(list(keys), sort=False)
+    g = df.groupby(list(keys), sort=False, dropna=False)
     agg: dict[str, tuple] = {"_cnt": (keys[0], "size")}
     for c in sum_cols:
         agg[f"_sum_{c}"] = (c, "sum")
@@ -85,34 +110,10 @@ def grouped_count_sums(
         ),
     )
 
-    def add_pkey(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.int64)
-        for k in keys:
-            kc = batch[k]
-            if isinstance(kc, pa.ChunkedArray):
-                kc = kc.combine_chunks()
-            kv = kc.to_numpy(zero_copy_only=False)
-            if kv.dtype.kind in "iu":
-                hk = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
-            else:
-                # NOT built-in hash(): PYTHONHASHSEED differs per worker
-                # process, which would scatter one key across partitions.
-                import zlib
-
-                hk = np.array(
-                    [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
-                )
-            h = h * np.int64(1000003) + hk
-        return batch.append_column(
-            "_pkey", pa.array((np.abs(h) % num_partitions).astype(np.int32))
-        )
-
-    parts = partials.map_batches(add_pkey, batch_format="pyarrow")
-
     import pandas as pd
 
     def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop(columns=["_pkey"]).groupby(keys, sort=False)
+        g = df.groupby(keys, sort=False, dropna=False)
         agg: dict[str, tuple] = {"_cnt": ("_cnt", "sum")}
         for c in sum_all:
             agg[f"_sum_{c}"] = (f"_sum_{c}", "sum")
@@ -133,7 +134,7 @@ def grouped_count_sums(
             out[f"max_{c}"] = g[f"_max_{c}"]
         return out
 
-    return parts.groupby("_pkey").map_groups(merge_partition, batch_format="pandas")
+    return keyed_partition_map(partials, keys, merge_partition, num_partitions)
 
 
 def keyed_partition_map(
@@ -153,23 +154,7 @@ def keyed_partition_map(
     times and lets the partition_fn handle fine groups at C speed."""
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.int64)
-        for key in keys:
-            k = batch[key]
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            kv = k.to_numpy(zero_copy_only=False)
-            if kv.dtype.kind in "iu":
-                h = h * np.int64(1000003) + (
-                    kv.astype(np.int64) * np.int64(-7046029254386353131) >> np.int64(32)
-                )
-            else:
-                import zlib
-
-                # crc32, not hash(): PYTHONHASHSEED varies per worker.
-                h = h * np.int64(1000003) + np.array(
-                    [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
-                )
+        h = deterministic_key_hash(batch, keys)
         return batch.append_column(
             "_pkey", pa.array((np.abs(h) % num_partitions).astype(np.int32))
         )
