@@ -61,3 +61,46 @@ def test_grid_knn_matches_brute():
     gi, gd = grid_knn(px, py, cp["x"], cp["y"], 3, cell=15000.0)
     assert np.array_equal(bi, gi)
     assert np.allclose(bd, gd)
+
+
+def test_semi_anti_filter_empty_key_set(ray_session):
+    """Empty broadcast key set: semi keeps nothing, anti keeps all
+    (previously IndexError via np.clip into a size-0 array)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.joins import semi_filter
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(np.arange(10, dtype=np.int64))}))
+    assert semi_filter(ds, np.array([], dtype=np.int64), "k").count() == 0
+    assert semi_filter(ds, np.array([], dtype=np.int64), "k", anti=True).count() == 10
+
+
+def test_broadcast_lookup_empty_small_side(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.joins import broadcast_lookup
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(np.arange(5, dtype=np.int64))}))
+    small = pa.table({"k2": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    left = broadcast_lookup(ds, small, "k", "k2", ["v"], how="left").to_pandas()
+    assert len(left) == 5 and left["v"].isna().all()
+    inner = broadcast_lookup(ds, small, "k", "k2", ["v"], how="inner")
+    assert inner.count() == 0
+
+
+def test_bucket_hash_spreads_stride_aligned_keys():
+    """Stride-2^k keys must not collapse into one hash-join bucket
+    (the raw Knuth multiply is the identity mod powers of two)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.shuffle import deterministic_key_hash
+
+    keys = pa.table({"k": pa.array(np.arange(0, 16 * 1000, 16, dtype=np.int64))})
+    h = deterministic_key_hash(keys, ["k"])
+    buckets = np.unique(np.abs(h) % 16)
+    assert len(buckets) == 16  # all buckets populated
