@@ -60,11 +60,20 @@ def run_resumable(
     groups = [shards[i : i + shard_group_size] for i in range(0, len(shards), shard_group_size)]
     done = completed_partitions(out_dir)
     t_run = time.time()
-    skipped, executed, total_rows = 0, 0, 0
+    skipped, executed, rerun_stale, total_rows = 0, 0, 0, 0
     for part, group in enumerate(groups):
         if part in done:
-            skipped += 1
-            continue
+            # A manifest only proves THIS shard group is complete if it
+            # recorded the same src_files — a changed shard list or
+            # group size shifts groups and would otherwise silently
+            # skip unprocessed shards.
+            with open(_manifest_path(out_dir, part)) as f:
+                recorded = json.load(f).get("src_files")
+            if recorded == group:
+                skipped += 1
+                continue
+            os.unlink(_manifest_path(out_dir, part))
+            rerun_stale += 1
         part_dir = os.path.join(out_dir, f"part={part:05d}")
         # A dead mid-write run leaves data without a manifest: wipe.
         if os.path.isdir(part_dir):
@@ -101,6 +110,7 @@ def run_resumable(
         "partitions": len(groups),
         "executed": executed,
         "skipped_complete": skipped,
+        "rerun_stale_manifest": rerun_stale,
         "rows_out_this_run": total_rows,
         "wall_sec": round(time.time() - t_run, 3),
     }

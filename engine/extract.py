@@ -43,12 +43,19 @@ PAT_D96 = r"x=(?P<x>\d{4,7}\.\d) y=(?P<y>\d{4,7}\.\d) \(D96/TM\)"
 # per match. Selection rule: earliest occurrence in the text wins (the
 # reference parses line-at-a-time, so per-page multiple formats have no
 # reference analog; the corpus embeds at most one coordinate per page).
-PAT_ALL = (
-    r"(?:x=(?P<x48>\d{4,7}\.\d) y=(?P<y48>\d{4,7}\.\d) \(D48/GK\))"
-    r"|(?:x=(?P<x96>\d{4,7}\.\d) y=(?P<y96>\d{4,7}\.\d) \(D96/TM\))"
-    r"|(?:(?P<fd>\d{1,2})°(?P<fm>\d{2})'(?P<fs>\d{2}\.\d{2})\" N "
-    r"(?P<ld>\d{1,3})°(?P<lm>\d{2})'(?P<ls>\d{2}\.\d{2})\" E)"
-    r"|(?:(?P<fi>\d{2}\.\d{1,6}), (?P<la>\d{2}\.\d{1,6}))"
+def _rename_groups(pat: str, mapping: dict[str, str]) -> str:
+    for old, new in mapping.items():
+        pat = pat.replace(f"(?P<{old}>", f"(?P<{new}>")
+    return pat
+
+
+PAT_ALL = "|".join(
+    [
+        "(?:" + _rename_groups(PAT_D48, {"x": "x48", "y": "y48"}) + ")",
+        "(?:" + _rename_groups(PAT_D96, {"x": "x96", "y": "y96"}) + ")",
+        "(?:" + PAT_DMS + ")",
+        "(?:" + PAT_DEC + ")",
+    ]
 )
 
 

@@ -28,21 +28,6 @@ from engine.shuffle import grouped_count_sums, topk
 from engine.stages import prepare_stage, spatial_join_stage
 
 
-def _default_actor_concurrency() -> tuple[int, int]:
-    """Size the join actor pool to the session: min ncpu/4 so the pool
-    is warm immediately instead of trickling through autoscale-up
-    (actor __init__ loads assets, ~1 s each — pay it in parallel up
-    front), max ~2/3 of CPUs (headroom for the read + reduce stages).
-    Small sessions degrade to min 1 — never deadlock a 4-CPU test."""
-    import ray
-
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:  # noqa: BLE001 — not initialised yet
-        ncpu = 4
-    return (max(1, ncpu // 4), max(2, (2 * ncpu) // 3))
-
-
 def enrich_pages(
     pages_path: str | list[str],
     level: int = 12,

@@ -68,8 +68,10 @@ def rasterize_points(
     from engine.shuffle import grouped_count_sums
 
     def to_pixels(batch: pa.Table) -> pa.Table:
-        x = batch[x_col].to_numpy(zero_copy_only=False)
-        y = batch[y_col].to_numpy(zero_copy_only=False)
+        from engine.util import col_np
+
+        x = col_np(batch, x_col)
+        y = col_np(batch, y_col)
         r, c, inb = spec.pixel_of(x, y)
         cols = {
             "pix": pa.array(r[inb] * spec.ncols + c[inb]),
@@ -117,10 +119,16 @@ class RasterSampler:
         """Returns (nearest, bilinear, in_bounds); out-of-extent points
         get 0.0 (reference K8 fallback convention)."""
         sp = self.spec
+        # in_bounds = FULL raster extent (same rule as pixel_of), not
+        # the pixel-center hull: points in the outer half-pixel band
+        # have a well-defined nearest pixel and get edge-clamped
+        # bilinear, instead of being zeroed.
+        rx = (np.asarray(x, dtype=np.float64) - sp.x0) / sp.dx
+        cx_ = (np.asarray(y, dtype=np.float64) - sp.y0) / sp.dy
+        inb = (rx >= 0.0) & (rx < sp.nrows) & (cx_ >= 0.0) & (cx_ < sp.ncols)
         # Continuous pixel-center coordinates.
-        rf = (np.asarray(x, dtype=np.float64) - sp.x0) / sp.dx - 0.5
-        cf = (np.asarray(y, dtype=np.float64) - sp.y0) / sp.dy - 0.5
-        inb = (rf >= 0.0) & (rf <= sp.nrows - 1) & (cf >= 0.0) & (cf <= sp.ncols - 1)
+        rf = rx - 0.5
+        cf = cx_ - 0.5
         rfc = np.clip(rf, 0.0, sp.nrows - 1.000000001)
         cfc = np.clip(cf, 0.0, sp.ncols - 1.000000001)
         r0 = np.minimum(np.floor(rfc).astype(np.int64), sp.nrows - 2)
@@ -179,16 +187,14 @@ def zonal_stats(
     all). PIP against the broadcast polygon set per batch, then the
     combiner groupby."""
     from engine.shuffle import grouped_count_sums
-    from geokit.polygons import pip_lookup
+    from engine.util import col_np
+    from geokit.polygons import zone_of
 
     def assign(batch: pa.Table) -> pa.Table:
-        px = batch[x_col].to_numpy(zero_copy_only=False)
-        py = batch[y_col].to_numpy(zero_copy_only=False)
-        idx = pip_lookup(polys, px, py)
-        zone = np.where(idx >= 0, polys.muni_id[np.where(idx >= 0, idx, 0)], -1)
+        zone = zone_of(polys, col_np(batch, x_col), col_np(batch, y_col))
         return pa.table(
             {
-                "zone": pa.array(zone.astype(np.int32)),
+                "zone": pa.array(zone, pa.int32()),
                 value_col: batch[value_col],
             }
         )

@@ -178,9 +178,11 @@ class PipJoin:
         py = _np(batch, self.y_col)
         idx = pip_lookup(self.polys, px, py)
         found = idx >= 0
-        muni = np.where(found, self.polys.muni_id[np.where(found, idx, 0)], -1).astype(
-            np.int32
-        )
+        # (zone_of exists for single-output callers; here idx is also
+        # needed for the name gather, so the lookup runs once.)
+        muni = np.where(
+            found, self.polys.muni_id[np.where(found, idx, 0)], -1
+        ).astype(np.int32)
         names = np.where(found, self.polys.name[np.where(found, idx, 0)], None)
         return batch.append_column("muni_id", pa.array(muni, pa.int32())).append_column(
             "muni_name", pa.array(names, pa.string())

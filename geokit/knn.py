@@ -68,8 +68,9 @@ class PaddedGridKnn:
     def __init__(self, cx: np.ndarray, cy: np.ndarray, k: int, ncells: int = 16384):
         self.cx = np.asarray(cx, dtype=np.float64)
         self.cy = np.asarray(cy, dtype=np.float64)
-        self.k = k
         m = len(self.cx)
+        self.k = min(k, m)  # brute_knn output contract: k = min(k, m)
+        k = self.k
         x0, x1 = self.cx.min(), self.cx.max()
         y0, y1 = self.cy.min(), self.cy.max()
         aspect = max(x1 - x0, 1e-9) / max(y1 - y0, 1e-9)
@@ -158,6 +159,7 @@ def grid_knn(
     candidates. Same output contract as brute_knn."""
     cx = np.asarray(cx, dtype=np.float64)
     cy = np.asarray(cy, dtype=np.float64)
+    k = min(k, len(cx))  # same clamp as brute_knn
     x0, y0 = cx.min(), cy.min()
     gx = np.floor((cx - x0) / cell).astype(np.int64)
     gy = np.floor((cy - y0) / cell).astype(np.int64)

@@ -65,3 +65,12 @@ def pip_lookup(polys: PolygonSet, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         out[hits] = p
         unresolved[hits] = False
     return out
+
+
+def zone_of(polys: PolygonSet, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """First containing polygon's muni_id per point (int32, -1 when
+    outside all) — the shared PIP-join projection used by the page
+    pipeline stage and raster zonal stats."""
+    idx = pip_lookup(polys, px, py)
+    found = idx >= 0
+    return np.where(found, polys.muni_id[np.where(found, idx, 0)], -1).astype(np.int32)

@@ -191,3 +191,73 @@ def test_salted_groupby_count_matches_plain():
     exp = pd.Series(t["cell"].to_numpy()).value_counts().sort_index()
     got = out.set_index("cell").cnt.sort_index()
     assert (got.values == exp.values).all()
+
+
+def test_checkpoint_stale_manifest_rerun(tmp_path, ray_session):
+    """A manifest whose src_files no longer match the current shard
+    group is stale — the partition must re-run, not be skipped."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from engine.checkpoint import run_resumable
+
+    shards = []
+    for i in range(4):
+        f = tmp_path / f"s{i}.parquet"
+        pq.write_table(pa.table({"v": [i]}), f)
+        shards.append(str(f))
+
+    def pipe(group):
+        return rd.read_parquet(group)
+
+    out = str(tmp_path / "out")
+    m1 = run_resumable(shards[:2], out, pipe, shard_group_size=2)
+    assert m1["executed"] == 1
+    # Same layout: skipped.
+    m2 = run_resumable(shards[:2], out, pipe, shard_group_size=2)
+    assert m2["skipped_complete"] == 1 and m2["executed"] == 0
+    # Shards sorting BEFORE the originals shift the groups: part 0's
+    # manifest no longer matches its group -> stale -> rerun.
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    early = str(tmp_path / "a0.parquet")
+    pq2.write_table(pa2.table({"v": [99]}), early)
+    m3 = run_resumable([early] + shards[:2], out, pipe, shard_group_size=2)
+    assert m3["rerun_stale_manifest"] == 1 and m3["executed"] == 2
+
+
+def test_knn_k_exceeds_control_points():
+    import numpy as np
+
+    from geokit.knn import PaddedGridKnn, brute_knn, grid_knn
+
+    cx = np.array([0.0, 10.0, 20.0])
+    cy = np.array([0.0, 0.0, 0.0])
+    px = np.array([1.0, 25.0, -100.0])
+    py = np.array([0.0, 1.0, 0.0])
+    bi, bd = brute_knn(px, py, cx, cy, k=5)
+    assert bi.shape == (3, 3)  # clamped to m
+    idx = PaddedGridKnn(cx, cy, k=5, ncells=16)
+    gi, gd = idx.query(px, py)
+    assert np.array_equal(gi, bi)
+    ri, rdist = grid_knn(px, py, cx, cy, k=5, cell=5.0)
+    assert np.array_equal(ri, bi)
+
+
+def test_raster_sampler_border_band():
+    """Points inside the raster extent but outside the pixel-center
+    hull sample the nearest edge pixel, not 0 (review finding)."""
+    import numpy as np
+
+    from engine.raster import RasterSampler, RasterSpec
+
+    spec = RasterSpec(x0=0.0, y0=0.0, dx=10.0, dy=10.0, nrows=4, ncols=4)
+    samp = RasterSampler(spec, value_fn=lambda r, c: 100.0 + r * 4 + c)
+    near, bilin, inb = samp.sample(np.array([1.0, -0.1]), np.array([1.0, 5.0]))
+    assert inb[0] and not inb[1]
+    assert near[0] == 100.0  # pixel (0,0), not zero
+    assert bilin[0] == 100.0  # edge-clamped
+    assert near[1] == 0.0  # genuinely outside the extent
