@@ -83,8 +83,20 @@ def cmd_convert(args: argparse.Namespace) -> int:
 
     labels, a, b, h, kinds = _parse_point_lines(lines, reverse=args.reverse)
     t = args.transform
-    if t in (7, 8, 9, 10):
+    # Magnitude autodetect vs the chosen transform's input space
+    # (reference gk-slo warns on implausible input; SURVEY.md §2.3 M4).
+    expected = "geo" if t in (2, 4, 8) else "proj"
+    n_mismatch = sum(1 for k in kinds if k != expected)
+    if n_mismatch:
+        print(
+            f"warning: {n_mismatch}/{len(kinds)} input line(s) look like "
+            f"{'projected' if expected == 'geo' else 'geographic'} coordinates "
+            f"but -t {t} expects {expected} input",
+            file=sys.stderr,
+        )
+    if t in (7, 9):
         aft_f = assets.load_aft("fwd")
+    elif t in (8, 10):
         aft_i = assets.load_aft("inv")
     if t == 1:
         fi, la = T.tmxy2fila_wgs(a, b)

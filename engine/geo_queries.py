@@ -91,16 +91,20 @@ def q_geometry_transform(sf_dir: str):
 
     n_ent = max(50, sf_to_n_rows(sf_dir) // 100)
     rng = np.random.default_rng(123)
-    xs, ys = [], []
-    for _ in range(n_ent):
-        n = int(rng.integers(3, 12))
-        xs.append(list(rng.uniform(80000, 180000, n)))
-        ys.append(list(rng.uniform(400000, 600000, n)))
+    # Fully vectorized draws (three C-speed calls instead of a
+    # per-entity Python loop that took minutes of driver time at
+    # sf >= 1; the fixture stays deterministic, just with a different
+    # draw order than the old loop).
+    counts = rng.integers(3, 12, n_ent).astype(np.int64)
+    total = int(counts.sum())
+    flat_x = rng.uniform(80000, 180000, total)
+    flat_y = rng.uniform(400000, 600000, total)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     t = pa.table(
         {
             "entity_id": pa.array(np.arange(n_ent, dtype=np.int64)),
-            "xs": pa.array(xs, pa.list_(pa.float64())),
-            "ys": pa.array(ys, pa.list_(pa.float64())),
+            "xs": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat_x)),
+            "ys": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat_y)),
         }
     )
     out = transform_geometry(rd.from_arrow(t), transform=5)

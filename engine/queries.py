@@ -490,7 +490,7 @@ def q_ann_bruteforce(sf_dir: str):
     from engine.ann import brute_topk
 
     qvec = (
-        _pq.read_table(f"{sf_dir}/embeddings.parquet")
+        _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0]
         .as_py()
     )
@@ -514,17 +514,20 @@ LIMIT 10
 
 def q_ann_ivf(sf_dir: str):
     """IVF approximate cosine top-10 (rows-only; pytest measures
-    recall vs brute force)."""
+    recall vs brute force). The query vector is selected BY vec_id
+    (never by row position — parquet row order is not a contract) and
+    the training slice reads only the projected columns through the
+    zero-copy flat buffer, not to_pylist."""
     import pyarrow.parquet as _pq
 
-    from engine.ann import IvfIndex, ivf_topk
+    from engine.ann import IvfIndex, _emb_matrix, ivf_topk
 
-    t = _pq.read_table(f"{sf_dir}/embeddings.parquet")
-    import numpy as _np
-
-    train = _np.asarray(t["embedding"].to_pylist(), dtype=_np.float64)
-    qvec = train[0]
-    index = IvfIndex(train[: min(len(train), 2000)], n_lists=16)
+    t = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    train = _emb_matrix(t.slice(0, min(t.num_rows, 2000)), "embedding")
+    qvec = _emb_matrix(t.filter(pc.equal(t["vec_id"], 0)), "embedding")[0]
+    index = IvfIndex(train, n_lists=16)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=256)
     return ivf_topk(ds, index, qvec, k=10, nprobe=4, exclude_ids={0})
 

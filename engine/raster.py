@@ -129,8 +129,8 @@ class RasterSampler:
         # Continuous pixel-center coordinates.
         rf = rx - 0.5
         cf = cx_ - 0.5
-        rfc = np.clip(rf, 0.0, sp.nrows - 1.000000001)
-        cfc = np.clip(cf, 0.0, sp.ncols - 1.000000001)
+        rfc = np.clip(rf, 0.0, float(sp.nrows - 1))
+        cfc = np.clip(cf, 0.0, float(sp.ncols - 1))
         r0 = np.minimum(np.floor(rfc).astype(np.int64), sp.nrows - 2)
         c0 = np.minimum(np.floor(cfc).astype(np.int64), sp.ncols - 2)
         fr = rfc - r0

@@ -967,8 +967,8 @@ ra AS (SELECT o_orderkey, (px - {_c(sp.x0)}) / {_c(sp.dx)} AS rx,
               (py - {_c(sp.y0)}) / {_c(sp.dy)} AS cx_ FROM pts),
 ra2 AS (SELECT *, rx - 0.5e0 AS rf, cx_ - 0.5e0 AS cf FROM ra),
 rb AS (SELECT *, (rx >= 0.0e0 AND rx < {nr}.0e0 AND cx_ >= 0.0e0 AND cx_ < {nc}.0e0) AS inb,
-  LEAST(GREATEST(rf, 0.0e0), {_c(nr - 1.000000001)}) AS rfc,
-  LEAST(GREATEST(cf, 0.0e0), {_c(nc - 1.000000001)}) AS cfc FROM ra2),
+  LEAST(GREATEST(rf, 0.0e0), {nr - 1}.0e0 + 0.0e0) AS rfc,
+  LEAST(GREATEST(cf, 0.0e0), {nc - 1}.0e0 + 0.0e0) AS cfc FROM ra2),
 rc AS (SELECT *, LEAST(CAST(floor(rfc) AS BIGINT), {nr - 2}) AS r0,
   LEAST(CAST(floor(cfc) AS BIGINT), {nc - 2}) AS c0,
   LEAST(GREATEST(CAST(floor(rfc + 0.5e0) AS BIGINT), 0), {nr - 1}) AS rn,

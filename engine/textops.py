@@ -49,9 +49,8 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality metrics per document, all exact-int based so aggregates
-    are engine-order independent: n_chars, n_tokens, n_punct, n_digit,
-    mean_token_len_milli (int64: 1000*chars_in_tokens/n_tokens,
-    half-away rounding), alpha_ratio_milli."""
+    are engine-order independent: n_chars_q, n_tokens, n_punct,
+    n_digit, alpha_ratio_milli."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -60,7 +59,6 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_punct = pc.count_substring_regex(text, r"[.,!?;:]").to_numpy(zero_copy_only=False).astype(np.int64)
     n_digit = pc.count_substring_regex(text, r"[0-9]").to_numpy(zero_copy_only=False).astype(np.int64)
     n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.int64)
-    nt = np.maximum(n_tokens, 1)
     alpha_ratio_milli = np.floor(1000.0 * n_alpha / np.maximum(n_chars, 1) + 0.5).astype(np.int64)
     return (
         batch.append_column("n_chars_q", pa.array(n_chars))
@@ -98,7 +96,7 @@ def rolling_fingerprint(texts: np.ndarray, window: int = 16) -> np.ndarray:
     near-dup prefilter primitive. Vectorized per doc over its byte
     array; docs shorter than the window hash whole-content."""
     out = np.empty(len(texts), dtype=np.int64)
-    powB = _B ** np.uint64(window - 1)
+    powers = _B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
     for i, t in enumerate(texts):
         b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         n = len(b)
@@ -112,7 +110,6 @@ def rolling_fingerprint(texts: np.ndarray, window: int = 16) -> np.ndarray:
         # All w-byte window hashes in one C-level matmul over a
         # zero-copy stride view (equivalent to the rolling recurrence
         # mod 2^64, without Python-level per-position work).
-        powers = _B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
         view = np.lib.stride_tricks.sliding_window_view(b, window)
         hs = (view * powers).sum(axis=1, dtype=np.uint64)
         out[i] = np.int64(hs.min() >> np.uint64(1))

@@ -51,8 +51,11 @@ def geoid_undulation(
     ci = (la - grid.lon0) / grid.dlon
     in_bounds = (ri >= 0.0) & (ri <= nrows - 1) & (ci >= 0.0) & (ci <= ncols - 1)
 
-    ric = np.clip(ri, 0.0, nrows - 1.000000001)
-    cic = np.clip(ci, 0.0, ncols - 1.000000001)
+    # Clip to the exact last node (the r0 = min(floor, nrows-2) guard
+    # below handles the edge cell); an epsilon clamp here would make
+    # the top-edge nodes bilinearly inexact.
+    ric = np.clip(ri, 0.0, float(nrows - 1))
+    cic = np.clip(ci, 0.0, float(ncols - 1))
     r0 = np.floor(ric).astype(np.int64)
     c0 = np.floor(cic).astype(np.int64)
     r0 = np.minimum(r0, nrows - 2)
