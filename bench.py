@@ -50,7 +50,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import pyarrow.parquet as pq
     import glob
 
-    for f in glob.glob(pages_path + "/*.parquet") + [f"{sf_dir}/lineitem.parquet"]:
+    warm_tables = ["lineitem", "orders", "events", "documents", "embeddings"]
+    for f in glob.glob(pages_path + "/*.parquet") + [
+        f"{sf_dir}/{t}.parquet" for t in warm_tables
+    ]:
         pq.read_table(f)
 
     results: dict[str, float] = {}

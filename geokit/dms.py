@@ -48,19 +48,29 @@ def format_deg(dd: np.ndarray, decimals: int = 9) -> np.ndarray:
 
 
 def format_dms(dd: np.ndarray, sec_decimals: int = 5) -> np.ndarray:
-    """`46°03'25.12345"`-style strings."""
-    d, m, s = deg2dms(dd)
+    """`46°03'25.12345"`-style strings. The sign is carried as an
+    explicit prefix (NOT in the degrees digit): for inputs in (-1, 0)
+    the sign lives in -0.0 degrees, which ``int()`` formats as "0" and
+    sign-based carry logic mis-handles (-0.99999999999 used to print
+    as +1°00'00")."""
+    dd = np.asarray(dd, dtype=np.float64)
     out = []
-    for di, mi, si in zip(d, m, s):
-        # Carry seconds that round up to 60.
-        si = round(si, sec_decimals)
+    for v in dd:
+        neg = bool(np.signbit(v))
+        ad = abs(v)
+        di = int(ad)
+        rem = (ad - di) * 60.0
+        mi = int(rem)
+        si = round((rem - mi) * 60.0, sec_decimals)
+        # Carry seconds/minutes that round up to 60 (magnitudes only).
         if si >= 60.0:
             si -= 60.0
             mi += 1
-        if mi >= 60.0:
-            mi -= 60.0
-            di += np.sign(di) if di != 0 else 1
-        out.append(f"{int(di)}°{int(mi):02d}'{si:0{3 + sec_decimals}.{sec_decimals}f}\"")
+        if mi >= 60:
+            mi -= 60
+            di += 1
+        sign = "-" if neg else ""
+        out.append(f"{sign}{di}°{mi:02d}'{si:0{3 + sec_decimals}.{sec_decimals}f}\"")
     return np.array(out)
 
 

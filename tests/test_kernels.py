@@ -157,3 +157,14 @@ def test_cells_global_sanity():
     faces = cells.cell_face(cid)
     assert set(np.unique(faces)) <= {0, 1, 2, 3, 4, 5}
     assert len(np.unique(faces)) == 6
+
+
+def test_format_dms_negative_fraction_sign():
+    """Sign must survive for degrees in (-1, 0): -0.5 deg is
+    -0°30', and -0.99999999999 must NOT print as +1° (review bug)."""
+    from geokit.dms import format_dms
+
+    got = format_dms(np.array([-0.5, -0.99999999999, -46.0569]))
+    assert got[0] == "-0°30'00.00000\""
+    assert got[1] == "-1°00'00.00000\""
+    assert got[2].startswith("-46°03'")

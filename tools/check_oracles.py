@@ -32,7 +32,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+    # Sort by exact-typed (int/str/bool) columns FIRST: float columns
+    # can differ in low bits between engines, and a float-led sort
+    # could order rows differently on each side, misaligning the
+    # positional compare of otherwise-matching rows.
+    order = sorted(df.columns, key=lambda c: (np.issubdtype(df[c].dtype, np.floating), c))
+    return df.sort_values(by=order, kind="stable").reset_index(drop=True)
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
