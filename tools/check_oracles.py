@@ -27,16 +27,20 @@ def to_pandas(res) -> pd.DataFrame:
     return res
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, float_cols: set | None = None) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    # Sort by exact-typed (int/str/bool) columns FIRST: float columns
-    # can differ in low bits between engines, and a float-led sort
-    # could order rows differently on each side, misaligning the
-    # positional compare of otherwise-matching rows.
-    order = sorted(df.columns, key=lambda c: (np.issubdtype(df[c].dtype, np.floating), c))
+    # Sort by exact-typed columns FIRST, floats last: float columns can
+    # differ in low bits between engines and a float-led sort could
+    # misalign rows. float_cols must be the UNION of both frames'
+    # float columns (dtypes differ across engines — e.g. DuckDB HUGEINT
+    # sums arrive as float64 while Ray's are int64), so both frames
+    # sort in the same column order.
+    if float_cols is None:
+        float_cols = {c for c in df.columns if np.issubdtype(df[c].dtype, np.floating)}
+    order = sorted(df.columns, key=lambda c: (c in float_cols, c))
     return df.sort_values(by=order, kind="stable").reset_index(drop=True)
 
 
@@ -49,7 +53,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         return errs
     if errs:
         return errs
-    a, b = canon(ray_df), canon(sql_df)
+    float_cols = {
+        c
+        for df in (ray_df, sql_df)
+        for c in df.columns
+        if np.issubdtype(df[c].dtype, np.floating)
+    }
+    a, b = canon(ray_df, float_cols), canon(sql_df, float_cols)
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
