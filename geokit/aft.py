@@ -41,6 +41,12 @@ class AftTriangulation:
     ncy: int = 0
     cell_start: np.ndarray | None = None  # (ncx*ncy + 1,) int64 CSR offsets
     cell_tris: np.ndarray | None = None  # flat int32 candidate ids
+    # Closed-form fast path (set by build_index when the triangulation
+    # is a regular grid split — the official tie-point tables are):
+    grid_nx: int = 0  # 0 = not grid-regular, use the general index
+    grid_ny: int = 0
+    grid_sx: float = 1.0
+    grid_sy: float = 1.0
 
 
 def _orient_ccw(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
@@ -107,7 +113,7 @@ def build_index(tri: AftTriangulation, target_cells: int = 4096) -> AftTriangula
     np.add.at(cell_start, cell_id_s + 1, 1)
     cell_start = np.cumsum(cell_start)
 
-    return AftTriangulation(
+    out = AftTriangulation(
         name=tri.name,
         verts=v,
         tris=tris,
@@ -121,14 +127,94 @@ def build_index(tri: AftTriangulation, target_cells: int = 4096) -> AftTriangula
         cell_start=cell_start,
         cell_tris=tri_ids_s,
     )
+    _detect_grid_regular(out)
+    return out
+
+
+def _detect_grid_regular(tri: AftTriangulation) -> None:
+    """Detect the regular grid-split structure (lattice vertices, two
+    fixed-diagonal triangles per cell in block layout) and enable the
+    O(1) closed-form locate. Every condition is VERIFIED exactly — any
+    mismatch leaves the general candidate-index path in charge."""
+    v = tri.verts
+    t = tri.tris
+    n = len(v)
+    m = len(t)
+    if m % 2 or n < 4:
+        return
+    ncell = m // 2
+    # Infer (nx, ny) from the lattice: y varies fastest in index order.
+    ys = v[:, 1]
+    ny = int(np.argmax(ys[1:] < ys[:-1])) + 1 if n > 1 else 1
+    if ny <= 1 or n % ny:
+        return
+    nx = n // ny
+    if (nx - 1) * (ny - 1) != ncell:
+        return
+    sx = (v[ny, 0] - v[0, 0]) if nx > 1 else 1.0
+    sy = (v[1, 1] - v[0, 1]) if ny > 1 else 1.0
+    if sx <= 0 or sy <= 0:
+        return
+    i = np.repeat(np.arange(nx), ny)
+    j = np.tile(np.arange(ny), nx)
+    if not (
+        np.array_equal(v[:, 0], v[0, 0] + i * sx)
+        and np.array_equal(v[:, 1], v[0, 1] + j * sy)
+    ):
+        return
+    # Triangle topology: block 0 = {n00, n01, n10} per cell (row-major
+    # over (nx-1, ny-1)), block 1 = {n01, n11, n10} — winding-agnostic
+    # set comparison (build_index may have flipped orientation).
+    r = np.repeat(np.arange(nx - 1), ny - 1)
+    c = np.tile(np.arange(ny - 1), nx - 1)
+    n00 = r * ny + c
+    n01 = n00 + 1
+    n10 = n00 + ny
+    n11 = n10 + 1
+    want_lo = np.sort(np.stack([n00, n01, n10], axis=1), axis=1)
+    want_hi = np.sort(np.stack([n01, n11, n10], axis=1), axis=1)
+    got = np.sort(t, axis=1)
+    if not (
+        np.array_equal(got[:ncell], want_lo) and np.array_equal(got[ncell:], want_hi)
+    ):
+        return
+    tri.grid_nx = nx
+    tri.grid_ny = ny
+    tri.grid_sx = float(sx)
+    tri.grid_sy = float(sy)
+
+
+def _locate_grid(tri: AftTriangulation, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """O(1) closed-form locate for grid-regular triangulations: floor
+    to the cell, diagonal test picks the half. ~4x faster than the
+    candidate-index path (no gather, no per-candidate sign tests).
+    Boundary semantics: points exactly ON a shared edge/diagonal get
+    the lower-indexed cell / lower triangle — the same winner the
+    general path's first-hit rule picks (both halves pass its eps
+    test there), and both halves agree in value on the edge."""
+    nx, ny = tri.grid_nx, tri.grid_ny
+    xi = (x - tri.verts[0, 0]) / tri.grid_sx
+    yj = (y - tri.verts[0, 1]) / tri.grid_sy
+    inside = (xi >= 0.0) & (xi <= nx - 1) & (yj >= 0.0) & (yj <= ny - 1)
+    i = np.minimum(np.floor(xi).astype(np.int64), nx - 2)
+    j = np.minimum(np.floor(yj).astype(np.int64), ny - 2)
+    i = np.maximum(i, 0)
+    j = np.maximum(j, 0)
+    u = xi - i
+    v = yj - j
+    ncell = (nx - 1) * (ny - 1)
+    tid = i * (ny - 1) + j + np.where(u + v > 1.0, ncell, 0)
+    return np.where(inside, tid, -1)
 
 
 def locate(tri: AftTriangulation, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Vectorized point-in-triangle lookup. Returns triangle id per
     point, -1 when outside the triangulation."""
-    assert tri.cell_start is not None, "call build_index first"
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    if tri.grid_nx:
+        return _locate_grid(tri, x, y)
+    assert tri.cell_start is not None, "call build_index first"
     n = x.shape[0]
 
     cx = np.clip(((x - tri.x0) / tri.dx).astype(np.int64), 0, tri.ncx - 1)
