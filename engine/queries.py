@@ -89,7 +89,7 @@ def q_lineitem_agg(sf_dir: str) -> Dataset:
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        COUNT(*) AS cnt
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -215,7 +215,7 @@ def q_customer_per_region(sf_dir: str) -> Dataset:
 SQL_CUSTOMER_PER_REGION = """
 SELECT r_name,
        COUNT(*) AS n_customers,
-       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_bal_cents
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -248,7 +248,7 @@ def q_segment_revenue(sf_dir: str) -> Dataset:
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -314,7 +314,7 @@ def q_events_daily(sf_dir: str) -> Dataset:
 SQL_EVENTS_DAILY = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
        MIN(CAST(ROUND(value * 1000) AS BIGINT)) AS min_value_milli,
        MAX(CAST(ROUND(value * 1000) AS BIGINT)) AS max_value_milli
 FROM events
@@ -350,8 +350,8 @@ def q_doc_token_stats(sf_dir: str) -> Dataset:
 
 SQL_DOC_TOKEN_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(text, '\\S+'))) AS sum_tokens,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
 
@@ -604,6 +604,30 @@ def q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
 
 
+def _sql_fingerprint_docs() -> str:
+    """Term-for-term HUGEINT mirror of textops.rolling_fingerprint:
+    per window position p, h = (sum_i byte_i * B^(w-1-i)) mod 2^64;
+    fingerprint = min(h) >> 1 as int64. Valid because the synthetic
+    documents corpus is pure ASCII (ord == utf-8 byte, verified at
+    every sf) and every doc is >= the 16-byte window (min len 44), so
+    the short-doc branch never fires; a shorter doc would drop out of
+    the LATERAL range and fail the driver's row-count check loudly."""
+    from engine.textops import _B
+
+    w = 16
+    pows = [pow(int(_B), w - 1 - i, 1 << 64) for i in range(w)]
+    terms = " + ".join(
+        f"ord(substr(text, p + {i}, 1)) * {pows[i]}::HUGEINT" for i in range(w)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h
+  FROM documents, LATERAL unnest(range(1, length(text) - {w - 2})) AS t(p))
+SELECT doc_id, CAST(MIN(h // 2) AS BIGINT) AS fingerprint
+FROM w GROUP BY doc_id
+"""
+
+
 REGISTRY.update(
     {
         "langid": (q_langid, SQL_LANGID),
@@ -619,7 +643,7 @@ REGISTRY.update(
         # are near-orthogonal) — verified pair-for-pair at all sfs, so
         # the brute-force SQL IS an exact oracle here.
         "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
-        "fingerprint_docs": (q_fingerprint_docs, None),
+        "fingerprint_docs": (q_fingerprint_docs, _sql_fingerprint_docs()),
     }
 )
 
@@ -646,8 +670,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, ts,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
@@ -693,7 +717,7 @@ SQL_RUNNING_TOTALS = """
 SELECT event_id, user_id,
        CAST(ROUND(value * 1000) AS BIGINT) AS value_milli,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
-       SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS running_value_milli
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS running_value_milli
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
 """
@@ -723,7 +747,7 @@ def q_parts_by_brand(sf_dir: str) -> Dataset:
 
 SQL_PARTS_BY_BRAND = """
 SELECT p_brand, COUNT(*) AS n_parts,
-       SUM(CAST(p_size AS BIGINT)) AS sum_size,
+       CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
        MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS max_price_cents,
        MIN(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS min_price_cents
 FROM part GROUP BY p_brand
@@ -753,7 +777,7 @@ def q_supplier_nation(sf_dir: str) -> Dataset:
 
 SQL_SUPPLIER_NATION = """
 SELECT n_name, COUNT(*) AS n_suppliers,
-       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS sum_bal_cents
+       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """

@@ -288,8 +288,8 @@ def _sql_geoid_interp_ctes(model: str, p: str) -> str:
     return f""",
 {p}ga AS (SELECT *, (fi - {_c(lat0)}) / {_c(dlat)} AS {p}ri, (la - {_c(lon0)}) / {_c(dlon)} AS {p}ci FROM {{prev}}),
 {p}gb AS (SELECT *, ({p}ri >= 0.0 AND {p}ri <= {nrows - 1}.0 AND {p}ci >= 0.0 AND {p}ci <= {ncols - 1}.0) AS {p}inb,
-  LEAST(GREATEST({p}ri, 0.0), {_c(nrows - 1.000000001)}) AS {p}ric,
-  LEAST(GREATEST({p}ci, 0.0), {_c(ncols - 1.000000001)}) AS {p}cic FROM {p}ga),
+  LEAST(GREATEST({p}ri, 0.0), {_c(float(nrows - 1))}) AS {p}ric,
+  LEAST(GREATEST({p}ci, 0.0), {_c(float(ncols - 1))}) AS {p}cic FROM {p}ga),
 {p}gc AS (SELECT *, LEAST(CAST(floor({p}ric) AS BIGINT), {nrows - 2}) AS {p}r0,
   LEAST(CAST(floor({p}cic) AS BIGINT), {ncols - 2}) AS {p}c0 FROM {p}gb),
 {p}gd AS (SELECT *, {p}ric - {p}r0 AS {p}fr, {p}cic - {p}c0 AS {p}fc,
@@ -857,8 +857,8 @@ verts AS (
  FROM ents, LATERAL unnest(range(nv)) AS t(v)),
 {chain}
 SELECT entity_id, CAST(nv AS BIGINT) AS n_vertices,
-  SUM(CAST(FLOOR(tmx * 1e2 + 0.5e0) AS BIGINT)) AS sum_x_cm,
-  SUM(CAST(FLOOR(tmy * 1e2 + 0.5e0) AS BIGINT)) AS sum_y_cm
+  CAST(SUM(CAST(FLOOR(tmx * 1e2 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_x_cm,
+  CAST(SUM(CAST(FLOOR(tmy * 1e2 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_y_cm
 FROM {last}
 GROUP BY entity_id, nv
 """
@@ -925,7 +925,7 @@ q AS (SELECT o_orderkey, px, py, (o_orderkey * 7919 + o_custkey) % 100000 AS v,
    CAST(floor((py - {_c(sp.y0)}) / {_c(sp.dy)}) AS BIGINT) AS c
  FROM pts JOIN orders USING (o_orderkey))
 SELECT r AS pix_row, c AS pix_col, CAST(COUNT(*) AS BIGINT) AS cnt,
-  SUM(v) AS sum_v_cents
+  CAST(SUM(v) AS BIGINT) AS sum_v_cents
 FROM q WHERE r >= 0 AND r < {sp.nrows} AND c >= 0 AND c < {sp.ncols}
 GROUP BY r, c
 """
@@ -1021,7 +1021,7 @@ z AS (
       + CAST(floor((cy - {_c(PIP_Y0)}) / {_c(dyq)}) AS BIGINT)
    ELSE -1 END AS INTEGER) AS zone, value_u
  FROM px)
-SELECT zone, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(value_u) AS sum_value_u
+SELECT zone, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(value_u) AS BIGINT) AS sum_value_u
 FROM z GROUP BY zone
 """
 

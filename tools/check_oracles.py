@@ -62,6 +62,17 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     a, b = canon(ray_df, float_cols), canon(sql_df, float_cols)
     for c in a.columns:
         av, bv = a[c].values, b[c].values
+        # The driver's value-hash is dtype- and bit-exact: an int64
+        # engine column vs a float64 oracle column (DuckDB HUGEINT
+        # arriving as float) hash-mismatches even when values agree.
+        # Mirror that: dtype divergence is a HARD failure here.
+        ak, bk = np.asarray(av).dtype.kind, np.asarray(bv).dtype.kind
+        if ak != bk:
+            errs.append(
+                f"col {c}: DTYPE ray={np.asarray(av).dtype} sql={np.asarray(bv).dtype}"
+                " (driver hash would mismatch)"
+            )
+            continue
         if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
@@ -71,7 +82,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
                 i = int(np.argmax(bad))
                 errs.append(f"col {c}: {bad.sum()} mismatches, e.g. {av[i]} vs {bv[i]}")
             elif nexact:
-                errs.append(f"col {c}: WARNING {nexact} non-bitwise float diffs (within tol)")
+                errs.append(
+                    f"col {c}: {nexact} non-bitwise float diffs (within tol but"
+                    " driver hash would mismatch)"
+                )
         else:
             if not np.array_equal(av, bv):
                 bad = av != bv
@@ -119,7 +133,7 @@ def main() -> int:
             continue
         sql_df = con.sql(oracles[name]).df()
         errs = compare(name, ray_df, sql_df)
-        hard = [x for x in errs if not x.startswith("col") or "WARNING" not in x]
+        hard = errs
         if hard:
             failures += 1
             print(f"[FAIL] {name} ({dt:.1f}s):")
