@@ -64,35 +64,42 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # host with visible steal-time noise -> report the median of 3.
     cell_rollup(enrich_pages(pages_path)).to_pandas()
 
+    import statistics
+
+    n_reps = int(os.environ.get("GRAFT_PAGES_REPS", "3"))
     walls = []
-    for _ in range(3):
+    for _ in range(n_reps):
         t0 = time.time()
         rollup = cell_rollup(enrich_pages(pages_path)).to_pandas()
         walls.append(time.time() - t0)
-    # Best-of-3: this shared host shows whole-seconds of steal-time
-    # noise (a median run measured 2x slower than an adjacent run of
-    # identical work); contention only ever slows a run, so the min
-    # wall is the honest capability number. All 3 walls are reported.
-    t_pages = min(walls)
-    results["pages_pipeline"] = round(t_pages, 3)
+    # Report BOTH median and min walls (labelled): the shared host
+    # shows whole-seconds of steal-time noise, so min approximates the
+    # capability number while median is the robust expected-run number;
+    # earlier baselines quoted min-of-3 only, which made cross-round
+    # throughput comparisons silently apples-to-oranges.
+    t_min = min(walls)
+    t_med = statistics.median(walls)
+    results["pages_pipeline"] = round(t_min, 3)
+    results["pages_pipeline_median"] = round(t_med, 3)
     geotagged_rows = int(rollup.cnt.sum())
 
-    for name in [
-        "lineitem_agg",
-        "segment_revenue",
-        "events_daily",
-        "doc_token_stats",
-        "sessionize",
-        "minhash_dedup",
-        "ann_bruteforce",
-        "helmert_chain",
-    ]:
-        fn, _ = Q.REGISTRY[name]
-        t0 = time.time()
-        r = fn(sf_dir)
-        if hasattr(r, "to_pandas"):  # Dataset / pa.Table; else already pandas
-            r.to_pandas()
-        results[name] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_BENCH_ONLY_PAGES"):
+        for name in [
+            "lineitem_agg",
+            "segment_revenue",
+            "events_daily",
+            "doc_token_stats",
+            "sessionize",
+            "minhash_dedup",
+            "ann_bruteforce",
+            "helmert_chain",
+        ]:
+            fn, _ = Q.REGISTRY[name]
+            t0 = time.time()
+            r = fn(sf_dir)
+            if hasattr(r, "to_pandas"):  # Dataset / pa.Table; else already pandas
+                r.to_pandas()
+            results[name] = round(time.time() - t0, 3)
 
     total = round(sum(results.values()), 3)
     out = {
@@ -105,30 +112,44 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pages_rows": n_pages,
         "pages_walls_all": [round(w, 3) for w in walls],
         "geotagged_rows": geotagged_rows,
-        "pages_rows_per_s": round(n_pages / t_pages, 1),
+        # min-of-reps (capability) and median-of-reps (robust) labelled:
+        "pages_rows_per_s": round(n_pages / t_min, 1),
+        "pages_rows_per_s_median": round(n_pages / t_med, 1),
     }
     ray.shutdown()
     return out
 
 
-def _hardware_control(lo: int, hi: int) -> float:
-    """Pure-CPU multiprocessing control: how much speedup the BOX
-    itself gives from lo to hi worker processes (SMT / shared-host
-    effects cap this well below hi/lo — measured 2.66x for 8->32 on
-    this sandbox). Pipeline efficiency should be judged against this
-    hardware ceiling, not against a perfect 4x the silicon cannot do."""
+def _hardware_control(lo: int, hi: int, reps: int = 3) -> dict:
+    """Pure-CPU multiprocessing control, CPU-PINNED like the bench
+    runs: how much speedup the box gives from ``lo`` cores to ``hi``
+    cores for embarrassingly parallel work. With affinity pinning and
+    no SMT this should be ~hi/lo; a lower number quantifies shared-
+    host steal. Medians of ``reps`` measurements per level + spread
+    are reported so the ceiling claim carries variance bounds."""
     import multiprocessing as mp
+    import statistics
 
     def measure(nproc: int) -> float:
-        with mp.Pool(nproc) as p:
-            t0 = time.time()
-            p.map(_burn, [6_000_000] * 64)
-            return time.time() - t0
+        old = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(nproc)))
+        try:
+            with mp.Pool(nproc) as p:
+                t0 = time.time()
+                p.map(_burn, [6_000_000] * 64)
+                return time.time() - t0
+        finally:
+            os.sched_setaffinity(0, old)
 
     measure(lo)  # warm the pool path
-    t_lo = measure(lo)
-    t_hi = measure(hi)
-    return t_lo / t_hi
+    t_lo = sorted(measure(lo) for _ in range(reps))
+    t_hi = sorted(measure(hi) for _ in range(reps))
+    med_lo, med_hi = statistics.median(t_lo), statistics.median(t_hi)
+    return {
+        "speedup": med_lo / med_hi,
+        "t_lo_all": [round(t, 3) for t in t_lo],
+        "t_hi_all": [round(t, 3) for t in t_hi],
+    }
 
 
 def _burn(n: int) -> float:
@@ -138,7 +159,24 @@ def _burn(n: int) -> float:
     return x
 
 
-def run_scaling(sf_dir: str, pairs=((8, 32), (4, 16))) -> dict:
+def run_scaling(sf_dir: str, pairs=((8, 32),)) -> dict:
+    """Scaling protocol (BASELINE.json:north_rule proxy, BASELINE.md):
+
+    - Each CPU level runs in a FRESH process, CPU-PINNED to exactly
+      that many cores (``sched_setaffinity`` to cores [0, n) — the box
+      has 32 real cores, no SMT), emulating an n-core node rather than
+      n Ray slots floating over all 32 cores.
+    - ``GRAFT_SCALING_RUNS`` (default 5) full process runs per level;
+      the per-level throughput is the MEDIAN over runs of the per-run
+      MEDIAN pages-pipeline wall (min-based numbers are reported
+      alongside, labelled — never silently mixed).
+    - A pinned pure-CPU multiprocessing control quantifies the box's
+      own ceiling with variance bounds.
+    """
+    import statistics
+
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "5"))
+
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -147,7 +185,9 @@ def run_scaling(sf_dir: str, pairs=((8, 32), (4, 16))) -> dict:
             # 4x corpus for the scaling runs: walls of several seconds
             # per run, so shared-host noise doesn't swamp the ratio.
             GRAFT_PAGES_MULT=os.environ.get("GRAFT_PAGES_MULT", "4"),
+            GRAFT_BENCH_ONLY_PAGES="1",
         )
+
         def attempt() -> dict:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -156,30 +196,43 @@ def run_scaling(sf_dir: str, pairs=((8, 32), (4, 16))) -> dict:
                 text=True,
                 check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                preexec_fn=lambda: os.sched_setaffinity(0, set(range(ncpu))),
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        # Best of 2 full process runs: whole-run steal-time episodes on
-        # this shared host were measured to halve a run's throughput.
-        a, b = attempt(), attempt()
-        return a if a["pages_rows_per_s"] >= b["pages_rows_per_s"] else b
+        runs = [attempt() for _ in range(n_runs)]
+        med_tps = sorted(r["pages_rows_per_s_median"] for r in runs)
+        min_tps = sorted(r["pages_rows_per_s"] for r in runs)
+        return {
+            "pages_rows": runs[0]["pages_rows"],
+            "tp_median_of_medians": statistics.median(med_tps),
+            "tp_median_runs_all": med_tps,
+            "tp_best": max(min_tps),
+            "tp_min_runs_all": min_tps,
+        }
 
     rows = []
     results = {}
     for lo, hi in pairs:
         r_lo = one(lo)
         r_hi = one(hi)
-        tp_lo = r_lo["pages_rows_per_s"]
-        tp_hi = r_hi["pages_rows_per_s"]
+        tp_lo = r_lo["tp_median_of_medians"]
+        tp_hi = r_hi["tp_median_of_medians"]
         eff = (tp_hi / tp_lo) / (hi / lo)
-        hw_speedup = _hardware_control(lo, hi)
-        hw_eff = hw_speedup / (hi / lo)
+        eff_best = (r_hi["tp_best"] / r_lo["tp_best"]) / (hi / lo)
+        hw = _hardware_control(lo, hi)
+        hw_eff = hw["speedup"] / (hi / lo)
         results[f"{lo}->{hi}"] = {
             "pages_rows_per_s_lo": tp_lo,
             "pages_rows_per_s_hi": tp_hi,
             "efficiency": round(eff, 3),
+            "efficiency_best_of_runs": round(eff_best, 3),
             "hardware_ceiling_efficiency": round(hw_eff, 3),
             "normalized_efficiency": round(eff / hw_eff, 3),
+            "runs_per_level": n_runs,
+            "tp_lo_all_medians": r_lo["tp_median_runs_all"],
+            "tp_hi_all_medians": r_hi["tp_median_runs_all"],
+            "hw_control": hw,
         }
         rows.append((lo, hi, r_lo, r_hi, tp_lo, tp_hi, eff, hw_eff))
 
@@ -194,22 +247,23 @@ def run_scaling(sf_dir: str, pairs=((8, 32), (4, 16))) -> dict:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
-            "# BENCH results — sandbox scaling proxy (fresh processes per level)\n\n"
+            "# BENCH results — sandbox scaling proxy (fresh pinned processes per level)\n\n"
             "No real multi-node cluster exists in this sandbox; per the driver\n"
             "instruction the N-vs-4N-node criterion is evidenced by the same job\n"
-            "at two `ray.init(num_cpus=...)` levels (BASELINE.md protocol).\n\n"
-            "IMPORTANT hardware caveat: a pure-CPU multiprocessing control shows\n"
-            "this box itself does NOT scale 4x between the CPU levels (SMT /\n"
-            "shared-host ceiling). `hw_ceiling` below is that measured ceiling;\n"
-            "`normalized = pipeline_eff / hw_ceiling` is the engine's own\n"
-            "scaling quality and is the number comparable to the >=0.8 target.\n\n"
-            "| pair | pages rows | rows/s lo | rows/s hi | pipeline eff | hw ceiling | normalized |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "at two `ray.init(num_cpus=...)` levels, each process CPU-PINNED to\n"
+            "exactly that many cores (32 real cores, no SMT), so a level IS an\n"
+            "n-core machine. Medians of N full runs per level; min-based numbers\n"
+            "are reported alongside, labelled.\n\n"
+            "`hw ceiling` = pinned pure-CPU multiprocessing control (box's own\n"
+            "max speedup / (hi/lo)); `normalized = pipeline eff / hw ceiling`.\n\n"
+            "| pair | pages rows | rows/s lo (med) | rows/s hi (med) | pipeline eff (med) | eff (best) | hw ceiling | normalized |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
         for lo, hi, r_lo, r_hi, tp_lo, tp_hi, eff, hw_eff in rows:
             f.write(
                 f"| {lo}->{hi} | {r_lo['pages_rows']} | {tp_lo} | {tp_hi} | "
-                f"{eff:.3f} | {hw_eff:.3f} | {eff / hw_eff:.3f} |\n"
+                f"{eff:.3f} | {results[f'{lo}->{hi}']['efficiency_best_of_runs']:.3f} | "
+                f"{hw_eff:.3f} | {eff / hw_eff:.3f} |\n"
             )
         f.write(f"\nraw: `{json.dumps(res)}`\n")
     return res

@@ -18,6 +18,21 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def _topk_tie_safe(sims: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-kk sims INCLUDING all boundary ties: a bare
+    argpartition keeps an arbitrary kk rows when several candidates
+    tie exactly at the cut, which can drop the tied row with the
+    smaller id before the driver merge and diverge from the oracle's
+    deterministic (cos DESC, id) order. Returning every row >= the
+    kth value makes the partial a superset of any tie-broken top-kk;
+    the final merge applies the exact order."""
+    if kk >= len(sims):
+        return np.arange(len(sims))
+    part = np.argpartition(-sims, kth=kk - 1)
+    thresh = sims[part[kk - 1]]
+    return np.flatnonzero(sims >= thresh)
+
+
 def _emb_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
@@ -51,7 +66,7 @@ def brute_topk(
         m = _unit(_emb_matrix(batch, vec_col))
         sims = m @ q
         kk = min(k + (len(exclude_ids) if exclude_ids else 0), len(ids))
-        top = np.argpartition(-sims, kth=kk - 1)[:kk]
+        top = _topk_tie_safe(sims, kk)
         return pa.table(
             {
                 id_col: pa.array(ids[top]),
@@ -122,7 +137,7 @@ def ivf_topk(
         ids = ids[mask]
         sims = m[mask] @ q
         kk = min(k + (len(exclude_ids) if exclude_ids else 0), len(ids))
-        top = np.argpartition(-sims, kth=kk - 1)[:kk]
+        top = _topk_tie_safe(sims, kk)
         return pa.table({id_col: pa.array(ids[top]), "cos": pa.array(sims[top])})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -158,14 +173,19 @@ def brute_topk_many(
         m = _unit(_emb_matrix(batch, vec_col))
         sims = m @ Q.T  # (n, q)
         kk = min(k, len(ids))
-        top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (kk, q)
-        qid = np.tile(np.arange(nq, dtype=np.int64), kk)
-        rows = top.ravel()
+        if kk >= len(ids):
+            rows, qcols = np.nonzero(np.ones_like(sims, dtype=bool))
+        else:
+            # Per-query kth value, then keep ALL rows >= it (boundary
+            # ties included — see _topk_tie_safe).
+            part = np.argpartition(-sims, kth=kk - 1, axis=0)
+            thr = sims[part[kk - 1, :], np.arange(nq)]
+            rows, qcols = np.nonzero(sims >= thr[None, :])
         return pa.table(
             {
-                "query_id": pa.array(qid),
+                "query_id": pa.array(qcols.astype(np.int64)),
                 id_col: pa.array(ids[rows]),
-                "cos": pa.array(sims[rows, np.tile(np.arange(nq), kk)]),
+                "cos": pa.array(sims[rows, qcols]),
             }
         )
 

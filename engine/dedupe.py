@@ -299,7 +299,11 @@ def connected_components_distributed(
 
     Returns Dataset[doc_id, group_id] for every node appearing in
     ``pairs``."""
-    from engine.shuffle import keyed_partition_map
+    from engine.shuffle import conform_blocks, keyed_partition_map
+
+    pairs = conform_blocks(
+        pairs, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    )
 
     def to_nodes(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False)
@@ -307,7 +311,7 @@ def connected_components_distributed(
         node = np.concatenate([a, bb])
         return pa.table({"node": pa.array(node), "label": pa.array(node)})
 
-    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    edges = pairs.materialize()
     labels = keyed_partition_map(
         edges.map_batches(to_nodes, batch_format="pyarrow"),
         ["node"],
@@ -328,7 +332,14 @@ def connected_components_distributed(
     endpoint = edges.map_batches(edge_msgs, batch_format="pyarrow").materialize()
 
     prev_sum = None
-    for _ in range(max_rounds):
+    converged = False
+    rounds_run = 0
+    # Hard cap beyond max_rounds: min-label propagation needs at most
+    # graph-diameter rounds; a component deeper than max_rounds would
+    # otherwise silently keep WRONG (unconverged) labels, so keep
+    # iterating past max_rounds with a warning, and refuse to return
+    # unconverged labels at the absolute cap.
+    for _round in range(max_rounds * 4):
         # One round: for each edge emit (id_b, label(id_a)) and
         # (id_a, label(id_b)). The label lookup is a co-group: label
         # rows and edge-endpoint rows hash-partition by node, resolve
@@ -378,11 +389,34 @@ def connected_components_distributed(
             num_partitions=num_partitions,
         ).materialize()
         s = labels.sum("label")
+        rounds_run += 1
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
-    return labels.map_batches(
-        lambda b: b.rename_columns(["doc_id", "group_id"]), batch_format="pyarrow"
+        if rounds_run == max_rounds:
+            import warnings
+
+            warnings.warn(
+                f"connected_components_distributed: not converged after "
+                f"max_rounds={max_rounds}; continuing (component diameter "
+                f"exceeds the round budget)",
+                stacklevel=2,
+            )
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_distributed: label propagation did not "
+            f"reach a fixed point in {rounds_run} rounds — returning labels "
+            f"would silently mislabel deep components"
+        )
+    out = labels.map_batches(
+        lambda b: (
+            b.rename_columns(["doc_id", "group_id"]) if b.num_columns == 2 else b
+        ),
+        batch_format="pyarrow",
+    )
+    return conform_blocks(
+        out, pa.schema([("doc_id", pa.int64()), ("group_id", pa.int64())])
     )
 
 
@@ -599,75 +633,217 @@ def embedding_dup_pairs(
     return keyed_partition_map(pairs, ["id_a"], min_partition, num_partitions=16)
 
 
+# Sentinel shingle hash for zero-shingle docs: lets the exploded-rows
+# Jaccard treat "both sides empty" as intersection 1 / union 1 = 1.0,
+# matching the scalar jaccard() empty-set convention. A real 64-bit
+# hash colliding with it changes nothing material (one shingle of one
+# doc would be miscounted with probability 2^-64 per doc).
+_EMPTY_SENTINEL = np.int64(-0x7A5C3B2E19D08F61)
+
+
+def verify_pairs_jaccard_distributed(
+    ds: Dataset,
+    pairs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Exact-Jaccard verification of LSH candidate pairs with NO
+    driver-side materialization: the driver never sees a pair.
+
+    Shape (two co-grouped shuffles, both keyed on int64):
+      1. pair endpoints (node, id_a, id_b, side) union doc rows
+         (node, text), co-grouped by node: docs with >=1 endpoint are
+         shingled (vectorized, per-doc unique) and exploded to
+         (id_a, id_b, side, shingle_hash) rows — only CANDIDATE docs
+         are shingled; non-candidate text rides the shuffle but is
+         dropped in the partition (at dup-heavy scale this one
+         corpus pass is the unavoidable candidate-gather; callers with
+         tiny candidate sets can pre-filter with joins.semi_filter).
+      2. exploded rows co-grouped by (id_a, id_b): per-pair Jaccard =
+         |h seen on both sides| / (rows - that), fully vectorized
+         (each side's shingle set is unique, so a (pair, hash) count
+         of 2 means both sides contain it).
+
+    Returns Dataset[id_a, id_b] of pairs with Jaccard >= threshold.
+    Values identical to the scalar jaccard() path (pytest-checked)."""
+    from engine.shuffle import keyed_partition_map
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, bb])),
+                "text": pa.nulls(2 * n, pa.string()),
+                "id_a": pa.array(np.concatenate([a, a])),
+                "id_b": pa.array(np.concatenate([bb, bb])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int32), np.ones(n, dtype=np.int32)]
+                    )
+                ),
+            }
+        )
+
+    ep = pairs.map_batches(endpoints, batch_format="pyarrow")
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "node": b[id_col],
+                "text": b[text_col],
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "side": pa.nulls(n, pa.int32()),
+            }
+        )
+
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+
+    def explode_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "side": pd.Series(dtype=np.int32),
+                "h": pd.Series(dtype=np.int64),
+            }
+        )
+        is_doc = df["text"].notna()
+        eps = df.loc[~is_doc, ["node", "id_a", "id_b", "side"]]
+        if eps.empty:
+            return empty
+        cand_nodes = pd.unique(eps["node"])
+        docs_p = df.loc[is_doc & df["node"].isin(cand_nodes), ["node", "text"]]
+        if docs_p.empty:
+            return empty
+        texts = docs_p["text"].tolist()
+        sh_flat, sh_counts = _flat_shingles(texts, shingle_k)
+        # Per-doc unique shingles, vectorized: lexsort (doc, hash) and
+        # drop consecutive duplicates.
+        n = len(texts)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), sh_counts)
+        hv = sh_flat.view(np.int64)
+        order = np.lexsort((hv, doc_idx))
+        d_s, h_s = doc_idx[order], hv[order]
+        if len(d_s):
+            keep = np.ones(len(d_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_u, h_u = d_s[keep], h_s[keep]
+        else:
+            d_u = np.zeros(0, dtype=np.int64)
+            h_u = np.zeros(0, dtype=np.int64)
+        u_counts = np.bincount(d_u, minlength=n).astype(np.int64)
+        # Zero-shingle docs contribute one sentinel "shingle".
+        zero = u_counts == 0
+        if zero.any():
+            d_u = np.concatenate([d_u, np.flatnonzero(zero)])
+            h_u = np.concatenate(
+                [h_u, np.full(int(zero.sum()), _EMPTY_SENTINEL, dtype=np.int64)]
+            )
+            u_counts[zero] = 1
+            order2 = np.argsort(d_u, kind="stable")
+            d_u, h_u = d_u[order2], h_u[order2]
+        u_starts = np.concatenate([[0], np.cumsum(u_counts)[:-1]])
+        # Attach each endpoint row to its doc's unique-shingle segment.
+        node_to_doc = pd.Series(np.arange(n), index=docs_p["node"].to_numpy())
+        ep_doc = node_to_doc.reindex(eps["node"].to_numpy())
+        ok = ep_doc.notna().to_numpy()
+        eps = eps.loc[ok]
+        ep_doc = ep_doc.to_numpy()[ok].astype(np.int64)
+        cnts = u_counts[ep_doc]
+        total = int(cnts.sum())
+        if total == 0:
+            return empty
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts
+        )
+        src = np.repeat(u_starts[ep_doc], cnts) + local
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(eps["id_a"].to_numpy().astype(np.int64), cnts),
+                "id_b": np.repeat(eps["id_b"].to_numpy().astype(np.int64), cnts),
+                "side": np.repeat(eps["side"].to_numpy().astype(np.int32), cnts),
+                "h": h_u[src],
+            }
+        )
+
+    exploded = keyed_partition_map(
+        docs.union(ep), ["node"], explode_partition, num_partitions=num_partitions
+    )
+
+    def jaccard_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+            )
+        tot = df.groupby(["id_a", "id_b"], sort=False).size()
+        dup = df.duplicated(subset=["id_a", "id_b", "h"], keep=False)
+        inter = (
+            df.loc[dup].groupby(["id_a", "id_b"], sort=False).size() // 2
+        ).reindex(tot.index, fill_value=0)
+        union = tot - inter
+        jacc = inter / union
+        keep = jacc[jacc >= threshold].reset_index()
+        return pd.DataFrame(
+            {
+                "id_a": keep["id_a"].to_numpy().astype(np.int64),
+                "id_b": keep["id_b"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return keyed_partition_map(
+        exploded, ["id_a", "id_b"], jaccard_partition, num_partitions=num_partitions
+    )
+
+
 def minhash_dedup_verdict(
     ds: Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_k: int = 3,
-    distributed_cc: bool | None = None,
 ) -> Dataset:
     """Full near-dup dedup pipeline -> per-doc verdict
-    (id, group_id, keep). Shuffle budget: the corpus text moves ZERO
-    times — only minhash band rows shuffle; exact-Jaccard verification
-    touches only candidate docs (semi-filtered by the broadcast
-    candidate id set, then materialized — candidates are orders of
-    magnitude smaller than the corpus); components run on the verified
-    dup graph (smaller still). keep = (group_id == own id): the
-    minimum id of each duplicate group survives, matching the exact-
-    dedup A3 keep-min rule."""
-    import ray
+    (id, group_id, keep), fully distributed: candidate pairs, exact-
+    Jaccard verification, connected components and the label join all
+    stay Datasets — the driver never materializes pairs, labels, or a
+    per-id dict (the 10^12-row shape; the earlier broadcast-dict path
+    funneled every candidate pair and label through the driver).
+    keep = (group_id == own id): the minimum id of each duplicate
+    group survives, matching the exact-dedup A3 keep-min rule."""
+    import pyarrow.compute as pc
 
-    from engine.joins import semi_filter
+    from engine.joins import hash_join
 
-    pairs = minhash_lsh_pairs(
-        ds, id_col=id_col, text_col=text_col, shingle_k=shingle_k
-    ).to_pandas()
-
-    if len(pairs):
-        cand_ids = np.unique(np.concatenate([pairs["id_a"].values, pairs["id_b"].values]))
-        cand_texts_df = (
-            semi_filter(ds.select_columns([id_col, text_col]), cand_ids, id_col)
-            .to_pandas()
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    verified = verify_pairs_jaccard_distributed(
+        ds, pairs, id_col=id_col, text_col=text_col, threshold=threshold, shingle_k=shingle_k
+    )
+    # Materialized (object store, not driver): hash_join reads
+    # right.schema(), and schema inference over the LAZY label plan
+    # unifies in the zero-column empty blocks Ray's map_groups emits,
+    # typing group_id as null. One row per dup-graph node — small
+    # relative to the corpus at any scale.
+    labels = connected_components_distributed(verified).materialize()
+    if id_col != "doc_id":
+        labels = labels.map_batches(
+            lambda b: b.rename_columns([id_col, "group_id"]), batch_format="pyarrow"
         )
-        texts = dict(zip(cand_texts_df[id_col], cand_texts_df[text_col]))
-        verified = verify_pairs_jaccard(pairs, texts, threshold, shingle_k)
-        # CC strategy: driver-side propagation for small verified-dup
-        # graphs; the groupby-rounds distributed propagation when the
-        # edge set is big (auto threshold; both pytest-verified equal).
-        if distributed_cc is None:
-            distributed_cc = len(verified) > 100_000
-        if distributed_cc and len(verified):
-            import ray.data as _rd
-
-            comp_ds = connected_components_distributed(
-                _rd.from_arrow(pa.Table.from_pandas(verified[["id_a", "id_b"]], preserve_index=False))
-            )
-            comp = comp_ds.to_pandas()
-            # Singleton candidates (no surviving edge) label themselves.
-            missing = np.setdiff1d(cand_ids, comp["doc_id"].to_numpy())
-            comp = pd.concat(
-                [comp, pd.DataFrame({"doc_id": missing, "group_id": missing})],
-                ignore_index=True,
-            )
-        else:
-            comp = connected_components(verified, cand_ids)
-        label_map = dict(zip(comp["doc_id"].astype(int), comp["group_id"].astype(int)))
-    else:
-        label_map = {}
-
-    ref = ray.put(label_map)
+    joined = hash_join(ds.select_columns([id_col]), labels, key=id_col, how="left")
 
     def verdict(batch: pa.Table) -> pa.Table:
-        lm = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        grp = np.array([lm.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        ids = batch[id_col]
+        grp = pc.coalesce(batch["group_id"], ids)
         return pa.table(
-            {
-                id_col: pa.array(ids),
-                "group_id": pa.array(grp),
-                "keep": pa.array(grp == ids),
-            }
+            {id_col: ids, "group_id": grp, "keep": pc.equal(grp, ids)}
         )
 
-    return ds.select_columns([id_col]).map_batches(verdict, batch_format="pyarrow")
+    return joined.map_batches(verdict, batch_format="pyarrow")

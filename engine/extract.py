@@ -72,6 +72,15 @@ def _f64(struct_arr: pa.Array, field: str) -> np.ndarray:
 def extract_coords(batch: pa.Table) -> pa.Table:
     """map_batches kernel: pages -> pages + (fi, la, system).
 
+    Selection contract: when a page contains MORE THAN ONE coordinate
+    format, the EARLIEST occurrence in the text wins (single-pass
+    alternation), not a fixed format priority — the reference parses
+    line-at-a-time so multi-format pages have no reference analog, and
+    the synthetic corpus embeds at most one coordinate per page
+    (pytest-asserted in the extractor ground-truth test). Callers that
+    need D48>D96>DMS>DEC priority on adversarial text should scan the
+    four patterns separately.
+
     Drops ``html`` if present (memory pressure at scale — SURVEY.md §4
     backpressure row); keeps ``text`` (byte-identity invariant).
     """

@@ -145,8 +145,14 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 
 
 def q_topk_orders(sf_dir: str) -> Dataset:
+    """A4 top-k via per-block prune (engine.shuffle.topk): each block
+    keeps its local top-10, the final sort touches ≤ 10×blocks rows —
+    no full shuffle-sort of orders for 10 output rows. Exact: the sort
+    key (o_totalprice DESC, o_orderkey) is a total order."""
+    from engine.shuffle import topk
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return topk(ds, ["o_totalprice", "o_orderkey"], k=10, descending=[True, False])
 
 
 SQL_TOPK_ORDERS = """
@@ -175,11 +181,26 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_dedup_documents(sf_dir: str) -> Dataset:
-    """Exact dedup by full text content (A3 shape: hash-partition by
-    content key, keep min id per group)."""
+    """Exact dedup by content DIGEST (A3 scale shape): map each doc to
+    a 128-bit digest (two independent vectorized 64-bit hashes), group
+    by the digest pair, keep min doc_id + count. The shuffle moves
+    O(rows × 24 B) instead of the corpus text; collision probability
+    at 2^-128 is below any hardware error rate. Values identical to
+    the group-by-text oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
-    out = ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="copies")
+
+    def digest(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.Series(b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"])
+        d1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
+        d2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "d1": pa.array(d1), "d2": pa.array(d2)})
+
+    out = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby(["d1", "d2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="copies"))
     )
     return out.map_batches(
         lambda b: b.select(["doc_id", "copies"]), batch_format="pyarrow"
@@ -281,34 +302,47 @@ WHERE (l_orderkey * 2654435761 + l_linenumber * 97) % 1000 < 100
 
 
 def q_events_daily(sf_dir: str) -> Dataset:
+    """Daily per-type rollup keyed on INTEGER epoch-day through the
+    shuffle (strings ride the hash/groupby hot path otherwise); the
+    '%Y-%m-%d' day string is rendered once per OUTPUT group at the
+    end, not once per input row."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def fn(b: pa.Table) -> pa.Table:
-        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = b["ts"].to_numpy(zero_copy_only=False)
+        day_i = t.astype("datetime64[D]").astype(np.int64)
         vc = pc.cast(pc.round(pc.multiply(b["value"], 1000.0), round_mode="half_towards_infinity"), pa.int64())
-        return pa.table({"day": day, "event_type": b["event_type"], "value_milli": vc})
+        return pa.table(
+            {"day_i": pa.array(day_i), "event_type": b["event_type"], "value_milli": vc}
+        )
 
     ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=BATCH)
     agg = grouped_count_sums(
         ds,
-        key=["day", "event_type"],
+        key=["day_i", "event_type"],
         sum_cols=("value_milli",),
         min_cols=("value_milli",),
         max_cols=("value_milli",),
     )
-    return agg.map_batches(
-        lambda b: b.rename_columns(
+
+    def render(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
             [
-                "day",
+                "day_i",
                 "event_type",
                 "n_events",
                 "sum_value_milli",
                 "min_value_milli",
                 "max_value_milli",
             ]
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        day = np.datetime_as_string(
+            b["day_i"].to_numpy(zero_copy_only=False).astype("datetime64[D]"), unit="D"
+        )
+        b = b.drop_columns(["day_i"]).add_column(0, "day", pa.array(day, pa.string()))
+        return b
+
+    return agg.map_batches(render, batch_format="pyarrow")
 
 
 SQL_EVENTS_DAILY = """

@@ -24,28 +24,64 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a_bytes_vectorized(arr: pa.Array) -> np.ndarray:
+    """FNV-1a over each string's utf-8 bytes, fully vectorized: one
+    numpy pass per byte POSITION (max string length iterations over
+    C-speed masked ops), zero per-row Python. Operates directly on the
+    Arrow offsets/values buffers (zero-copy)."""
+    arr = arr.cast(pa.large_utf8())
+    off0 = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[off0 : off0 + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    starts = offs[:-1]
+    h = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    with np.errstate(over="ignore"):  # mod-2^64 wrap intended
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ data[starts[active] + j].astype(np.uint64)) * _FNV_PRIME
+    return h.view(np.int64)
+
+
 def deterministic_key_hash(batch: pa.Table, keys: Sequence[str]) -> np.ndarray:
     """Deterministic int64 hash of one or more key columns, identical
     across worker processes (NOT built-in hash(): PYTHONHASHSEED
     differs per process) and well-mixed in the high bits (the raw
     Knuth multiply is the identity permutation mod a power of two —
     ``2654435761 % 16 == 1`` — so always fold with >> 32). Shared by
-    keyed_partition_map, grouped_count_sums and joins.hash_join."""
+    keyed_partition_map, grouped_count_sums and joins.hash_join.
+
+    String keys: dictionary-encode (C-speed), FNV-1a the UNIQUE values
+    with the vectorized byte-position kernel, gather by index — no
+    per-row Python on any key path (the old per-row crc32 loop sat on
+    the hot path of every string-keyed aggregate)."""
     h = np.zeros(batch.num_rows, dtype=np.int64)
     for k in keys:
         kc = batch[k]
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()
-        kv = kc.to_numpy(zero_copy_only=False)
-        if kv.dtype.kind in "iu":
-            hk = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
+        if pa.types.is_string(kc.type) or pa.types.is_large_string(kc.type):
+            enc = kc.dictionary_encode()
+            uh = _fnv1a_bytes_vectorized(enc.dictionary)
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            hk = uh[idx]
         else:
-            import zlib
+            kv = kc.to_numpy(zero_copy_only=False)
+            if kv.dtype.kind in "iu":
+                hk = (kv.astype(np.int64) * np.int64(-7046029254386353131)) >> np.int64(32)
+            else:
+                import zlib
 
-            hk = np.array(
-                [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
-            )
-        h = h * np.int64(1000003) + hk
+                hk = np.array(
+                    [zlib.crc32(str(x).encode("utf-8")) for x in kv], dtype=np.int64
+                )
+        with np.errstate(over="ignore"):
+            h = h * np.int64(1000003) + hk
     return h
 
 
@@ -168,6 +204,21 @@ def keyed_partition_map(
     return tagged.groupby("_pkey").map_groups(run, batch_format="pandas")
 
 
+def conform_blocks(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Coerce every block to ``schema``. Ray's pandas ``map_groups``
+    can emit zero-column empty blocks (PandasBlockSchema(names=[]))
+    whose unified schema then types columns as null — which poisons
+    schema-sensitive consumers (pyarrow Table.join rejects null-typed
+    non-key fields). Cheap: casts are per-block metadata ops."""
+
+    def norm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return schema.empty_table()
+        return b.select(schema.names).cast(schema)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def salted_groupby_count(ds: Dataset, key: str, salts: int = 16) -> Dataset:
     """Explicit two-phase (key, salt) -> key count aggregation.
 
@@ -185,10 +236,31 @@ def salted_groupby_count(ds: Dataset, key: str, salts: int = 16) -> Dataset:
     return phase1.groupby(key).aggregate(Sum("_c", alias_name="cnt"))
 
 
-def topk(ds: Dataset, col: str, k: int, descending: bool = True) -> Dataset:
-    """Top-k by column (A4): sort + limit (Ray's sort is a shuffle;
-    inputs here are already reduced aggregates, so it's small)."""
-    return ds.sort(col, descending=descending).limit(k)
+def topk(
+    ds: Dataset,
+    col: str | Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+) -> Dataset:
+    """Top-k by column(s) (A4): per-block prune to the local top-k
+    (pyarrow sort_indices + take), then a final sort+limit over the
+    ≤ k×blocks surviving rows — no full all-to-all sort of the input.
+    Exact whenever the sort key is a total order over the output
+    columns (ties beyond the sort key may pick either tied row, same
+    as SQL LIMIT)."""
+    cols = [col] if isinstance(col, str) else list(col)
+    descs = [descending] * len(cols) if isinstance(descending, bool) else list(descending)
+    order = [(c, "descending" if d else "ascending") for c, d in zip(cols, descs)]
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        import pyarrow.compute as pc
+
+        return b.take(pc.sort_indices(b, sort_keys=order)[:k])
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort(cols, descending=descs).limit(k)
 
 
 def sampled_key_histogram(ds: Dataset, key: str, fraction: float = 0.001, seed: int = 7):

@@ -233,7 +233,9 @@ def test_multimodal_actor_pipeline():
 def test_minhash_dedup_verdict_end_to_end():
     t = _doc_table()
     out = dedupe.minhash_dedup_verdict(rd.from_arrow(t), threshold=0.5).to_pandas()
-    v = out.set_index("doc_id")
+    # Output order is not a contract (the label join shuffles); index by id.
+    v = out.set_index("doc_id").sort_index()
+    assert sorted(v.index) == list(range(62))  # one verdict row per doc
     assert not v.loc[61, "keep"] and v.loc[61, "group_id"] == 10  # exact dup dropped
     assert v.loc[10, "keep"]
     assert not v.loc[60, "keep"] and v.loc[60, "group_id"] == 5  # near dup dropped
@@ -303,3 +305,45 @@ def test_audio_stage_and_frame_sample(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeAudio(backend="real")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_jaccard_verify_matches_scalar():
+    """verify_pairs_jaccard_distributed (co-grouped, no driver pairs)
+    == the scalar per-pair jaccard() path, pair for pair."""
+    t = _doc_table()
+    ds = rd.from_arrow(t)
+    pairs_ds = dedupe.minhash_lsh_pairs(ds)
+    pairs = pairs_ds.to_pandas()
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    expect = dedupe.verify_pairs_jaccard(pairs, texts, threshold=0.5)
+    got = dedupe.verify_pairs_jaccard_distributed(
+        ds, pairs_ds, threshold=0.5
+    ).to_pandas()
+    e = set(zip(expect.id_a, expect.id_b))
+    g = set(zip(got.id_a, got.id_b))
+    assert e == g
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_jaccard_verify_empty_docs():
+    """Zero-shingle docs: both-empty pair -> Jaccard 1.0 (dup);
+    empty-vs-nonempty -> 0.0 (not a dup), matching scalar jaccard()."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["", "", "alpha beta gamma delta"]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    pairs_ds = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 1], type=pa.int64()),
+                "id_b": pa.array([2, 3], type=pa.int64()),
+            }
+        )
+    )
+    got = dedupe.verify_pairs_jaccard_distributed(ds, pairs_ds, threshold=0.5).to_pandas()
+    g = set(zip(got.id_a, got.id_b))
+    assert g == {(1, 2)}
