@@ -192,6 +192,76 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shp(args: argparse.Namespace) -> int:
+    """gk-shp equivalent: shapefile in -> menu transform on every
+    vertex -> shapefile(s) out, DBF attributes copied (reference
+    gk-shp.c lifecycle, SURVEY.md §3.2) — over REAL .shp/.dbf bytes
+    (engine/shapefile.py)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+
+    from engine import shapefile as S
+    from engine.geometry import explode_vertices, reassemble_entities, transform_vertices
+    from engine.joins import broadcast_lookup
+
+    bases = [os.path.splitext(f)[0] for f in args.files]
+    ds = S.read_shapefiles(bases)
+    geom_cols = {"xs", "ys", "zs", "parts"}
+    attr_cols = [c for c in ds.schema().names if c not in geom_cols]
+    # DBF attribute rows are tiny next to geometry (fixed-width fields,
+    # one row per entity) -> broadcast-join them back after the vertex
+    # pipeline instead of shuffling list columns (acero joins reject
+    # list-typed payloads; a shuffle here would also move geometry twice).
+    attrs = pa.Table.from_pandas(ds.select_columns(attr_cols).to_pandas())
+
+    verts = ds.map_batches(explode_vertices, batch_format="pyarrow")
+    moved = verts.map_batches(
+        transform_vertices, fn_kwargs=dict(transform=args.transform), batch_format="pyarrow"
+    )
+    geom = reassemble_entities(moved).map_batches(
+        lambda b: b.drop_columns(["n_vertices"]), batch_format="pyarrow"
+    )
+
+    def listify(b: pa.Table) -> pa.Table:
+        # reassemble emits numpy arrays through pandas blocks; coerce
+        # to Arrow list<double> for the shapefile writer.
+        return pa.table(
+            {
+                "entity_id": pa.array(
+                    b["entity_id"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "xs": pa.array(b["xs"].to_pylist(), pa.list_(pa.float64())),
+                "ys": pa.array(b["ys"].to_pylist(), pa.list_(pa.float64())),
+            }
+        )
+
+    geom = geom.map_batches(listify, batch_format="pyarrow")
+    joined = broadcast_lookup(
+        geom,
+        attrs,
+        "entity_id",
+        "entity_id",
+        [c for c in attrs.column_names if c != "entity_id"],
+        how="inner",
+    )
+    written = S.write_shapefile_partitions(joined, args.output)
+    print(json.dumps({"written": written}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="geokit-engine")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -213,6 +283,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--shard-group-size", type=int, default=8)
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("shp", help="gk-shp-equivalent shapefile conversion")
+    s.add_argument("-t", "--transform", type=int, required=True, help="1-10 (SURVEY.md §3.1 menu)")
+    s.add_argument("files", nargs="+", help="input .shp paths (same shape kind)")
+    s.add_argument("--output", required=True, help="output dir (one .shp per block)")
+    s.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    s.set_defaults(fn=cmd_shp)
 
     args = p.parse_args(argv)
     return args.fn(args)

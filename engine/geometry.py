@@ -6,9 +6,9 @@ Here geometry lives in Arrow list columns
 (``entity_id, kind, xs:list<double>, ys:list<double>, attrs...``); the
 engine explodes to a flat vertex table (one row per vertex, lineage =
 entity_id + vertex ordinal), runs the same vectorized transform
-kernels as the point pipeline, and reassembles with a groupby —
-shapefile I/O itself is out of scope (S3/S4: geometry tables are read
-and written as parquet)."""
+kernels as the point pipeline, and reassembles with a groupby.
+Geometry tables round-trip as parquet AND as real ESRI .shp/.shx/.dbf
+binaries (engine/shapefile.py — S3/S4 full parity)."""
 
 from __future__ import annotations
 
@@ -44,9 +44,23 @@ def explode_vertices(batch: pa.Table, xs_col: str = "xs", ys_col: str = "ys") ->
     )
 
 
+_AFT_CACHE: dict[str, object] = {}
+
+
+def _aft(direction: str):
+    """AFT triangulation, loaded once per worker process (same module-
+    cache pattern as engine.stages — the asset is a few MB)."""
+    tri = _AFT_CACHE.get(direction)
+    if tri is None:
+        import assets
+
+        tri = _AFT_CACHE[direction] = assets.load_aft(direction)
+    return tri
+
+
 def transform_vertices(batch: pa.Table, transform: int = 5) -> pa.Table:
-    """Apply a menu transform (Helmert-path entries 1-6) to the
-    exploded vertex table."""
+    """Apply a menu transform (full gk-shp menu 1-10: Helmert entries
+    1-6, AFT entries 7-10) to the exploded vertex table."""
     x = batch["x"].to_numpy(zero_copy_only=False)
     y = batch["y"].to_numpy(zero_copy_only=False)
     if transform == 1:
@@ -61,8 +75,16 @@ def transform_vertices(batch: pa.Table, transform: int = 5) -> pa.Table:
         o1, o2, _ = T.gkxy2tmxy(x, y)
     elif transform == 6:
         o1, o2, _ = T.tmxy2gkxy(x, y)
+    elif transform == 7:
+        o1, o2, _ = T.gkxy2fila_wgs_aft(x, y, _aft("fwd"))
+    elif transform == 8:
+        o1, o2, _ = T.fila_wgs2gkxy_aft(x, y, _aft("inv"))
+    elif transform == 9:
+        o1, o2, _ = T.gkxy2tmxy_aft(x, y, _aft("fwd"))
+    elif transform == 10:
+        o1, o2, _ = T.tmxy2gkxy_aft(x, y, _aft("inv"))
     else:
-        raise ValueError(f"transform {transform} not supported here (AFT variants need asset state)")
+        raise ValueError(f"unknown menu transform {transform} (valid: 1-10)")
     return pa.table(
         {
             "entity_id": batch["entity_id"],

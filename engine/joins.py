@@ -137,12 +137,18 @@ def hash_join(
 
     arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer", "outer": "full outer"}[how]
 
+    l_cast = pa.schema([(c, l_types[c]) for c in l_cols])
+    r_cast = pa.schema([(c, r_types[c]) for c in r_cols])
+
     def merge(group: pa.Table) -> pa.Table:
         # Arrow-native join: a pandas merge here silently casts the
         # null-filled union's int64 columns to float64, corrupting
         # values above 2^53 (observed on 62-bit cell ids).
-        l = group.filter(pc.equal(group["_side"], "l")).select(l_cols)
-        r = group.filter(pc.equal(group["_side"], "r")).select(r_cols)
+        # The casts pin the declared schema: Ray's pandas<->arrow block
+        # conversions can type an all-null/empty column as `null`,
+        # which acero joins reject ("Data type null is not supported").
+        l = group.filter(pc.equal(group["_side"], "l")).select(l_cols).cast(l_cast)
+        r = group.filter(pc.equal(group["_side"], "r")).select(r_cols).cast(r_cast)
         out = l.join(r, keys=key, join_type=arrow_how)
         return out.select(l_cols + [c for c in r_cols if c != key])
 

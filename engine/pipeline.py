@@ -37,17 +37,18 @@ def enrich_pages(
     """The streaming enrichment pipeline; returns the lazy enriched
     Dataset (one row per geotagged page)."""
     if num_blocks is None:
-        # ~1-2 blocks per CPU: enough slack for the streaming executor
-        # without drowning the driver in per-task overhead. At real
-        # corpus scale drop override_num_blocks and let
-        # target_max_block_size govern.
+        # 2 blocks per CPU: 1/CPU leaves the job tail running on a
+        # single straggler block while every other core idles (measured:
+        # the dominant loss at num_cpus=32), and >4/CPU pays per-task
+        # dispatch overhead. At real corpus scale drop
+        # override_num_blocks and let target_max_block_size govern.
         import ray
 
         try:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:  # noqa: BLE001
             ncpu = 8
-        num_blocks = min(128, max(16, ncpu))
+        num_blocks = min(256, max(16, 2 * ncpu))
     ds = rd.read_parquet(
         pages_path,
         columns=["url", "warc_ts", "text", "lang"],

@@ -1,0 +1,424 @@
+"""ESRI shapefile (.shp/.shx/.dbf) binary I/O — from-scratch codec
+for the reference's `gk-shp` source/sink (upstream shapelib
+`shpopen.c`/`dbfopen.c`; SURVEY.md §2.2 S3/S4), implemented from the
+published ESRI Shapefile Technical Description (July 1998 whitepaper)
+and the dBASE III file layout. No code is derived from shapelib.
+
+Supported shape types (the ones `gk-slo`/`gk-shp` workflows use):
+  1 Point, 3 PolyLine, 5 Polygon, 11 PointZ, 13 PolyLineZ,
+  15 PolygonZ, 8 MultiPoint. Null shapes (0) round-trip as empty.
+DBF field types: C (string), N (int64 or float64 by decimals), F
+(float64), L (bool), D (date as YYYYMMDD string).
+
+Geometry table mapping (matches engine/geometry.py):
+  entity_id:int64, kind:string, xs:list<double>, ys:list<double>,
+  [zs:list<double>], [parts:list<int32>], attribute columns.
+
+Scale shape: one shapefile == one Ray task (`read_shapefiles` maps a
+dataset of paths through a parse task; `write_shapefile_partitions`
+writes one numbered shapefile per block — the resumable layout). The
+per-entity loop inside a task mirrors the format's record framing
+(records are length-prefixed and cannot be parsed without walking
+them); per-record point arrays are bulk `np.frombuffer` views.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+SHAPE_POINT = 1
+SHAPE_POLYLINE = 3
+SHAPE_POLYGON = 5
+SHAPE_MULTIPOINT = 8
+SHAPE_POINTZ = 11
+SHAPE_POLYLINEZ = 13
+SHAPE_POLYGONZ = 15
+
+_KIND_TO_TYPE = {
+    "point": SHAPE_POINT,
+    "polyline": SHAPE_POLYLINE,
+    "polygon": SHAPE_POLYGON,
+    "multipoint": SHAPE_MULTIPOINT,
+    "pointz": SHAPE_POINTZ,
+    "polylinez": SHAPE_POLYLINEZ,
+    "polygonz": SHAPE_POLYGONZ,
+}
+_TYPE_TO_KIND = {v: k for k, v in _KIND_TO_TYPE.items()}
+_MULTI = {SHAPE_POLYLINE, SHAPE_POLYGON, SHAPE_POLYLINEZ, SHAPE_POLYGONZ}
+_HASZ = {SHAPE_POINTZ, SHAPE_POLYLINEZ, SHAPE_POLYGONZ}
+
+
+# ------------------------------------------------------------ .shp/.shx
+
+
+def _shp_header(shape_type: int, bbox: tuple, file_len_words: int) -> bytes:
+    xmin, ymin, xmax, ymax, zmin, zmax = bbox
+    return (
+        struct.pack(">i", 9994)
+        + b"\x00" * 20
+        + struct.pack(">i", file_len_words)
+        + struct.pack("<ii", 1000, shape_type)
+        + struct.pack("<8d", xmin, ymin, xmax, ymax, zmin, zmax, 0.0, 0.0)
+    )
+
+
+def _record_content(shape_type: int, xs, ys, zs, parts) -> bytes:
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    n = len(xs)
+    if n == 0:
+        return struct.pack("<i", 0)  # Null shape
+    if shape_type in (SHAPE_POINT, SHAPE_POINTZ):
+        out = struct.pack("<i", shape_type) + struct.pack("<2d", xs[0], ys[0])
+        if shape_type == SHAPE_POINTZ:
+            z = float(zs[0]) if zs is not None and len(zs) else 0.0
+            out += struct.pack("<2d", z, 0.0)  # z, m
+        return out
+    pts = np.empty((n, 2), dtype="<f8")
+    pts[:, 0] = xs
+    pts[:, 1] = ys
+    bbox = struct.pack("<4d", xs.min(), ys.min(), xs.max(), ys.max())
+    if shape_type == SHAPE_MULTIPOINT:
+        return struct.pack("<i", shape_type) + bbox + struct.pack("<i", n) + pts.tobytes()
+    p = np.asarray(parts if parts is not None and len(parts) else [0], dtype="<i4")
+    out = (
+        struct.pack("<i", shape_type)
+        + bbox
+        + struct.pack("<2i", len(p), n)
+        + p.tobytes()
+        + pts.tobytes()
+    )
+    if shape_type in _HASZ:
+        z = (
+            np.asarray(zs, dtype="<f8")
+            if zs is not None and len(zs) == n
+            else np.zeros(n, dtype="<f8")
+        )
+        out += struct.pack("<2d", z.min(), z.max()) + z.tobytes()
+        out += struct.pack("<2d", 0.0, 0.0) + np.zeros(n, dtype="<f8").tobytes()  # M
+    return out
+
+
+def write_shp(table: pa.Table, base: str | Path) -> None:
+    """Write ``table`` (geometry-table schema above) as ``base``.shp +
+    .shx + .dbf. All entities must share one shape kind (the format's
+    constraint); attribute columns = every column not in the geometry
+    set."""
+    base = Path(base)
+    kinds = set(table["kind"].to_pylist())
+    if len(kinds) != 1:
+        raise ValueError(f"one shape kind per shapefile, got {kinds}")
+    shape_type = _KIND_TO_TYPE[kinds.pop()]
+
+    xs_l = table["xs"].to_pylist()
+    ys_l = table["ys"].to_pylist()
+    zs_l = table["zs"].to_pylist() if "zs" in table.column_names else [None] * len(xs_l)
+    parts_l = (
+        table["parts"].to_pylist() if "parts" in table.column_names else [None] * len(xs_l)
+    )
+
+    records = []
+    for i in range(table.num_rows):
+        records.append(_record_content(shape_type, xs_l[i], ys_l[i], zs_l[i], parts_l[i]))
+
+    all_x = np.concatenate([np.asarray(x, dtype=np.float64) for x in xs_l if len(x)] or [np.zeros(1)])
+    all_y = np.concatenate([np.asarray(y, dtype=np.float64) for y in ys_l if len(y)] or [np.zeros(1)])
+    have_z = shape_type in _HASZ
+    all_z = (
+        np.concatenate(
+            [np.asarray(z, dtype=np.float64) for z in zs_l if z is not None and len(z)]
+            or [np.zeros(1)]
+        )
+        if have_z
+        else np.zeros(1)
+    )
+    bbox = (all_x.min(), all_y.min(), all_x.max(), all_y.max(), all_z.min(), all_z.max())
+
+    shp_len = 50 + sum(4 + len(r) // 2 for r in records)  # 16-bit words
+    shx_len = 50 + 4 * len(records)
+    with open(base.with_suffix(".shp"), "wb") as f_shp, open(
+        base.with_suffix(".shx"), "wb"
+    ) as f_shx:
+        f_shp.write(_shp_header(shape_type, bbox, shp_len))
+        f_shx.write(_shp_header(shape_type, bbox, shx_len))
+        offset = 50
+        for i, rec in enumerate(records):
+            clen = len(rec) // 2
+            f_shp.write(struct.pack(">2i", i + 1, clen) + rec)
+            f_shx.write(struct.pack(">2i", offset, clen))
+            offset += 4 + clen
+
+    attr_cols = [
+        c
+        for c in table.column_names
+        if c not in ("kind", "xs", "ys", "zs", "parts")
+    ]
+    write_dbf(table.select(attr_cols), base.with_suffix(".dbf"))
+
+
+def read_shp(base: str | Path) -> pa.Table:
+    """Parse ``base``.shp (+ .dbf if present) back into the geometry
+    table. Inverse of write_shp (round-trip pytest-verified) and reads
+    any conforming file of the supported types."""
+    base = Path(base)
+    buf = base.with_suffix(".shp").read_bytes()
+    if struct.unpack(">i", buf[:4])[0] != 9994:
+        raise ValueError(f"{base}: not a shapefile (bad magic)")
+    file_len = struct.unpack(">i", buf[24:28])[0] * 2
+    version, _gtype = struct.unpack("<2i", buf[28:36])
+    if version != 1000:
+        raise ValueError(f"{base}: unsupported shapefile version {version}")
+
+    kinds, xs_out, ys_out, zs_out, parts_out = [], [], [], [], []
+    any_z = False
+    any_parts = False
+    pos = 100
+    while pos < min(file_len, len(buf)):
+        _recno, clen = struct.unpack(">2i", buf[pos : pos + 8])
+        pos += 8
+        content = buf[pos : pos + clen * 2]
+        pos += clen * 2
+        st = struct.unpack("<i", content[:4])[0]
+        if st == 0:  # Null shape
+            kinds.append("point")
+            xs_out.append([])
+            ys_out.append([])
+            zs_out.append([])
+            parts_out.append([])
+            continue
+        kinds.append(_TYPE_TO_KIND[st])
+        if st in (SHAPE_POINT, SHAPE_POINTZ):
+            x, y = struct.unpack("<2d", content[4:20])
+            xs_out.append([x])
+            ys_out.append([y])
+            if st == SHAPE_POINTZ:
+                zs_out.append([struct.unpack("<d", content[20:28])[0]])
+                any_z = True
+            else:
+                zs_out.append([])
+            parts_out.append([0])
+            continue
+        if st == SHAPE_MULTIPOINT:
+            n = struct.unpack("<i", content[36:40])[0]
+            pts = np.frombuffer(content, dtype="<f8", count=2 * n, offset=40).reshape(n, 2)
+            xs_out.append(pts[:, 0].tolist())
+            ys_out.append(pts[:, 1].tolist())
+            zs_out.append([])
+            parts_out.append([0])
+            continue
+        nparts, npts = struct.unpack("<2i", content[36:44])
+        p = np.frombuffer(content, dtype="<i4", count=nparts, offset=44)
+        off = 44 + 4 * nparts
+        pts = np.frombuffer(content, dtype="<f8", count=2 * npts, offset=off).reshape(
+            npts, 2
+        )
+        off += 16 * npts
+        xs_out.append(pts[:, 0].tolist())
+        ys_out.append(pts[:, 1].tolist())
+        if st in _HASZ:
+            z = np.frombuffer(content, dtype="<f8", count=npts, offset=off + 16)
+            zs_out.append(z.tolist())
+            any_z = True
+        else:
+            zs_out.append([])
+        parts_out.append(p.tolist())
+        any_parts = any_parts or nparts > 1
+
+    cols = {
+        "entity_id": pa.array(np.arange(len(kinds), dtype=np.int64)),
+        "kind": pa.array(kinds, pa.string()),
+        "xs": pa.array(xs_out, pa.list_(pa.float64())),
+        "ys": pa.array(ys_out, pa.list_(pa.float64())),
+    }
+    if any_z:
+        cols["zs"] = pa.array(zs_out, pa.list_(pa.float64()))
+    if any_parts:
+        cols["parts"] = pa.array(parts_out, pa.list_(pa.int32()))
+    out = pa.table(cols)
+
+    dbf_path = base.with_suffix(".dbf")
+    if dbf_path.exists():
+        attrs = read_dbf(dbf_path)
+        for name in attrs.column_names:
+            if name == "entity_id":
+                # The DBF's stored id wins over the positional default
+                # (write_shp emits entity_id as a DBF attribute, so a
+                # round-trip preserves arbitrary ids).
+                out = out.set_column(0, "entity_id", attrs[name])
+            elif name not in out.column_names:
+                out = out.append_column(name, attrs[name])
+    return out
+
+
+# ----------------------------------------------------------------- .dbf
+
+
+def _dbf_field_spec(name: str, typ: pa.DataType, col: pa.ChunkedArray):
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        vals = col.to_pylist()
+        width = max([len(v.encode("ascii", "replace")) for v in vals if v is not None] + [1])
+        return ("C", min(width, 254), 0)
+    if pa.types.is_integer(typ):
+        return ("N", 18, 0)
+    if pa.types.is_floating(typ):
+        return ("N", 19, 6)
+    if pa.types.is_boolean(typ):
+        return ("L", 1, 0)
+    if pa.types.is_date(typ):
+        return ("D", 8, 0)
+    raise TypeError(f"DBF cannot store column {name!r} of type {typ}")
+
+
+def write_dbf(table: pa.Table, path: str | Path) -> None:
+    """dBASE III (0x03) writer: fixed-width ASCII records."""
+    specs = [
+        (name, *_dbf_field_spec(name, table.schema.field(name).type, table[name]))
+        for name in table.column_names
+    ]
+    header_size = 32 + 32 * len(specs) + 1
+    record_size = 1 + sum(w for _, _, w, _ in specs)
+    head = struct.pack(
+        "<B3BIHH20x", 0x03, 95, 1, 1, table.num_rows, header_size, record_size
+    )
+    fields = b""
+    for name, typ, width, dec in specs:
+        fields += struct.pack(
+            "<11sc4xBB14x", name.encode("ascii")[:10].ljust(11, b"\x00"), typ.encode(), width, dec
+        )
+    body = bytearray()
+    cols = {name: table[name].to_pylist() for name in table.column_names}
+    for i in range(table.num_rows):
+        body += b" "  # not-deleted flag
+        for name, typ, width, dec in specs:
+            v = cols[name][i]
+            if typ == "C":
+                s = ("" if v is None else str(v)).encode("ascii", "replace")[:width]
+                body += s.ljust(width, b" ")
+            elif typ == "N":
+                s = b"" if v is None else (f"{v:.{dec}f}" if dec else f"{int(v)}").encode()
+                body += s[:width].rjust(width, b" ")
+            elif typ == "L":
+                body += b"?" if v is None else (b"T" if v else b"F")
+            elif typ == "D":
+                s = b"        " if v is None else v.strftime("%Y%m%d").encode()
+                body += s
+    with open(path, "wb") as f:
+        f.write(head + fields + b"\x0d" + bytes(body) + b"\x1a")
+
+
+def read_dbf(path: str | Path) -> pa.Table:
+    buf = Path(path).read_bytes()
+    nrec, header_size, record_size = struct.unpack("<IHH", buf[4:12])
+    specs = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        name = buf[pos : pos + 11].split(b"\x00")[0].decode("ascii")
+        typ = chr(buf[pos + 11])
+        width = buf[pos + 16]
+        dec = buf[pos + 17]
+        specs.append((name, typ, width, dec))
+        pos += 32
+    raw = buf[header_size : header_size + nrec * record_size]
+    cols: dict[str, list] = {name: [] for name, *_ in specs}
+    for i in range(nrec):
+        rec = raw[i * record_size : (i + 1) * record_size]
+        if rec[:1] == b"*":  # deleted
+            continue
+        off = 1
+        for name, typ, width, dec in specs:
+            field = rec[off : off + width]
+            off += width
+            s = field.decode("ascii", "replace").strip()
+            if typ == "C":
+                cols[name].append(s)
+            elif typ in ("N", "F"):
+                if not s:
+                    cols[name].append(None)
+                elif dec or typ == "F" or "." in s:
+                    cols[name].append(float(s))
+                else:
+                    cols[name].append(int(s))
+            elif typ == "L":
+                cols[name].append(None if s in ("?", "") else s in ("T", "t", "Y", "y"))
+            elif typ == "D":
+                import datetime
+
+                cols[name].append(
+                    None
+                    if not s
+                    else datetime.date(int(s[:4]), int(s[4:6]), int(s[6:8]))
+                )
+            else:
+                cols[name].append(s)
+    arrays = {}
+    for name, typ, width, dec in specs:
+        vals = cols[name]
+        if typ == "C":
+            arrays[name] = pa.array(vals, pa.string())
+        elif typ in ("N", "F"):
+            is_float = dec or typ == "F" or any(isinstance(v, float) for v in vals)
+            arrays[name] = pa.array(
+                vals, pa.float64() if is_float else pa.int64()
+            )
+        elif typ == "L":
+            arrays[name] = pa.array(vals, pa.bool_())
+        elif typ == "D":
+            arrays[name] = pa.array(vals, pa.date32())
+        else:
+            arrays[name] = pa.array(vals, pa.string())
+    return pa.table(arrays)
+
+
+# ------------------------------------------------------ Ray integration
+
+
+def read_shapefiles(paths: list[str]):
+    """Dataset over many shapefiles: one parse task per file (the
+    format is record-framed, so a file is the parallelism unit), rows
+    tagged with ``src_file`` lineage. entity_id is made globally
+    unique as file_idx * 2^40 + local id (a shapefile cannot hold
+    2^40 records: record offsets are 32-bit word counts). Files in
+    one call should share a shape kind (one Dataset schema)."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for row in batch.to_pylist():
+            t = read_shp(row["base"])
+            eid = t["entity_id"].to_numpy(zero_copy_only=False) + (
+                np.int64(row["idx"]) << np.int64(40)
+            )
+            t = t.set_column(0, "entity_id", pa.array(eid))
+            tables.append(
+                t.append_column(
+                    "src_file", pa.array([str(row["base"])] * t.num_rows, pa.string())
+                )
+            )
+        return pa.concat_tables(tables, promote_options="default")
+
+    items = [{"base": str(p), "idx": i} for i, p in enumerate(paths)]
+    return rd.from_items(items).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
+
+
+def write_shapefile_partitions(ds, out_dir: str | Path) -> list[str]:
+    """Sink: one shapefile per block under ``out_dir`` (part-{i:05d}
+    base names — the resumable layout: finished parts can be skipped
+    on re-run). Returns the written base paths."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    # Blocks stream through the driver one at a time (iter_batches with
+    # a large batch hint keeps block granularity without materializing
+    # the dataset); file writing is I/O-bound, the pipeline upstream
+    # stays distributed.
+    for i, batch in enumerate(ds.iter_batches(batch_size=None, batch_format="pyarrow")):
+        base = out_dir / f"part-{i:05d}"
+        write_shp(batch, base)
+        written.append(str(base))
+    return written
