@@ -256,7 +256,9 @@ def cmd_shp(args: argparse.Namespace) -> int:
         [c for c in attrs.column_names if c != "entity_id"],
         how="inner",
     )
-    written = S.write_shapefile_partitions(joined, args.output)
+    written = S.write_shapefile_partitions(
+        joined, args.output, crs=S.MENU_OUT_CRS.get(args.transform)
+    )
     print(json.dumps({"written": written}))
     ray.shutdown()
     return 0

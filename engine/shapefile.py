@@ -103,9 +103,42 @@ def _record_content(shape_type: int, xs, ys, zs, parts) -> bytes:
     return out
 
 
-def write_shp(table: pa.Table, base: str | Path) -> None:
+# Public EPSG WKT for the two Slovene grids + geographic ETRS89 — the
+# reference's gk-shp writes a .prj naming the output CRS.
+PRJ_WKT = {
+    "d48": (
+        'PROJCS["MGI 1901 / Slovene National Grid",GEOGCS["MGI 1901",'
+        'DATUM["MGI_1901",SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9999],'
+        'PARAMETER["false_easting",500000],PARAMETER["false_northing",-5000000],'
+        'UNIT["metre",1]]'
+    ),
+    "d96": (
+        'PROJCS["Slovenia 1996 / Slovene National Grid",GEOGCS["Slovenia 1996",'
+        'DATUM["Slovenia_Geodetic_Datum_1996",SPHEROID["GRS 1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9999],'
+        'PARAMETER["false_easting",500000],PARAMETER["false_northing",-5000000],'
+        'UNIT["metre",1]]'
+    ),
+    "wgs84": (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+    ),
+}
+
+# Menu transform (1-10) -> output CRS of the converted shapefile.
+MENU_OUT_CRS = {1: "wgs84", 2: "d96", 3: "wgs84", 4: "d48", 5: "d96",
+                6: "d48", 7: "wgs84", 8: "d48", 9: "d96", 10: "d48"}
+
+
+def write_shp(table: pa.Table, base: str | Path, crs: str | None = None) -> None:
     """Write ``table`` (geometry-table schema above) as ``base``.shp +
-    .shx + .dbf. All entities must share one shape kind (the format's
+    .shx + .dbf (+ .prj when ``crs`` is one of PRJ_WKT's keys or a raw
+    WKT string). All entities must share one shape kind (the format's
     constraint); attribute columns = every column not in the geometry
     set."""
     base = Path(base)
@@ -158,6 +191,8 @@ def write_shp(table: pa.Table, base: str | Path) -> None:
         if c not in ("kind", "xs", "ys", "zs", "parts")
     ]
     write_dbf(table.select(attr_cols), base.with_suffix(".dbf"))
+    if crs is not None:
+        base.with_suffix(".prj").write_text(PRJ_WKT.get(crs, crs))
 
 
 def read_shp(base: str | Path) -> pa.Table:
@@ -406,7 +441,7 @@ def read_shapefiles(paths: list[str]):
     )
 
 
-def write_shapefile_partitions(ds, out_dir: str | Path) -> list[str]:
+def write_shapefile_partitions(ds, out_dir: str | Path, crs: str | None = None) -> list[str]:
     """Sink: one shapefile per block under ``out_dir`` (part-{i:05d}
     base names — the resumable layout: finished parts can be skipped
     on re-run). Returns the written base paths."""
@@ -419,6 +454,6 @@ def write_shapefile_partitions(ds, out_dir: str | Path) -> list[str]:
     # stays distributed.
     for i, batch in enumerate(ds.iter_batches(batch_size=None, batch_format="pyarrow")):
         base = out_dir / f"part-{i:05d}"
-        write_shp(batch, base)
+        write_shp(batch, base, crs=crs)
         written.append(str(base))
     return written
