@@ -124,35 +124,47 @@ def q_geometry_transform(sf_dir: str):
 
 
 def q_media_pipeline(sf_dir: str):
-    """Multimodal plumbing: fake media corpus -> actor-pool decode
-    (deterministic stub backend) -> vectorized feature extraction.
-    Rows-only (binary/stub path; plumbing is pytest-verified)."""
+    """Multimodal pipeline over REAL library-free media bytes: valid
+    P6 PPM images and RIFF PCM16 WAV clips -> actor-pool decode
+    (actual pixel/sample recovery, engine.multimodal.parse_ppm /
+    parse_wav) -> vectorized feature extraction. Rows-only (binary
+    path; decode exactness is pytest-verified against known
+    pixels/waveforms)."""
     import ray.data as rd
 
-    from engine.multimodal import DecodeImage, image_features_stage, make_fake_media_table
+    from engine.multimodal import (
+        DecodeAudio,
+        DecodeImage,
+        audio_features_stage,
+        image_features_stage,
+        make_fake_media_table,
+    )
     from engine.pages import sf_to_n_rows
 
-    from engine.multimodal import DecodeAudio, audio_features_stage
-
     n = max(64, sf_to_n_rows(sf_dir) // 200)
-    ds = rd.from_arrow(make_fake_media_table(n))
-    ds = ds.map_batches(
+    imgs = rd.from_arrow(make_fake_media_table(n, fmt="ppm"))
+    imgs = imgs.map_batches(
         DecodeImage,
-        fn_constructor_kwargs=dict(backend="fake"),
+        fn_constructor_kwargs=dict(backend="ppm"),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 4),
     )
-    ds = ds.map_batches(image_features_stage, batch_format="pyarrow")
-    ds = ds.map_batches(
+    imgs = imgs.map_batches(image_features_stage, batch_format="pyarrow")
+    auds = rd.from_arrow(make_fake_media_table(n, seed=11, fmt="wav"))
+    auds = auds.map_batches(
         DecodeAudio,
-        fn_constructor_kwargs=dict(backend="fake"),
+        fn_constructor_kwargs=dict(backend="wav"),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 4),
     )
-    ds = ds.map_batches(audio_features_stage, batch_format="pyarrow")
-    return ds.select_columns(["media_id", "width", "height", "rms_milli", "zero_crossings"])
+    auds = auds.map_batches(audio_features_stage, batch_format="pyarrow")
+    img_sel = imgs.select_columns(["media_id", "width", "height"])
+    aud_sel = auds.select_columns(["media_id", "rms_milli", "zero_crossings"])
+    from engine.joins import hash_join
+
+    return hash_join(img_sel, aud_sel, key="media_id", num_buckets=4, how="inner")
 
 
 GEO_REGISTRY.update(

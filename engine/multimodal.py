@@ -1,11 +1,18 @@
 """Multimodal column plumbing (task mandate).
 
 Images / audio / video are opaque ``binary`` columns plus typed
-metadata columns flowing through the same Arrow pipeline as text. The
-decode kernels themselves are STUBS — no image/audio libraries exist
-in this container — but everything Ray-side is real and tested:
-schemas, small-batch actor-pool stages, deterministic fake decode for
-plumbing tests, output layout.
+metadata columns flowing through the same Arrow pipeline as text.
+
+Decode backends:
+- ``"ppm"`` / ``"wav"``: REAL decoders for the library-free formats —
+  binary P6 PPM (pixels) and RIFF/WAVE PCM16 (samples) — implemented
+  from the published format specs in pure numpy. The media pipeline
+  runs these end-to-end on valid bytes.
+- ``"fake"``: deterministic payload-digest pseudo-decode with the same
+  output schema (plumbing tests on arbitrary bytes).
+- ``"real"``: compressed formats (JPEG/PNG/MP3/...) need an image or
+  audio library that is NOT in this container — documented
+  NotImplementedError stubs.
 
 Batch-size guidance baked into the stage defaults: binary payloads are
 large (MBs/row), so these stages run with small ``batch_size`` and an
@@ -15,9 +22,76 @@ actor pool sized to memory, unlike the 10k+-row text stages.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
+
+
+def parse_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Header grammar per the
+    netpbm spec: magic, then width/height/maxval tokens separated by
+    whitespace/comments, one whitespace byte, then raw RGB rows."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def encode_ppm(pix: np.ndarray) -> bytes:
+    h, w, _ = pix.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pix.astype(np.uint8).tobytes()
+
+
+def parse_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (float32 mono samples in [-1, 1), rate_hz).
+    Walks the chunk list per the RIFF spec (word-aligned sizes)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    pcm = np.clip(np.asarray(samples) * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -45,9 +119,11 @@ class DecodeImage:
     def __init__(self, backend: str = "fake", out_hw: tuple[int, int] = (8, 8)):
         if backend == "real":
             raise NotImplementedError(
-                "image decode backend not available in this environment; "
-                "install Pillow/opencv and implement _decode_real()"
+                "compressed image decode (JPEG/PNG) not available in this "
+                "environment; install Pillow/opencv and implement _decode_real()"
             )
+        if backend not in ("fake", "ppm"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.out_hw = out_hw
 
@@ -58,10 +134,21 @@ class DecodeImage:
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
+    def _decode_ppm(self, payload: bytes) -> np.ndarray:
+        # Real decode + nearest-neighbour resize to the fixed output
+        # shape (decode-resize fusion: the tensor column is fixed-size).
+        pix = parse_ppm(payload)
+        h, w = self.out_hw
+        ih, iw = pix.shape[:2]
+        ri = (np.arange(h) * ih // h)[:, None]
+        ci = (np.arange(w) * iw // w)[None, :]
+        return pix[ri, ci, :]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         h, w = self.out_hw
-        pix = np.stack([self._decode_fake(p) for p in payloads])  # (n, h, w, 3)
+        decode = self._decode_ppm if self.backend == "ppm" else self._decode_fake
+        pix = np.stack([decode(p) for p in payloads])  # (n, h, w, 3)
         flat = pix.reshape(len(payloads), -1)
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.ravel(), pa.uint8()), h * w * 3
@@ -140,15 +227,36 @@ def frame_sample_stage(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
     )
 
 
-def make_fake_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+def make_fake_media_table(n: int, seed: int = 7, fmt: str = "raw") -> pa.Table:
+    """Deterministic media corpus. ``fmt``: "raw" = arbitrary bytes
+    (fake-decode plumbing tests), "ppm" = VALID binary P6 images of
+    varying sizes, "wav" = VALID RIFF PCM16 sine clips — the real
+    decoders run end-to-end on the latter two."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, int(s), dtype=np.uint8).tobytes() for s in rng.integers(64, 512, n)]
+    if fmt == "ppm":
+        payloads = []
+        for _ in range(n):
+            h, w = int(rng.integers(6, 17)), int(rng.integers(6, 17))
+            payloads.append(encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+        ext = "ppm"
+    elif fmt == "wav":
+        payloads = []
+        for _ in range(n):
+            f = float(rng.uniform(100, 2000))
+            t = np.arange(int(rng.integers(200, 600))) / 16000.0
+            payloads.append(encode_wav(0.5 * np.sin(2 * np.pi * f * t), 16000))
+        ext = "wav"
+    else:
+        payloads = [
+            rng.integers(0, 256, int(s), dtype=np.uint8).tobytes()
+            for s in rng.integers(64, 512, n)
+        ]
+        ext = "jpg"
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
-            "url": pa.array([f"https://media.example/{i}.jpg" for i in range(n)]),
-            "media_type": pa.array(["image"] * n),
+            "url": pa.array([f"https://media.example/{i}.{ext}" for i in range(n)]),
+            "media_type": pa.array([("audio" if fmt == "wav" else "image")] * n),
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array(np.full(n, -1, dtype=np.int32)),
             "height": pa.array(np.full(n, -1, dtype=np.int32)),
@@ -167,9 +275,12 @@ class DecodeAudio:
     def __init__(self, backend: str = "fake", n_samples: int = 256):
         if backend == "real":
             raise NotImplementedError(
-                "audio decode backend not available in this environment; "
-                "install soundfile/librosa and implement _decode_real()"
+                "compressed audio decode (MP3/OGG/FLAC) not available in this "
+                "environment; install soundfile/librosa and implement _decode_real()"
             )
+        if backend not in ("fake", "wav"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self.n_samples = n_samples
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -177,6 +288,13 @@ class DecodeAudio:
         n = len(payloads)
         wav = np.empty((n, self.n_samples), dtype=np.float32)
         for i, p in enumerate(payloads):
+            if self.backend == "wav":
+                s, _rate = parse_wav(p)
+                # truncate / zero-pad to the fixed sample-window column
+                k = min(len(s), self.n_samples)
+                wav[i, :k] = s[:k]
+                wav[i, k:] = 0.0
+                continue
             digest = hashlib.sha256(p).digest()
             rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
             wav[i] = rng.standard_normal(self.n_samples, dtype=np.float32)

@@ -93,26 +93,54 @@ def rolling_fingerprint(texts: np.ndarray, window: int = 16) -> np.ndarray:
     """Per-document fingerprint: minimum of all w-byte rolling hashes
     (a 1-fingerprint winnowing sketch). Deterministic, order-free under
     content permutation only at window granularity — the standard
-    near-dup prefilter primitive. Vectorized per doc over its byte
-    array; docs shorter than the window hash whole-content."""
-    out = np.empty(len(texts), dtype=np.int64)
+    near-dup prefilter primitive.
+
+    Vectorized across the WHOLE BATCH (no per-doc Python loop): all
+    docs' bytes concatenate into one buffer; every position's window
+    hash H[p] = sum_i byte[p+i]*B^(w-1-i) comes from ``window`` strided
+    multiply-adds over the flat buffer; per-doc minima (over windows
+    that don't cross doc boundaries) via ``minimum.reduceat``. Values
+    bit-identical to the per-doc path (pytest + SQL-oracle checked).
+    Docs shorter than the window hash whole-content (rare; tiny loop)."""
+    n = len(texts)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    encoded = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
     powers = _B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        n = len(b)
-        if n < window:
+
+    short = lens < window
+    with np.errstate(over="ignore"):  # mod-2^64 wrap intended
+        for i in np.flatnonzero(short):
             h = np.uint64(14695981039346656037)
-            with np.errstate(over="ignore"):  # mod-2^64 wrap intended
-                for byte in b:
-                    h = (h * _B + byte) & _MOD_MASK
+            for byte in buf[starts[i] : starts[i] + lens[i]]:
+                h = (h * _B + np.uint64(byte)) & _MOD_MASK
             out[i] = np.int64(h >> np.uint64(1))
-            continue
-        # All w-byte window hashes in one C-level matmul over a
-        # zero-copy stride view (equivalent to the rolling recurrence
-        # mod 2^64, without Python-level per-position work).
-        view = np.lib.stride_tricks.sliding_window_view(b, window)
-        hs = (view * powers).sum(axis=1, dtype=np.uint64)
-        out[i] = np.int64(hs.min() >> np.uint64(1))
+
+        wc = np.where(short, 0, lens - window + 1)
+        total_w = int(wc.sum())
+        if total_w:
+            # Horner over byte positions, in place: H = (H*B + byte)
+            # twice per position — no powers multiply, no temporaries.
+            nflat = len(buf) - window + 1
+            hflat = np.zeros(nflat, dtype=np.uint64)
+            for i in range(window):
+                np.multiply(hflat, _B, out=hflat)
+                np.add(hflat, buf[i : i + nflat], out=hflat, casting="unsafe")
+            # Per-doc min over [start, start+wc) WITHOUT gathering:
+            # interleave segment starts/ends, reduceat, take the even
+            # slots (odd slots are the inter-doc gap segments).
+            ws = starts[wc > 0]
+            we = ws + wc[wc > 0]
+            idx = np.empty(2 * len(ws), dtype=np.int64)
+            idx[0::2] = ws
+            idx[1::2] = we
+            trailing = idx[-1] >= nflat  # last end == array end: implicit
+            mins = np.minimum.reduceat(hflat, idx[:-1] if trailing else idx)
+            out[wc > 0] = (mins[0::2] >> np.uint64(1)).astype(np.int64)
     return out
 
 
