@@ -578,7 +578,9 @@ def embedding_dup_pairs(
                     "unit": pa.array([], pa.list_(pa.float64())),
                 }
             )
-        emb = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        from engine.ann import _emb_matrix
+
+        emb = _emb_matrix(b, vec_col)  # zero-copy flat-buffer reshape
         dim = emb.shape[1]
         key = (num_tables, dim, num_planes)
         planes = _planes_cache.get(key)

@@ -20,6 +20,13 @@ from ray.data import Dataset
 from geokit import transforms as T
 
 
+def _list_counts(arr: pa.Array) -> np.ndarray:
+    """Per-row lengths of a list column from the Arrow offsets buffer
+    (zero-copy; no to_pylist materialization)."""
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    return np.diff(offs)
+
+
 def explode_vertices(batch: pa.Table, xs_col: str = "xs", ys_col: str = "ys") -> pa.Table:
     """entity rows -> one row per vertex (entity_id, vertex_idx, x, y)."""
     ids = batch["entity_id"].to_numpy(zero_copy_only=False)
@@ -28,7 +35,7 @@ def explode_vertices(batch: pa.Table, xs_col: str = "xs", ys_col: str = "ys") ->
     if isinstance(xs, pa.ChunkedArray):
         xs = xs.combine_chunks()
         ys = ys.combine_chunks()
-    counts = np.asarray([len(v) for v in xs.to_pylist()], dtype=np.int64)
+    counts = _list_counts(xs)
     flat_x = xs.flatten().to_numpy(zero_copy_only=False)
     flat_y = ys.flatten().to_numpy(zero_copy_only=False)
     ent = np.repeat(ids, counts)

@@ -596,8 +596,10 @@ def q_embedding_dups(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=256)
 
     def plant(b: pa.Table) -> pa.Table:
+        from engine.ann import _emb_matrix
+
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
-        emb = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(b, "embedding")  # zero-copy flat-buffer reshape
         sel = ids % 10 == 0
         pid = ids[sel] + 1_000_000_000
         pemb = emb[sel] * 1.0001 + 1e-4  # same direction, tiny shift
