@@ -164,12 +164,12 @@ def cmd_run(args: argparse.Namespace) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # --address auto attaches to a `ray start` head (the `ray job
+        # submit` deployment shape); default stays a fresh local session.
+        kw = dict(include_dashboard=False, logging_level="ERROR")
+        if args.address == "local":
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address=args.address, **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -200,12 +200,12 @@ def cmd_shp(args: argparse.Namespace) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # --address auto attaches to a `ray start` head (the `ray job
+        # submit` deployment shape); default stays a fresh local session.
+        kw = dict(include_dashboard=False, logging_level="ERROR")
+        if args.address == "local":
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address=args.address, **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -284,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--level", type=int, default=12)
     r.add_argument("--shard-group-size", type=int, default=8)
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    r.add_argument("--address", default="local", help='"local" or "auto" (attach to a ray start head)')
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("shp", help="gk-shp-equivalent shapefile conversion")
@@ -291,6 +292,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("files", nargs="+", help="input .shp paths (same shape kind)")
     s.add_argument("--output", required=True, help="output dir (one .shp per block)")
     s.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    s.add_argument("--address", default="local", help='"local" or "auto" (attach to a ray start head)')
     s.set_defaults(fn=cmd_shp)
 
     args = p.parse_args(argv)

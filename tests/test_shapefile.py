@@ -185,3 +185,51 @@ def test_gkshp_pipeline_over_real_shapefiles(tmp_path):
             gx, gy = got[(fidx << 40) + eid]
             np.testing.assert_array_equal(gx, ex)
             np.testing.assert_array_equal(gy, ey)
+
+
+def test_shp_roundtrip_hypothesis(tmp_path):
+    """Property fuzz: arbitrary float64 coordinates (incl. negatives,
+    tiny/huge magnitudes) and arbitrary printable attr strings
+    round-trip bit-exactly through the binary codec."""
+    from hypothesis import given, settings, strategies as st
+
+    finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.lists(finite, min_size=1, max_size=6),
+                st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    max_size=12,
+                ),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def roundtrip(data):
+        n = len(data)
+        xs = [d[0] for d in data]
+        ys = [[v + 1.0 for v in d[0]] for d in data]
+        t = pa.table(
+            {
+                "entity_id": pa.array(np.arange(n, dtype=np.int64)),
+                "kind": pa.array(["polyline"] * n),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+                "name": pa.array([d[1] for d in data]),
+            }
+        )
+        base = tmp_path / "fuzz"
+        shp.write_shp(t, base)
+        back = shp.read_shp(base)
+        for g, w in zip(back["xs"].to_pylist(), xs):
+            np.testing.assert_array_equal(g, w)
+        for g, w in zip(back["ys"].to_pylist(), t["ys"].to_pylist()):
+            np.testing.assert_array_equal(g, w)
+        # DBF strips trailing spaces by format definition; compare stripped
+        assert back["name"].to_pylist() == [d[1][:254].rstrip() for d in data]
+
+    roundtrip()
