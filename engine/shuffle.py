@@ -93,23 +93,25 @@ def _combine_batch(
     max_cols: Sequence[str] = (),
 ) -> pa.Table:
     """Per-batch partial aggregation: one row per key tuple with count
-    + per-column sums/mins/maxs (one C-speed pandas groupby). Integer
-    columns accumulate in int64 (exact — the oracle-facing cents/milli
-    columns must never round-trip through float64)."""
-    import pandas as pd
-
-    df = batch.to_pandas()
-    g = df.groupby(list(keys), sort=False, dropna=False)
-    agg: dict[str, tuple] = {"_cnt": (keys[0], "size")}
+    + per-column sums/mins/maxs, via Arrow's hash aggregation —
+    zero-copy in, no pandas object-boxing of string keys (measured 8x
+    vs the pandas groupby this replaces at 64k rows x 2 string keys).
+    ``use_threads=False``: the kernel runs inside a 1-CPU Ray task.
+    Integer columns accumulate in int64 (exact — the oracle-facing
+    cents/milli columns must never round-trip through float64)."""
+    aggs = [([], "count_all")]  # row count per group (null-key safe)
+    aggs += [(c, "sum") for c in sum_cols]
+    aggs += [(c, "min") for c in min_cols]
+    aggs += [(c, "max") for c in max_cols]
+    out = pa.TableGroupBy(batch, list(keys), use_threads=False).aggregate(aggs)
+    mapping = {"count_all": "_cnt"}
     for c in sum_cols:
-        agg[f"_sum_{c}"] = (c, "sum")
+        mapping[f"{c}_sum"] = f"_sum_{c}"
     for c in min_cols:
-        agg[f"_min_{c}"] = (c, "min")
+        mapping[f"{c}_min"] = f"_min_{c}"
     for c in max_cols:
-        agg[f"_max_{c}"] = (c, "max")
-    out = g.agg(**agg).reset_index()
-    out["_cnt"] = out["_cnt"].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+        mapping[f"{c}_max"] = f"_max_{c}"
+    return out.rename_columns([mapping.get(n, n) for n in out.column_names])
 
 
 def grouped_count_sums(
