@@ -284,7 +284,10 @@ def verify_pairs_jaccard(
 
 
 def connected_components_distributed(
-    pairs: Dataset, max_rounds: int = 30, num_partitions: int = 32
+    pairs: Dataset,
+    max_rounds: int = 30,
+    num_partitions: int = 32,
+    force_rounds: bool = False,
 ) -> Dataset:
     """Distributed connected components on the dup graph by iterative
     min-label propagation — one co-partitioned merge per round, no
@@ -312,6 +315,49 @@ def connected_components_distributed(
         return pa.table({"node": pa.array(node), "label": pa.array(node)})
 
     edges = pairs.materialize()
+    n_edges = edges.count()  # scalar — no data reaches the driver
+    # Fast path: a dup graph that fits one worker's heap converges in
+    # a SINGLE task (vectorized union-find with pointer jumping inside
+    # the worker — not on the driver). The round-based propagation
+    # below costs ~3 s of fixed Ray overhead per round (two groupby
+    # shuffles + a sum), which a 300-edge graph should never pay; the
+    # rounds path remains the scale route for graphs beyond one heap.
+    if n_edges <= 5_000_000 and not force_rounds:
+
+        def cc_whole(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "id_a" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype=np.int64),
+                        "group_id": pd.Series(dtype=np.int64),
+                    }
+                )
+            a = df["id_a"].to_numpy()
+            b = df["id_b"].to_numpy()
+            ids = np.unique(np.concatenate([a, b]))
+            ai = np.searchsorted(ids, a)
+            bi = np.searchsorted(ids, b)
+            lab = np.arange(len(ids), dtype=np.int64)
+            while True:
+                before = lab.copy()
+                m = np.minimum(lab[ai], lab[bi])
+                np.minimum.at(lab, ai, m)
+                np.minimum.at(lab, bi, m)
+                lab = lab[lab]  # pointer jumping: log-diameter rounds
+                if np.array_equal(lab, before):
+                    break
+            return pd.DataFrame({"doc_id": ids, "group_id": ids[lab]})
+
+        out = edges.repartition(1).map_batches(
+            cc_whole, batch_format="pandas", batch_size=None
+        )
+        return conform_blocks(
+            out, pa.schema([("doc_id", pa.int64()), ("group_id", pa.int64())])
+        )
+    # Partition count sized to the measured edge count: one partition
+    # per ~20k edges keeps every round a handful of tasks while
+    # preserving the co-partitioned shape at any scale.
+    num_partitions = min(num_partitions, max(1, n_edges // 20_000 + 1))
     labels = keyed_partition_map(
         edges.map_batches(to_nodes, batch_format="pyarrow"),
         ["node"],
@@ -839,7 +885,26 @@ def minhash_dedup_verdict(
         labels = labels.map_batches(
             lambda b: b.rename_columns([id_col, "group_id"]), batch_format="pyarrow"
         )
-    joined = hash_join(ds.select_columns([id_col]), labels, key=id_col, how="left")
+    if labels.count() <= 2_000_000:
+        # Label table fits comfortably in memory: broadcast it as ONE
+        # Arrow table (ray.put, vectorized searchsorted per batch — not
+        # a Python dict with a per-row .get) instead of paying the
+        # bucketed join's shuffle. hash_join remains the path for
+        # label sets beyond a single broadcast.
+        from engine.joins import broadcast_lookup
+
+        batches = list(labels.iter_batches(batch_size=None, batch_format="pyarrow"))
+        schema = pa.schema([(id_col, pa.int64()), ("group_id", pa.int64())])
+        lab_tbl = (
+            pa.concat_tables(batches, promote_options="default").select(schema.names)
+            if batches
+            else schema.empty_table()
+        )
+        joined = broadcast_lookup(
+            ds.select_columns([id_col]), lab_tbl, id_col, id_col, ["group_id"], how="left"
+        )
+    else:
+        joined = hash_join(ds.select_columns([id_col]), labels, key=id_col, how="left")
 
     def verdict(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]

@@ -268,13 +268,18 @@ def test_connected_components_distributed_matches_driver(ray_session):
     want = connected_components(pairs_pd, ids).sort_values("doc_id").reset_index(drop=True)
 
     ds = rd.from_arrow(pa.Table.from_pandas(pairs_pd, preserve_index=False))
-    got = (
-        connected_components_distributed(ds, num_partitions=4)
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    pd.testing.assert_frame_equal(got, want.astype(np.int64))
+    # Both execution paths must agree with the driver oracle: the
+    # single-task union-find fast path AND the groupby-rounds scale path.
+    for force_rounds in (False, True):
+        got = (
+            connected_components_distributed(
+                ds, num_partitions=4, force_rounds=force_rounds
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want.astype(np.int64))
 
 
 def test_audio_stage_and_frame_sample(ray_session):
