@@ -163,16 +163,7 @@ def cmd_convert(args: argparse.Namespace) -> int:
 def cmd_run(args: argparse.Namespace) -> int:
     import ray
 
-    if not ray.is_initialized():
-        # --address auto attaches to a `ray start` head (the `ray job
-        # submit` deployment shape); default stays a fresh local session.
-        kw = dict(include_dashboard=False, logging_level="ERROR")
-        if args.address == "local":
-            kw["num_cpus"] = args.num_cpus
-        ray.init(address=args.address, **kw)
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    _init_ray(args)
 
     from engine.checkpoint import run_resumable
     from engine.pipeline import enrich_pages
@@ -192,16 +183,14 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_shp(args: argparse.Namespace) -> int:
-    """gk-shp equivalent: shapefile in -> menu transform on every
-    vertex -> shapefile(s) out, DBF attributes copied (reference
-    gk-shp.c lifecycle, SURVEY.md §3.2) — over REAL .shp/.dbf bytes
-    (engine/shapefile.py)."""
+def _init_ray(args: argparse.Namespace) -> None:
+    """Shared session policy for the pipeline subcommands: --address
+    auto attaches to a `ray start` head (the `ray job submit`
+    deployment shape); the default stays a fresh local session with
+    the requested CPU count."""
     import ray
 
     if not ray.is_initialized():
-        # --address auto attaches to a `ray start` head (the `ray job
-        # submit` deployment shape); default stays a fresh local session.
         kw = dict(include_dashboard=False, logging_level="ERROR")
         if args.address == "local":
             kw["num_cpus"] = args.num_cpus
@@ -209,6 +198,18 @@ def cmd_shp(args: argparse.Namespace) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_shp(args: argparse.Namespace) -> int:
+    """gk-shp equivalent: shapefile in -> menu transform on every
+    vertex -> shapefile(s) out, DBF attributes copied (reference
+    gk-shp.c lifecycle, SURVEY.md §3.2) — over REAL .shp/.dbf bytes
+    (engine/shapefile.py). Z coordinates and multi-part ring structure
+    are COPIED through unchanged (the reference's -hc height behavior;
+    vertex order and count are preserved, so part offsets stay valid)."""
+    import ray
+
+    _init_ray(args)
 
     import pyarrow as pa
 
@@ -218,12 +219,13 @@ def cmd_shp(args: argparse.Namespace) -> int:
 
     bases = [os.path.splitext(f)[0] for f in args.files]
     ds = S.read_shapefiles(bases)
-    geom_cols = {"xs", "ys", "zs", "parts"}
-    attr_cols = [c for c in ds.schema().names if c not in geom_cols]
-    # DBF attribute rows are tiny next to geometry (fixed-width fields,
-    # one row per entity) -> broadcast-join them back after the vertex
-    # pipeline instead of shuffling list columns (acero joins reject
-    # list-typed payloads; a shuffle here would also move geometry twice).
+    # Everything except the transformed xs/ys rides the broadcast side,
+    # keyed by entity_id: kind + DBF attrs AND the copied-through
+    # zs/parts columns (acero joins reject list payloads, and a shuffle
+    # here would move geometry twice). DBF rows are tiny; zs is
+    # vertex-sized, so for huge Z corpora prefer the parquet geometry
+    # path over this CLI convenience.
+    attr_cols = [c for c in ds.schema().names if c not in ("xs", "ys")]
     attrs = pa.Table.from_pandas(ds.select_columns(attr_cols).to_pandas())
 
     verts = ds.map_batches(explode_vertices, batch_format="pyarrow")

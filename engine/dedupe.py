@@ -740,11 +740,15 @@ def verify_pairs_jaccard_distributed(
     ep = pairs.map_batches(endpoints, batch_format="pyarrow")
 
     def doc_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = b.num_rows
         return pa.table(
             {
                 "node": b[id_col],
-                "text": b[text_col],
+                # Null text = empty doc (a null would make this row
+                # classify as an endpoint in the partition fn).
+                "text": pc.fill_null(b[text_col], ""),
                 "id_a": pa.nulls(n, pa.int64()),
                 "id_b": pa.nulls(n, pa.int64()),
                 "side": pa.nulls(n, pa.int32()),
@@ -760,12 +764,13 @@ def verify_pairs_jaccard_distributed(
             {
                 "id_a": pd.Series(dtype=np.int64),
                 "id_b": pd.Series(dtype=np.int64),
-                "side": pd.Series(dtype=np.int32),
                 "h": pd.Series(dtype=np.int64),
             }
         )
-        is_doc = df["text"].notna()
-        eps = df.loc[~is_doc, ["node", "id_a", "id_b", "side"]]
+        # Endpoint rows carry a non-null side; doc rows never do
+        # (text is null-coalesced upstream, so it cannot classify).
+        is_doc = df["side"].isna()
+        eps = df.loc[~is_doc, ["node", "id_a", "id_b"]]
         if eps.empty:
             return empty
         cand_nodes = pd.unique(eps["node"])
@@ -814,11 +819,13 @@ def verify_pairs_jaccard_distributed(
             np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts
         )
         src = np.repeat(u_starts[ep_doc], cnts) + local
+        # No side column in the exploded payload: per-side uniqueness
+        # makes a (pair, hash) count of 2 mean "both sides" on its own,
+        # and this is the pipeline's largest intermediate.
         return pd.DataFrame(
             {
                 "id_a": np.repeat(eps["id_a"].to_numpy().astype(np.int64), cnts),
                 "id_b": np.repeat(eps["id_b"].to_numpy().astype(np.int64), cnts),
-                "side": np.repeat(eps["side"].to_numpy().astype(np.int32), cnts),
                 "h": h_u[src],
             }
         )

@@ -298,9 +298,9 @@ def _dbf_field_spec(name: str, typ: pa.DataType, col: pa.ChunkedArray):
         width = max([len(v.encode("ascii", "replace")) for v in vals if v is not None] + [1])
         return ("C", min(width, 254), 0)
     if pa.types.is_integer(typ):
-        return ("N", 18, 0)
+        return ("N", 20, 0)  # fits INT64_MIN (20 chars incl. sign)
     if pa.types.is_floating(typ):
-        return ("N", 19, 6)
+        return ("N", 24, 6)
     if pa.types.is_boolean(typ):
         return ("L", 1, 0)
     if pa.types.is_date(typ):
@@ -335,7 +335,14 @@ def write_dbf(table: pa.Table, path: str | Path) -> None:
                 body += s.ljust(width, b" ")
             elif typ == "N":
                 s = b"" if v is None else (f"{v:.{dec}f}" if dec else f"{int(v)}").encode()
-                body += s[:width].rjust(width, b" ")
+                if len(s) > width:
+                    # Refuse to corrupt: a silent prefix-truncation of
+                    # a numeric literal changes its VALUE (e.g. drops
+                    # the last digit of a 19-digit int64).
+                    raise ValueError(
+                        f"DBF field {name!r} width {width} cannot hold {v!r}"
+                    )
+                body += s.rjust(width, b" ")
             elif typ == "L":
                 body += b"?" if v is None else (b"T" if v else b"F")
             elif typ == "D":
@@ -416,17 +423,21 @@ def read_shapefiles(paths: list[str]):
     format is record-framed, so a file is the parallelism unit), rows
     tagged with ``src_file`` lineage. entity_id is made globally
     unique as file_idx * 2^40 + local id (a shapefile cannot hold
-    2^40 records: record offsets are 32-bit word counts). Files in
-    one call should share a shape kind (one Dataset schema)."""
+    2^40 records: record offsets are 32-bit word counts). The shift
+    applies only when the file's ids are POSITIONAL (0..n-1, i.e. no
+    stored entity_id attribute): engine-written shapefiles carry
+    already-global ids in the DBF, and re-shifting those on re-ingest
+    would collide part files. Files in one call should share a shape
+    kind (one Dataset schema)."""
     import ray.data as rd
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
         for row in batch.to_pylist():
             t = read_shp(row["base"])
-            eid = t["entity_id"].to_numpy(zero_copy_only=False) + (
-                np.int64(row["idx"]) << np.int64(40)
-            )
+            eid = t["entity_id"].to_numpy(zero_copy_only=False)
+            if np.array_equal(eid, np.arange(len(eid), dtype=eid.dtype)):
+                eid = eid + (np.int64(row["idx"]) << np.int64(40))
             t = t.set_column(0, "entity_id", pa.array(eid))
             tables.append(
                 t.append_column(

@@ -66,6 +66,14 @@ def deterministic_key_hash(batch: pa.Table, keys: Sequence[str]) -> np.ndarray:
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()
         if pa.types.is_string(kc.type) or pa.types.is_large_string(kc.type):
+            if kc.null_count:
+                # Null keys hash as a fixed sentinel string (determinism
+                # is all that matters — both join sides share this fn);
+                # without the fill, dictionary indices for nulls come
+                # back NaN and index out of bounds.
+                import pyarrow.compute as pc
+
+                kc = pc.fill_null(kc, "\x00__null_key__")
             enc = kc.dictionary_encode()
             uh = _fnv1a_bytes_vectorized(enc.dictionary)
             idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -261,3 +261,38 @@ def test_raster_sampler_border_band():
     assert near[0] == 100.0  # pixel (0,0), not zero
     assert bilin[0] == 100.0  # edge-clamped
     assert near[1] == 0.0  # genuinely outside the extent
+
+
+def test_deterministic_key_hash_null_string_keys():
+    """Null string keys hash deterministically (a fixed sentinel)
+    instead of crashing on NaN dictionary indices."""
+    import pyarrow as pa
+
+    from engine.shuffle import deterministic_key_hash
+
+    t = pa.table({"k": pa.array(["a", None, "b", None])})
+    h = deterministic_key_hash(t, ["k"])
+    assert len(h) == 4
+    assert h[1] == h[3]  # nulls agree with each other
+    assert h[1] != h[0] and h[1] != h[2]
+
+
+def test_write_dbf_refuses_overflowing_numerics(tmp_path):
+    """int64 extremes fit the 20-char N field; a value too wide for
+    its field raises instead of silently truncating digits."""
+    import pyarrow as pa
+
+    from engine.shapefile import read_dbf, write_dbf
+
+    t = pa.table({"v": pa.array([2**63 - 1, -(2**63), 0], pa.int64())})
+    write_dbf(t, tmp_path / "wide.dbf")
+    assert read_dbf(tmp_path / "wide.dbf")["v"].to_pylist() == [
+        2**63 - 1,
+        -(2**63),
+        0,
+    ]
+    big = pa.table({"v": pa.array([1e300])})  # 1e300 as %.6f -> ~307 chars
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot hold"):
+        write_dbf(big, tmp_path / "overflow.dbf")
