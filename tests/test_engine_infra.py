@@ -296,3 +296,23 @@ def test_write_dbf_refuses_overflowing_numerics(tmp_path):
 
     with _pytest.raises(ValueError, match="cannot hold"):
         write_dbf(big, tmp_path / "overflow.dbf")
+
+
+def test_cli_convert_reverse_flag(tmp_path):
+    """-r swaps the first/second field interpretation (reference
+    gk-slo -r, SURVEY.md §2.3 M2): la fi input with -r must equal
+    fi la input without it."""
+    inp_fwd = tmp_path / "fwd.txt"
+    inp_fwd.write_text("pt1 46.05 14.50 300.0\n")
+    inp_rev = tmp_path / "rev.txt"
+    inp_rev.write_text("pt1 14.50 46.05 300.0\n")
+    env = dict(os.environ)
+    out_fwd = subprocess.run(
+        [sys.executable, "-m", "engine.cli", "convert", "-t", "2", str(inp_fwd)],
+        capture_output=True, text=True, cwd="/root/repo", env=env, check=True,
+    ).stdout
+    out_rev = subprocess.run(
+        [sys.executable, "-m", "engine.cli", "convert", "-t", "2", "-r", str(inp_rev)],
+        capture_output=True, text=True, cwd="/root/repo", env=env, check=True,
+    ).stdout
+    assert out_fwd == out_rev and out_fwd.strip()
