@@ -94,6 +94,11 @@ def cmd_convert(args: argparse.Namespace) -> int:
             f"but -t {t} expects {expected} input",
             file=sys.stderr,
         )
+    # Helmert parameter-set selection (reference K12: country-wide
+    # best-fit plus regional alternates).
+    from geokit.datums import HELMERT_SETS
+
+    hp = HELMERT_SETS[args.helmert_set]
     if t in (7, 9):
         aft_f = assets.load_aft("fwd")
     elif t in (8, 10):
@@ -107,16 +112,16 @@ def cmd_convert(args: argparse.Namespace) -> int:
         out = (x, y, h)
         geo_out = False
     elif t == 3:
-        out = T.gkxy2fila_wgs(a, b, h)
+        out = T.gkxy2fila_wgs(a, b, h, params=hp)
         geo_out = True
     elif t == 4:
-        out = T.fila_wgs2gkxy(a, b, h)
+        out = T.fila_wgs2gkxy(a, b, h, params=hp)
         geo_out = False
     elif t == 5:
-        out = T.gkxy2tmxy(a, b, h)
+        out = T.gkxy2tmxy(a, b, h, params=hp)
         geo_out = False
     elif t == 6:
-        out = T.tmxy2gkxy(a, b, h)
+        out = T.tmxy2gkxy(a, b, h, params=hp)
         geo_out = False
     elif t == 7:
         fi, la, _f = T.gkxy2fila_wgs_aft(a, b, aft_f)
@@ -278,6 +283,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("-d", "--sep", default=" ", help="output separator")
     c.add_argument("--height-mode", choices=["transform", "copy", "geoid"], default="transform")
     c.add_argument("-g", "--geoid", choices=["slo2000", "egm2008"], default="slo2000")
+    from geokit.datums import HELMERT_SETS as _HS
+
+    c.add_argument(
+        "--helmert-set",
+        choices=sorted(_HS),
+        default="slovenia_v1",
+        help="Helmert 7-parameter set for menus 3-6 (K12 alternates)",
+    )
     c.set_defaults(fn=cmd_convert)
 
     r = sub.add_parser("run", help="corpus pipeline with checkpoint-resume")

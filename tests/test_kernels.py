@@ -168,3 +168,26 @@ def test_format_dms_negative_fraction_sign():
     assert got[0] == "-0°30'00.00000\""
     assert got[1] == "-1°00'00.00000\""
     assert got[2].startswith("-46°03'")
+
+
+def test_helmert_regional_sets_roundtrip_and_differ():
+    """K12 parameter-set selection: every registered set round-trips
+    the chain to <=1 mm, and a regional set produces measurably
+    different coordinates than the country-wide set."""
+    import numpy as np
+
+    from geokit.datums import HELMERT_SETS
+    from geokit.transforms import fila_wgs2gkxy, gkxy2fila_wgs
+
+    x = np.array([97512.3, 130000.0])
+    y = np.array([462318.9, 455000.0])
+    h = np.array([400.0, 350.0])
+    results = {}
+    for name, p in HELMERT_SETS.items():
+        fi, la, hh = gkxy2fila_wgs(x, y, h, params=p)
+        xb, yb, hb = fila_wgs2gkxy(fi, la, hh, params=p)
+        assert np.max(np.abs(xb - x)) < 1e-3  # <= 1 mm round trip
+        assert np.max(np.abs(yb - y)) < 1e-3
+        results[name] = (fi.copy(), la.copy())
+    d_ne = np.abs(results["region_ne"][0] - results["slovenia_v1"][0]).max()
+    assert d_ne > 1e-7  # regional set measurably differs (> ~1 cm)
