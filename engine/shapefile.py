@@ -374,9 +374,13 @@ def read_dbf(path: str | Path) -> pa.Table:
         for name, typ, width, dec in specs:
             field = rec[off : off + width]
             off += width
-            s = field.decode("ascii", "replace").strip()
+            text = field.decode("ascii", "replace")
+            # C fields are left-justified and padded on the RIGHT only:
+            # leading spaces are content (hypothesis-caught). Numeric/
+            # logical/date fields strip both sides.
+            s = text.strip()
             if typ == "C":
-                cols[name].append(s)
+                cols[name].append(text.rstrip())
             elif typ in ("N", "F"):
                 if not s:
                     cols[name].append(None)
