@@ -152,8 +152,16 @@ def pages_parquet(n_rows: int, seed: int = SEED, shards: int = 32) -> str:
             cnt = min(per, n_rows - start)
             if cnt <= 0:
                 break
-            t = make_pages_table(cnt, seed + s, id_offset=start)
-            pq.write_table(t, os.path.join(path, f"part-{s:04d}.parquet"))
+            shard_path = os.path.join(path, f"part-{s:04d}.parquet")
+            # Resume-safe: shards are deterministic in (seed, offset),
+            # so a prior interrupted generation's finished shards are
+            # exact and can be kept (only the in-flight one could be
+            # torn — write to a temp name and rename atomically).
+            if not os.path.exists(shard_path):
+                t = make_pages_table(cnt, seed + s, id_offset=start)
+                tmp_path = shard_path + ".tmp"
+                pq.write_table(t, tmp_path)
+                os.replace(tmp_path, shard_path)
             start += cnt
         with open(done, "w") as f:
             f.write("ok")
