@@ -36,6 +36,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
 
+    from engine.util import filter_ray_empty_block_schema_warnings
+
+    filter_ray_empty_block_schema_warnings()
+
     from engine.pages import pages_parquet, sf_to_n_rows
     from engine.pipeline import cell_rollup, enrich_pages
     from engine import queries as Q

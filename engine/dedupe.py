@@ -29,6 +29,12 @@ MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 FNV_OFFSET = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
 
+# Declared output schemas for the pair-emitting partition maps: empty
+# partitions must still produce correctly-typed (even zero-row) blocks
+# or Ray's schema unification types the columns as null (see
+# shuffle.keyed_partition_map out_schema).
+PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
 
 def _fnv1a_tokens(tokens: list[bytes]) -> np.ndarray:
     """64-bit FNV-1a of many byte tokens at once, vectorized COLUMN-
@@ -259,7 +265,9 @@ def minhash_lsh_pairs(
 
     from engine.shuffle import keyed_partition_map
 
-    pairs = keyed_partition_map(sig, ["band", "band_hash"], bucket_pairs_partition)
+    pairs = keyed_partition_map(
+        sig, ["band", "band_hash"], bucket_pairs_partition, out_schema=PAIR_SCHEMA
+    )
 
     def count_partition(df: pd.DataFrame) -> pd.DataFrame:
         # Ray's Aggregate op costs ~100-200 ms per block on tiny pair
@@ -268,7 +276,13 @@ def minhash_lsh_pairs(
         # co-locates every (id_a, id_b) row.
         return df.groupby(["id_a", "id_b"], sort=False).size().reset_index(name="n_bands")
 
-    return keyed_partition_map(pairs, ["id_a"], count_partition, num_partitions=16)
+    return keyed_partition_map(
+        pairs,
+        ["id_a"],
+        count_partition,
+        num_partitions=16,
+        out_schema=PAIR_SCHEMA.append(pa.field("n_bands", pa.int64())),
+    )
 
 
 def verify_pairs_jaccard(
@@ -584,12 +598,17 @@ def simhash_candidates(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
 
     from engine.shuffle import keyed_partition_map
 
-    pairs = keyed_partition_map(ex, ["chunk_id", "chunk_val"], bucket_verify_partition)
+    ham_schema = PAIR_SCHEMA.append(pa.field("hamming", pa.int64()))
+    pairs = keyed_partition_map(
+        ex, ["chunk_id", "chunk_val"], bucket_verify_partition, out_schema=ham_schema
+    )
 
     def min_partition(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["id_a", "id_b"], sort=False)["hamming"].min().reset_index()
 
-    return keyed_partition_map(pairs, ["id_a"], min_partition, num_partitions=16)
+    return keyed_partition_map(
+        pairs, ["id_a"], min_partition, num_partitions=16, out_schema=ham_schema
+    )
 
 
 # ------------------------------------------------- embedding near-dup
@@ -671,14 +690,20 @@ def embedding_dup_pairs(
         cos_milli = np.floor(s[keep] * 1000 + 0.5).astype(np.int64)
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cos_milli": cos_milli})
 
-    from engine.shuffle import keyed_partition_map
+    from engine.shuffle import conform_blocks, keyed_partition_map
 
-    pairs = bk.groupby(["table_id", "bucket"]).map_groups(verify, batch_format="pandas")
+    cos_schema = PAIR_SCHEMA.append(pa.field("cos_milli", pa.int64()))
+    pairs = conform_blocks(
+        bk.groupby(["table_id", "bucket"]).map_groups(verify, batch_format="pandas"),
+        cos_schema,
+    )
 
     def min_partition(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["id_a", "id_b"], sort=False)["cos_milli"].min().reset_index()
 
-    return keyed_partition_map(pairs, ["id_a"], min_partition, num_partitions=16)
+    return keyed_partition_map(
+        pairs, ["id_a"], min_partition, num_partitions=16, out_schema=cos_schema
+    )
 
 
 # Sentinel shingle hash for zero-shingle docs: lets the exploded-rows
@@ -689,6 +714,87 @@ def embedding_dup_pairs(
 _EMPTY_SENTINEL = np.int64(-0x7A5C3B2E19D08F61)
 
 
+def distinct_pairs(pairs: Dataset, num_partitions: int = 16) -> Dataset:
+    """Globally dedupe candidate (id_a, id_b) rows (one coarse shuffle
+    keyed on id_a, so every copy of a pair co-locates). The exploded-
+    rows Jaccard counts REQUIRE each pair exactly once: a duplicated
+    pair doubles its (pair, hash) counts and the count-of-2
+    intersection trick then scores it 1.0 regardless of similarity."""
+    from engine.shuffle import keyed_partition_map
+
+    return keyed_partition_map(
+        pairs.select_columns(["id_a", "id_b"]),
+        ["id_a"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        num_partitions=num_partitions,
+        out_schema=PAIR_SCHEMA,
+    )
+
+
+def candidate_docs(
+    ds: Dataset,
+    pairs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_endpoints: int = 4_000_000,
+) -> Dataset:
+    """Semi-filter the corpus to docs that are a candidate-pair
+    endpoint, BEFORE any shuffle touches the text. On a dup-sparse
+    100 TB corpus the candidates are a tiny fraction of the docs, so
+    without this the full corpus text rides the verify's node-keyed
+    shuffle only to be dropped in the partition.
+
+    Endpoint sets up to ``max_broadcast_endpoints`` ids (~32 MB of
+    int64 at the default) are broadcast via joins.semi_filter (ray.put
+    once, vectorized searchsorted per batch — the filter runs where
+    the doc blocks already live, zero text movement). Larger endpoint
+    sets fall back to a bucketed hash-join semi: the text still
+    shuffles once, but only after the filter's distinct-endpoint side
+    is itself distributed. ``pairs`` should be materialized by the
+    caller if it is also consumed elsewhere."""
+    n_pairs = pairs.count()
+    src = ds.select_columns([id_col, text_col])
+    if 2 * n_pairs <= max_broadcast_endpoints:
+        parts = [
+            np.unique(
+                np.concatenate(
+                    [
+                        b["id_a"].to_numpy(zero_copy_only=False),
+                        b["id_b"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+            for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        ep_ids = (
+            np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+        )
+        from engine.joins import semi_filter
+
+        return semi_filter(src, ep_ids, id_col)
+    from engine.joins import hash_join
+    from engine.shuffle import keyed_partition_map
+
+    def flat_eps(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b["id_a"].to_numpy(zero_copy_only=False),
+                    b["id_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({id_col: pa.array(ids.astype(np.int64))})
+
+    eps = keyed_partition_map(
+        pairs.map_batches(flat_eps, batch_format="pyarrow"),
+        [id_col],
+        lambda df: df.drop_duplicates([id_col]),
+        out_schema=pa.schema([(id_col, pa.int64())]),
+    )
+    return hash_join(src, eps, key=id_col, how="inner")
+
+
 def verify_pairs_jaccard_distributed(
     ds: Dataset,
     pairs: Dataset,
@@ -697,19 +803,22 @@ def verify_pairs_jaccard_distributed(
     threshold: float = 0.5,
     shingle_k: int = 3,
     num_partitions: int = 32,
+    max_broadcast_endpoints: int = 4_000_000,
 ) -> Dataset:
     """Exact-Jaccard verification of LSH candidate pairs with NO
-    driver-side materialization: the driver never sees a pair.
+    driver-side pair materialization: the driver never sees a pair
+    (only the bounded distinct-endpoint id set when it is small enough
+    to broadcast).
 
-    Shape (two co-grouped shuffles, both keyed on int64):
-      1. pair endpoints (node, id_a, id_b, side) union doc rows
-         (node, text), co-grouped by node: docs with >=1 endpoint are
-         shingled (vectorized, per-doc unique) and exploded to
-         (id_a, id_b, side, shingle_hash) rows — only CANDIDATE docs
-         are shingled; non-candidate text rides the shuffle but is
-         dropped in the partition (at dup-heavy scale this one
-         corpus pass is the unavoidable candidate-gather; callers with
-         tiny candidate sets can pre-filter with joins.semi_filter).
+    Shape (pair dedup + semi-filter + two co-grouped int64 shuffles):
+      0. pairs are globally deduped (distinct_pairs — the per-pair
+         counts below require uniqueness) and the corpus is
+         semi-filtered to candidate endpoints (candidate_docs), so
+         ONLY candidate text enters any shuffle.
+      1. pair endpoints (node, id_a, id_b, side) union candidate doc
+         rows (node, text), co-grouped by node: each doc is shingled
+         once (vectorized, per-doc unique) and exploded to
+         (id_a, id_b, shingle_hash) rows.
       2. exploded rows co-grouped by (id_a, id_b): per-pair Jaccard =
          |h seen on both sides| / (rows - that), fully vectorized
          (each side's shingle set is unique, so a (pair, hash) count
@@ -718,6 +827,13 @@ def verify_pairs_jaccard_distributed(
     Returns Dataset[id_a, id_b] of pairs with Jaccard >= threshold.
     Values identical to the scalar jaccard() path (pytest-checked)."""
     from engine.shuffle import keyed_partition_map
+
+    # Materialized in the object store (not the driver): consumed by
+    # count + endpoint extraction + the endpoints stage; pair-scale.
+    pairs = distinct_pairs(pairs).materialize()
+    cand = candidate_docs(
+        ds, pairs, id_col, text_col, max_broadcast_endpoints=max_broadcast_endpoints
+    )
 
     def endpoints(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False)
@@ -755,9 +871,7 @@ def verify_pairs_jaccard_distributed(
             }
         )
 
-    docs = ds.select_columns([id_col, text_col]).map_batches(
-        doc_rows, batch_format="pyarrow"
-    )
+    docs = cand.map_batches(doc_rows, batch_format="pyarrow")
 
     def explode_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -831,7 +945,11 @@ def verify_pairs_jaccard_distributed(
         )
 
     exploded = keyed_partition_map(
-        docs.union(ep), ["node"], explode_partition, num_partitions=num_partitions
+        docs.union(ep),
+        ["node"],
+        explode_partition,
+        num_partitions=num_partitions,
+        out_schema=PAIR_SCHEMA.append(pa.field("h", pa.int64())),
     )
 
     def jaccard_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -855,7 +973,11 @@ def verify_pairs_jaccard_distributed(
         )
 
     return keyed_partition_map(
-        exploded, ["id_a", "id_b"], jaccard_partition, num_partitions=num_partitions
+        exploded,
+        ["id_a", "id_b"],
+        jaccard_partition,
+        num_partitions=num_partitions,
+        out_schema=PAIR_SCHEMA,
     )
 
 

@@ -108,19 +108,38 @@ def q_geometry_transform(sf_dir: str):
         }
     )
     out = transform_geometry(rd.from_arrow(t), transform=5)
-    import pandas as pd
 
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def summarize(b: pa.Table) -> pa.Table:
+        # Per-entity centroid straight off the Arrow list buffers:
+        # segment sums via add.reduceat over the flat values (the
+        # engine.geometry explode idiom) — no per-entity Python loop.
+        # Entities always have >= 3 vertices here, so no zero-length
+        # segments (reduceat would mis-handle them).
+        xs, ys = b["xs"], b["ys"]
+        if isinstance(xs, pa.ChunkedArray):
+            xs, ys = xs.combine_chunks(), ys.combine_chunks()
+        if isinstance(xs, pa.ExtensionArray):
+            # Pandas-block ragged arrays arrive as Ray's variable-shaped
+            # tensor extension; its storage struct's "data" field is the
+            # plain list-of-double array with the offsets we need.
+            xs = xs.storage.field("data")
+            ys = ys.storage.field("data")
+        counts = np.diff(np.asarray(xs.offsets, dtype=np.int64))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        fx = xs.flatten().to_numpy(zero_copy_only=False)
+        fy = ys.flatten().to_numpy(zero_copy_only=False)
+        cx = np.add.reduceat(fx, starts) / counts if len(fx) else np.zeros(0)
+        cy = np.add.reduceat(fy, starts) / counts if len(fy) else np.zeros(0)
+        return pa.table(
             {
-                "entity_id": g["entity_id"],
-                "n_vertices": g["n_vertices"],
-                "cx": [float(np.mean(v)) for v in g["xs"]],
-                "cy": [float(np.mean(v)) for v in g["ys"]],
+                "entity_id": b["entity_id"],
+                "n_vertices": b["n_vertices"],
+                "cx": pa.array(cx, pa.float64()),
+                "cy": pa.array(cy, pa.float64()),
             }
         )
 
-    return out.map_batches(summarize, batch_format="pandas")
+    return out.map_batches(summarize, batch_format="pyarrow")
 
 
 def q_media_pipeline(sf_dir: str):

@@ -49,9 +49,15 @@ def enrich_pages(
         except Exception:  # noqa: BLE001
             ncpu = 8
         num_blocks = min(256, max(16, 2 * ncpu))
+    from engine.util import clean_read_schema
+
+    cols = ["url", "warc_ts", "text", "lang"]
     ds = rd.read_parquet(
         pages_path,
-        columns=["url", "warc_ts", "text", "lang"],
+        columns=cols,
+        # Metadata-free subset schema -> hashable block schemas (no
+        # "Failed to hash the schemas" concat warnings downstream).
+        schema=clean_read_schema(pages_path, cols),
         override_num_blocks=num_blocks,
     )
     ds = ds.map_batches(

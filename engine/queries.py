@@ -39,11 +39,17 @@ def _read(
     heavy per-row work (text/doc kernels) pass a smaller target. At
     corpus scale the cap exceeds 4x CPUs and Ray's own block-size
     policy (target_max_block_size) takes over unchanged."""
+    from engine.util import clean_read_schema
+
     path = f"{sf_dir}/{table}.parquet"
+    # Metadata-free subset schema: keeps every block schema hashable
+    # (pandas-written parquet footers otherwise poison Ray's schema
+    # dedup with an unhashable metadata dict — see clean_read_schema).
+    schema = clean_read_schema(path, columns)
     try:
         n = pq.read_metadata(path).num_rows
     except Exception:  # noqa: BLE001 — directory datasets etc.
-        return rd.read_parquet(path, columns=columns)
+        return rd.read_parquet(path, columns=columns, schema=schema)
     import ray
 
     try:
@@ -51,7 +57,9 @@ def _read(
     except Exception:  # noqa: BLE001
         ncpu = 8
     blocks = max(1, min(4 * ncpu, -(-n // rows_per_block)))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return rd.read_parquet(
+        path, columns=columns, schema=schema, override_num_blocks=blocks
+    )
 
 
 # ---------------------------------------------------------------- q1 agg
@@ -182,19 +190,30 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 def q_dedup_documents(sf_dir: str) -> Dataset:
     """Exact dedup by content DIGEST (A3 scale shape): map each doc to
-    a 128-bit digest (two independent vectorized 64-bit hashes), group
-    by the digest pair, keep min doc_id + count. The shuffle moves
-    O(rows × 24 B) instead of the corpus text; collision probability
-    at 2^-128 is below any hardware error rate. Values identical to
-    the group-by-text oracle."""
+    a 128-bit digest (two independent vectorized 64-bit FNV-1a
+    variants with constants pinned in engine.shuffle — VERSION-STABLE,
+    unlike polars' hash which is documented unstable across library
+    versions and so unsafe for persisted digests), group by the digest
+    pair, keep min doc_id + count. The shuffle moves O(rows × 24 B)
+    instead of the corpus text; collision probability at 2^-128 is
+    below any hardware error rate. Values identical to the
+    group-by-text oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
 
     def digest(b: pa.Table) -> pa.Table:
-        import polars as pl
+        from engine.shuffle import _fnv1a_bytes_vectorized
 
-        s = pl.Series(b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"])
-        d1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
-        d2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        d1 = _fnv1a_bytes_vectorized(txt)
+        # Independent second member of the family: different odd
+        # multiplier + offset basis (splitmix64's golden-gamma).
+        d2 = _fnv1a_bytes_vectorized(
+            txt,
+            offset=np.uint64(0x9E3779B97F4A7C15),
+            prime=np.uint64(0x100000001B3) ^ np.uint64(0xA5A5A5A5A5A5A5A4),
+        )
         return pa.table({"doc_id": b["doc_id"], "d1": pa.array(d1), "d2": pa.array(d2)})
 
     out = (

@@ -28,23 +28,30 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def _fnv1a_bytes_vectorized(arr: pa.Array) -> np.ndarray:
+def _fnv1a_bytes_vectorized(
+    arr: pa.Array,
+    offset: np.uint64 = _FNV_OFFSET,
+    prime: np.uint64 = _FNV_PRIME,
+) -> np.ndarray:
     """FNV-1a over each string's utf-8 bytes, fully vectorized: one
     numpy pass per byte POSITION (max string length iterations over
     C-speed masked ops), zero per-row Python. Operates directly on the
-    Arrow offsets/values buffers (zero-copy)."""
+    Arrow offsets/values buffers (zero-copy). ``offset``/``prime``
+    select an independent hash from the same family (the exact-dedup
+    digest pairs two of them for a version-stable 128-bit digest —
+    unlike library hashes, these constants are pinned here forever)."""
     arr = arr.cast(pa.large_utf8())
     off0 = arr.offset
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[off0 : off0 + len(arr) + 1]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     lens = offs[1:] - offs[:-1]
     starts = offs[:-1]
-    h = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    h = np.full(len(arr), offset, dtype=np.uint64)
     maxlen = int(lens.max()) if len(lens) else 0
     with np.errstate(over="ignore"):  # mod-2^64 wrap intended
         for j in range(maxlen):
             active = lens > j
-            h[active] = (h[active] ^ data[starts[active] + j].astype(np.uint64)) * _FNV_PRIME
+            h[active] = (h[active] ^ data[starts[active] + j].astype(np.uint64)) * prime
     return h.view(np.int64)
 
 
@@ -188,6 +195,7 @@ def keyed_partition_map(
     keys: Sequence[str],
     partition_fn,
     num_partitions: int = 64,
+    out_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Co-group by a COARSE partition of the key columns and apply one
     vectorized ``partition_fn(pandas.DataFrame) -> DataFrame`` per
@@ -197,7 +205,14 @@ def keyed_partition_map(
     fine-key cardinality is large: Ray's sort-based groupby pays
     ~0.1 ms of per-group overhead (measured 8 s for the 80k LSH band
     buckets of a 5k-doc corpus), while this pays it ``num_partitions``
-    times and lets the partition_fn handle fine groups at C speed."""
+    times and lets the partition_fn handle fine groups at C speed.
+
+    ``out_schema``: declared output schema. Ray's pandas ``map_groups``
+    emits zero-column empty blocks for empty partitions, whose unified
+    schema types every column as null — downstream stages then log
+    "Failed to hash the schemas" / mixed-RefBundle warnings and acero
+    joins reject the null-typed fields. When given, every output block
+    is conformed to the schema (per-block metadata cast, ~free)."""
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         h = deterministic_key_hash(batch, keys)
@@ -211,7 +226,10 @@ def keyed_partition_map(
         out = partition_fn(df.drop(columns=["_pkey"]))
         return out
 
-    return tagged.groupby("_pkey").map_groups(run, batch_format="pandas")
+    res = tagged.groupby("_pkey").map_groups(run, batch_format="pandas")
+    if out_schema is not None:
+        res = conform_blocks(res, out_schema)
+    return res
 
 
 def conform_blocks(ds: Dataset, schema: pa.Schema) -> Dataset:

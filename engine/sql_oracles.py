@@ -79,7 +79,10 @@ def _c(v: float) -> str:
 
 
 def _read(sf_dir: str, table: str, columns) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from engine.util import clean_read_schema
+
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(path, columns=columns, schema=clean_read_schema(path, columns))
 
 
 # Derived lat/lon points from lineitem keys (same arithmetic in numpy

@@ -354,6 +354,77 @@ def test_distributed_jaccard_verify_empty_docs():
     assert g == {(1, 2)}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_verify_duplicated_pairs_deduped():
+    """Duplicate (id_a, id_b) candidate rows must not corrupt the
+    exploded-rows Jaccard: without the global pair dedup the count-of-2
+    intersection trick scores any duplicated pair 1.0 regardless of
+    similarity (ADVICE round 2)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon",
+                    "zeta eta theta iota kappa",  # disjoint from 1
+                    "alpha beta gamma delta epsilon",  # exact dup of 1
+                    "lambda mu nu xi omicron",
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    dup_pairs = rd.from_arrow(
+        pa.table(
+            {
+                # (1,2) duplicated 3x: dissimilar, must NOT pass; (1,3)
+                # duplicated 2x: true dup, must pass exactly once.
+                "id_a": pa.array([1, 1, 1, 1, 1], type=pa.int64()),
+                "id_b": pa.array([2, 2, 2, 3, 3], type=pa.int64()),
+            }
+        )
+    )
+    got = dedupe.verify_pairs_jaccard_distributed(ds, dup_pairs, threshold=0.5).to_pandas()
+    assert sorted(zip(got.id_a, got.id_b)) == [(1, 3)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_candidate_docs_semi_filter_bounds_text_movement():
+    """candidate_docs keeps ONLY endpoint docs — the non-candidate
+    corpus text never enters the verify shuffle (round-2 verdict #1).
+    Both the broadcast path and the hash-join-semi path agree."""
+    t = _doc_table(with_dups=False)  # 60 docs
+    ds = rd.from_arrow(t)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([3, 3, 7], type=pa.int64()),
+                "id_b": pa.array([9, 12, 9], type=pa.int64()),
+            }
+        )
+    )
+    # 5 distinct endpoints out of 60 docs.
+    bc = dedupe.candidate_docs(ds, pairs, "doc_id", "text")
+    assert sorted(bc.to_pandas().doc_id) == [3, 7, 9, 12]
+    hj = dedupe.candidate_docs(ds, pairs, "doc_id", "text", max_broadcast_endpoints=0)
+    assert sorted(hj.to_pandas().doc_id) == [3, 7, 9, 12]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_hash_join_semi_path_equivalent():
+    """Forcing the huge-endpoint-set hash-join semi path yields the
+    same verified pairs as the broadcast path."""
+    t = _doc_table()
+    ds = rd.from_arrow(t)
+    pairs_ds = dedupe.minhash_lsh_pairs(ds)
+    a = dedupe.verify_pairs_jaccard_distributed(ds, pairs_ds, threshold=0.5).to_pandas()
+    b = dedupe.verify_pairs_jaccard_distributed(
+        ds, pairs_ds, threshold=0.5, max_broadcast_endpoints=0
+    ).to_pandas()
+    assert set(zip(a.id_a, a.id_b)) == set(zip(b.id_a, b.id_b))
+    assert (10, 61) in set(zip(a.id_a, a.id_b))
+
+
 def test_ppm_codec_exact():
     """parse_ppm recovers the exact pixels encode_ppm wrote, and
     handles comments in the header (netpbm grammar)."""

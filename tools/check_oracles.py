@@ -105,6 +105,10 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    from engine.util import filter_ray_empty_block_schema_warnings
+
+    filter_ray_empty_block_schema_warnings()
+
     import __ray_entry__ as e
 
     qs = e.queries()
