@@ -174,9 +174,15 @@ def run_scaling(sf_dir: str, pairs=((8, 32),)) -> dict:
       that many cores (``sched_setaffinity`` to cores [0, n) — the box
       has 32 real cores, no SMT), emulating an n-core node rather than
       n Ray slots floating over all 32 cores.
-    - ``GRAFT_SCALING_RUNS`` (default 5) full process runs per level;
-      the per-level throughput is the MEDIAN over runs of the per-run
-      MEDIAN pages-pipeline wall (min-based numbers are reported
+    - INTERLEAVED A/B runs (round-2 verdict #4): the ``n_runs``
+      repetitions alternate lo/hi WITHIN the same window
+      (lo,hi,lo,hi,...), so shared-host contention drift hits both
+      levels equally; the headline number is the MEDIAN of the
+      per-adjacent-pair efficiencies, which cancels slow-drift noise
+      that a block design (all lo runs, then all hi runs) cannot.
+    - ``GRAFT_SCALING_RUNS`` (default 5) interleaved pairs; per-run
+      throughput is that run's MEDIAN pages-pipeline wall over
+      ``GRAFT_PAGES_REPS`` reps (min-based numbers reported
       alongside, labelled — never silently mixed).
     - A pinned pure-CPU multiprocessing control quantifies the box's
       own ceiling with variance bounds.
@@ -185,7 +191,7 @@ def run_scaling(sf_dir: str, pairs=((8, 32),)) -> dict:
 
     n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "5"))
 
-    def one(ncpu: int) -> dict:
+    def attempt(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -200,54 +206,52 @@ def run_scaling(sf_dir: str, pairs=((8, 32),)) -> dict:
             GRAFT_PAGES_REPS=os.environ.get("GRAFT_PAGES_REPS", "5"),
             GRAFT_BENCH_ONLY_PAGES="1",
         )
-
-        def attempt() -> dict:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                preexec_fn=lambda: os.sched_setaffinity(0, set(range(ncpu))),
-            ).stdout
-            return json.loads(out.strip().splitlines()[-1])
-
-        runs = [attempt() for _ in range(n_runs)]
-        med_tps = sorted(r["pages_rows_per_s_median"] for r in runs)
-        min_tps = sorted(r["pages_rows_per_s"] for r in runs)
-        return {
-            "pages_rows": runs[0]["pages_rows"],
-            "tp_median_of_medians": statistics.median(med_tps),
-            "tp_median_runs_all": med_tps,
-            "tp_best": max(min_tps),
-            "tp_min_runs_all": min_tps,
-        }
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            preexec_fn=lambda: os.sched_setaffinity(0, set(range(ncpu))),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     rows = []
     results = {}
     for lo, hi in pairs:
-        r_lo = one(lo)
-        r_hi = one(hi)
-        tp_lo = r_lo["tp_median_of_medians"]
-        tp_hi = r_hi["tp_median_of_medians"]
-        eff = (tp_hi / tp_lo) / (hi / lo)
-        eff_best = (r_hi["tp_best"] / r_lo["tp_best"]) / (hi / lo)
+        lo_med, hi_med, lo_min, hi_min, paired = [], [], [], [], []
+        for _ in range(n_runs):  # A/B interleaving: lo then hi, N times
+            a = attempt(lo)
+            b = attempt(hi)
+            lo_med.append(a["pages_rows_per_s_median"])
+            hi_med.append(b["pages_rows_per_s_median"])
+            lo_min.append(a["pages_rows_per_s"])
+            hi_min.append(b["pages_rows_per_s"])
+            paired.append((hi_med[-1] / lo_med[-1]) / (hi / lo))
+        pages_rows = b["pages_rows"]
+        tp_lo = statistics.median(lo_med)
+        tp_hi = statistics.median(hi_med)
+        eff_paired = statistics.median(paired)
+        eff_agg = (tp_hi / tp_lo) / (hi / lo)
+        eff_best = (max(hi_min) / max(lo_min)) / (hi / lo)
         hw = _hardware_control(lo, hi)
         hw_eff = hw["speedup"] / (hi / lo)
         results[f"{lo}->{hi}"] = {
             "pages_rows_per_s_lo": tp_lo,
             "pages_rows_per_s_hi": tp_hi,
-            "efficiency": round(eff, 3),
+            "efficiency": round(eff_paired, 3),
+            "efficiency_paired_all": [round(e, 3) for e in paired],
+            "efficiency_aggregate_medians": round(eff_agg, 3),
             "efficiency_best_of_runs": round(eff_best, 3),
             "hardware_ceiling_efficiency": round(hw_eff, 3),
-            "normalized_efficiency": round(eff / hw_eff, 3),
+            "normalized_efficiency": round(eff_paired / hw_eff, 3),
             "runs_per_level": n_runs,
-            "tp_lo_all_medians": r_lo["tp_median_runs_all"],
-            "tp_hi_all_medians": r_hi["tp_median_runs_all"],
+            "tp_lo_all_medians": sorted(lo_med),
+            "tp_hi_all_medians": sorted(hi_med),
             "hw_control": hw,
         }
-        rows.append((lo, hi, r_lo, r_hi, tp_lo, tp_hi, eff, hw_eff))
+        rows.append((lo, hi, pages_rows, tp_lo, tp_hi, eff_paired, eff_agg, hw_eff))
 
     head = results[f"{pairs[0][0]}->{pairs[0][1]}"]
     res = {
@@ -260,23 +264,26 @@ def run_scaling(sf_dir: str, pairs=((8, 32),)) -> dict:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
-            "# BENCH results — sandbox scaling proxy (fresh pinned processes per level)\n\n"
+            "# BENCH results — sandbox scaling proxy (interleaved pinned A/B runs)\n\n"
             "No real multi-node cluster exists in this sandbox; per the driver\n"
             "instruction the N-vs-4N-node criterion is evidenced by the same job\n"
             "at two `ray.init(num_cpus=...)` levels, each process CPU-PINNED to\n"
             "exactly that many cores (32 real cores, no SMT), so a level IS an\n"
-            "n-core machine. Medians of N full runs per level; min-based numbers\n"
-            "are reported alongside, labelled.\n\n"
+            "n-core machine. Runs ALTERNATE lo/hi within one window so shared-\n"
+            "host drift hits both levels; the headline `eff (paired)` is the\n"
+            "median of per-adjacent-pair efficiencies. Aggregate-median and\n"
+            "best-of-runs numbers are reported alongside, labelled.\n\n"
             "`hw ceiling` = pinned pure-CPU multiprocessing control (box's own\n"
-            "max speedup / (hi/lo)); `normalized = pipeline eff / hw ceiling`.\n\n"
-            "| pair | pages rows | rows/s lo (med) | rows/s hi (med) | pipeline eff (med) | eff (best) | hw ceiling | normalized |\n"
-            "|---|---|---|---|---|---|---|---|\n"
+            "max speedup / (hi/lo)); `normalized = paired eff / hw ceiling`.\n\n"
+            "| pair | pages rows | rows/s lo (med) | rows/s hi (med) | eff (paired) | eff (agg med) | eff (best) | hw ceiling | normalized |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
-        for lo, hi, r_lo, r_hi, tp_lo, tp_hi, eff, hw_eff in rows:
+        for lo, hi, pages_rows, tp_lo, tp_hi, eff_paired, eff_agg, hw_eff in rows:
             f.write(
-                f"| {lo}->{hi} | {r_lo['pages_rows']} | {tp_lo} | {tp_hi} | "
-                f"{eff:.3f} | {results[f'{lo}->{hi}']['efficiency_best_of_runs']:.3f} | "
-                f"{hw_eff:.3f} | {eff / hw_eff:.3f} |\n"
+                f"| {lo}->{hi} | {pages_rows} | {tp_lo} | {tp_hi} | "
+                f"{eff_paired:.3f} | {eff_agg:.3f} | "
+                f"{results[f'{lo}->{hi}']['efficiency_best_of_runs']:.3f} | "
+                f"{hw_eff:.3f} | {eff_paired / hw_eff:.3f} |\n"
             )
         f.write(f"\nraw: `{json.dumps(res)}`\n")
     return res

@@ -88,6 +88,42 @@ def brute_topk(
     return out
 
 
+def train_sample(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target: int = 2000,
+) -> np.ndarray:
+    """Distributed deterministic hash-sample of the embedding column
+    for k-means training — the 100 TB shape: each batch keeps rows
+    whose well-mixed id hash lands in a 1/D stratum (stable under
+    repartitioning, no coordination), and only the ~``target``-row
+    sample is ever collected. Replaces the round-2 path that read the
+    whole table driver-side and positionally sliced the first 2000
+    rows (positional slices are also not a row-order contract)."""
+    total = ds.count()
+    D = max(1, total // max(1, target))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        iv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (iv * np.int64(-7046029254386353131)) >> np.int64(32)
+        return batch.filter(pa.array(h % np.int64(D) == 0))
+
+    batches = list(
+        ds.map_batches(keep, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    batches = [b for b in batches if b.num_rows]
+    if not batches:  # degenerate tiny input: fall back to everything
+        batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    tbl = pa.concat_tables(batches, promote_options="default")
+    return _emb_matrix(tbl, vec_col)
+
+
 class IvfIndex:
     """Seeded fixed-iteration Lloyd k-means over a training sample.
     Centroids are tiny -> broadcast to every batch."""

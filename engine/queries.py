@@ -568,20 +568,23 @@ LIMIT 10
 def q_ann_ivf(sf_dir: str):
     """IVF approximate cosine top-10 (rows-only; pytest measures
     recall vs brute force). The query vector is selected BY vec_id
-    (never by row position — parquet row order is not a contract) and
-    the training slice reads only the projected columns through the
-    zero-copy flat buffer, not to_pylist."""
+    with a predicate-pruned footer read (never by row position —
+    parquet row order is not a contract), and k-means trains on a
+    DISTRIBUTED hash-sample of the Dataset (engine.ann.train_sample)
+    — no whole-table driver read anywhere on this path."""
     import pyarrow.parquet as _pq
 
-    from engine.ann import IvfIndex, _emb_matrix, ivf_topk
+    from engine.ann import IvfIndex, _emb_matrix, ivf_topk, train_sample
 
-    t = _pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    train = _emb_matrix(t.slice(0, min(t.num_rows, 2000)), "embedding")
-    qvec = _emb_matrix(t.filter(pc.equal(t["vec_id"], 0)), "embedding")[0]
-    index = IvfIndex(train, n_lists=16)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=256)
+    train = train_sample(ds, target=2000)
+    qt = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    qvec = _emb_matrix(qt, "embedding")[0]
+    index = IvfIndex(train, n_lists=16)
     return ivf_topk(ds, index, qvec, k=10, nprobe=4, exclude_ids={0})
 
 
@@ -602,6 +605,65 @@ def q_simhash_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     return simhash_candidates(ds, max_hamming=8)
+
+
+# Shared HUGEINT mirror of the engine's per-token FNV-1a (dedupe.
+# _fnv1a_tokens): mod-2^64 arithmetic with the XOR done on the low
+# byte only (h is always a multiple-of-256 split: (h//256)*256 +
+# xor(h%256, byte) == h XOR byte because byte < 256). Tokenization is
+# regexp '\\S+' == Python str.split() on this ASCII corpus (ord ==
+# utf-8 byte; same guarantee the fingerprint oracle relies on).
+_SQL_TOKEN_HASHES = r"""
+toks AS (
+  SELECT doc_id, p AS pos, regexp_extract_all(text, '\S+')[p] AS tok
+  FROM documents, LATERAL unnest(range(1, len(regexp_extract_all(text, '\S+')) + 1)) AS t(p)),
+th AS (
+  SELECT doc_id, pos,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(string_split(tok, ''), c -> ord(c)::HUGEINT)),
+      (h, b) -> (((h // 256) * 256 +
+                  CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    ) AS h
+  FROM toks)"""
+
+
+def _sql_simhash_pairs(max_hamming: int = 8) -> str:
+    """Term-for-term mirror of dedupe.simhash_batch +
+    simhash_candidates: per-bit weighted token-hash sums -> 64-bit
+    fingerprint (two's-complement BIGINT, exactly the engine's int64
+    view) -> 16-bit-chunk blocking -> popcount-of-xor hamming."""
+    pow2 = ", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
+    return f"""
+WITH {_SQL_TOKEN_HASHES},
+pow2(j, p) AS (VALUES {pow2}),
+bitsums AS (
+  SELECT th.doc_id, pow2.j, pow2.p,
+         SUM(CAST((th.h // pow2.p) % 2 AS BIGINT)) AS ones, COUNT(*) AS n
+  FROM th, pow2 GROUP BY th.doc_id, pow2.j, pow2.p),
+shx AS (
+  SELECT doc_id, SUM(CASE WHEN 2 * ones - n > 0 THEN p ELSE 0::HUGEINT END) AS us
+  FROM bitsums GROUP BY doc_id),
+u AS (
+  SELECT d.doc_id, COALESCE(shx.us, 0::HUGEINT) AS us,
+    CAST(CASE WHEN COALESCE(shx.us, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+              THEN COALESCE(shx.us, 0::HUGEINT) - 18446744073709551616::HUGEINT
+              ELSE COALESCE(shx.us, 0::HUGEINT) END AS BIGINT) AS sh_i
+  FROM documents d LEFT JOIN shx ON d.doc_id = shx.doc_id),
+ch AS (
+  SELECT doc_id, sh_i,
+    CAST((us // 1::HUGEINT) % 65536 AS BIGINT) AS c0,
+    CAST((us // 65536::HUGEINT) % 65536 AS BIGINT) AS c1,
+    CAST((us // 4294967296::HUGEINT) % 65536 AS BIGINT) AS c2,
+    CAST((us // 281474976710656::HUGEINT) % 65536 AS BIGINT) AS c3
+  FROM u)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh_i, b.sh_i)) AS BIGINT) AS hamming
+FROM ch a JOIN ch b ON a.doc_id < b.doc_id
+ AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+WHERE bit_count(xor(a.sh_i, b.sh_i)) <= {max_hamming}
+"""
 
 
 def q_embedding_dups(sf_dir: str):
@@ -691,7 +753,9 @@ REGISTRY.update(
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
         "ann_ivf": (q_ann_ivf, None),
         "minhash_dedup": (q_minhash_dedup, None),
-        "simhash_pairs": (q_simhash_pairs, None),
+        # Exact value oracle (round-3): the whole simhash pipeline is
+        # SQL-expressible with the HUGEINT token-hash mirror.
+        "simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
         # LSH recall vs the exact cosine threshold is deterministic on
         # this corpus: multi-table random-hyperplane buckets find every
         # >=0.8 pair (planted dups at cos ~0.99997; random 128-dim pairs
@@ -1135,7 +1199,79 @@ def q_minhash_dedup_full(sf_dir: str):
     return minhash_dedup_verdict(ds)
 
 
-REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, None)})
+def _sql_minhash_dedup_full(threshold_num: int = 1, threshold_den: int = 2) -> str:
+    """Term-for-term mirror of the ENTIRE minhash dedup pipeline
+    (dedupe.minhash_lsh_pairs -> verify_pairs_jaccard_distributed ->
+    connected components -> verdict), value-exact:
+
+    - token FNV-1a via the shared HUGEINT kernel (_SQL_TOKEN_HASHES);
+    - word-3-shingles by the same Horner mix (docs with 1-2 tokens
+      fall back to raw token hashes, matching _flat_shingles);
+    - 64 minhash permutations with the engine's seeded (a, b) pairs
+      inlined; 16 bands of 4 rows via an ordered list_reduce Horner
+      (h*P + s stays under 2^104, no HUGEINT overflow);
+    - candidate pairs = shared (band, band_hash); exact-Jaccard
+      verify in INTEGER form (i/(na+nb-i) >= num/den <=>
+      den*i >= num*(na+nb-i), exact — no float compare);
+    - connected components as a recursive min-reachable-label CTE;
+    - verdict keep = (group_id == own id), singletons via LEFT JOIN.
+    """
+    from engine.dedupe import _perm_seeds
+
+    M = "18446744073709551616::HUGEINT"
+    P = "1099511628211"
+    a, b = _perm_seeds(64)
+    perms = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(64)
+    )
+    return f"""
+WITH RECURSIVE {_SQL_TOKEN_HASHES.lstrip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+sh3 AS (
+  SELECT a.doc_id, (((a.h * {P} + b.h) % {M}) * {P} + c.h) % {M} AS s
+  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sh1 AS (SELECT th.doc_id, th.h AS s FROM th JOIN cnt USING (doc_id) WHERE cnt.n < 3),
+us AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1)),
+usize AS (SELECT doc_id, COUNT(*) AS n FROM us GROUP BY doc_id),
+perms(i, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT us.doc_id, perms.i, MIN((us.s * perms.a + perms.b) % {M}) AS sg
+  FROM us, perms GROUP BY us.doc_id, perms.i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+    CAST(list_reduce(list(sg ORDER BY i), (h, s) -> (h * {P} + s) % {M}) // 2 AS BIGINT) AS band_hash
+  FROM sig GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c JOIN us ua ON ua.doc_id = c.id_a JOIN us ub ON ub.doc_id = c.id_b AND ub.s = ua.s
+  GROUP BY c.id_a, c.id_b),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN usize na ON na.doc_id = c.id_a JOIN usize nb ON nb.doc_id = c.id_b
+       LEFT JOIN inter USING (id_a, id_b)
+  WHERE {threshold_den} * COALESCE(inter.i, 0)
+        >= {threshold_num} * (na.n + nb.n - COALESCE(inter.i, 0))),
+edges AS (SELECT id_a AS a, id_b AS b FROM ver UNION ALL SELECT id_b, id_a FROM ver),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+labels AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(l.group_id, d.doc_id) AS group_id,
+       COALESCE(l.group_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""
+
+
+# Exact value oracle (round-3): verified pair-for-pair against the
+# candidate stage and verdict-for-verdict against the full pipeline.
+REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, _sql_minhash_dedup_full())})
 REGISTRY.update({"hash_sample": (q_hash_sample, SQL_HASH_SAMPLE)})
 
 

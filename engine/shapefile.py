@@ -218,8 +218,11 @@ def read_shp(base: str | Path) -> pa.Table:
         content = buf[pos : pos + clen * 2]
         pos += clen * 2
         st = struct.unpack("<i", content[:4])[0]
-        if st == 0:  # Null shape
-            kinds.append("point")
+        if st == 0:  # Null shape: empty geometry OF THE FILE'S kind —
+            # hardcoding "point" would mix kinds in a one-kind file and
+            # break re-writing (write_shp's one-kind check) and silently
+            # change kind on round-trip.
+            kinds.append(_TYPE_TO_KIND.get(_gtype, "point"))
             xs_out.append([])
             ys_out.append([])
             zs_out.append([])
@@ -314,6 +317,15 @@ def write_dbf(table: pa.Table, path: str | Path) -> None:
         (name, *_dbf_field_spec(name, table.schema.field(name).type, table[name]))
         for name in table.column_names
     ]
+    # DBF field names are 10 bytes: detect post-truncation collisions
+    # (two columns sharing a 10-char prefix would write two descriptors
+    # with one name, and the name-keyed reader then mis-associates).
+    short = [name.encode("ascii")[:10] for name, *_ in specs]
+    if len(set(short)) != len(short):
+        dupes = sorted({s.decode() for s in short if short.count(s) > 1})
+        raise ValueError(
+            f"DBF 10-char field-name collision after truncation: {dupes}"
+        )
     header_size = 32 + 32 * len(specs) + 1
     record_size = 1 + sum(w for _, _, w, _ in specs)
     head = struct.pack(
@@ -346,7 +358,16 @@ def write_dbf(table: pa.Table, path: str | Path) -> None:
             elif typ == "L":
                 body += b"?" if v is None else (b"T" if v else b"F")
             elif typ == "D":
-                s = b"        " if v is None else v.strftime("%Y%m%d").encode()
+                # NOT strftime: glibc %Y doesn't zero-pad years < 1000,
+                # which would emit < 8 bytes and shear the fixed-width
+                # framing of every later field in the record.
+                s = (
+                    b"        "
+                    if v is None
+                    else f"{v.year:04d}{v.month:02d}{v.day:02d}".encode()
+                )
+                if len(s) != 8:
+                    raise ValueError(f"DBF date field {name!r} cannot hold {v!r}")
                 body += s
     with open(path, "wb") as f:
         f.write(head + fields + b"\x0d" + bytes(body) + b"\x1a")

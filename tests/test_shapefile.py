@@ -139,6 +139,49 @@ def test_null_shape_roundtrip(tmp_path):
     assert back["xs"].to_pylist() == [[5.0], []]
 
 
+def test_null_shape_keeps_file_kind(tmp_path):
+    """A polygon file with one empty entity must read back all-polygon
+    (null shapes take the header's shape type) and stay re-writable."""
+    t = _poly_table(3)
+    t = t.set_column(
+        2, "xs", pa.array([t["xs"][0].as_py(), [], t["xs"][2].as_py()], pa.list_(pa.float64()))
+    ).set_column(
+        3, "ys", pa.array([t["ys"][0].as_py(), [], t["ys"][2].as_py()], pa.list_(pa.float64()))
+    )
+    shp.write_shp(t, tmp_path / "pn")
+    back = shp.read_shp(tmp_path / "pn")
+    assert set(back["kind"].to_pylist()) == {"polygon"}
+    shp.write_shp(back, tmp_path / "pn2")  # one-kind check must not raise
+    again = shp.read_shp(tmp_path / "pn2")
+    assert again["xs"].to_pylist() == back["xs"].to_pylist()
+
+
+def test_dbf_early_year_date_framing(tmp_path):
+    """Years < 1000 must still write 8-byte dates (strftime %Y does not
+    zero-pad; a 7-byte date would shear every later field)."""
+    t = pa.table(
+        {
+            "d": pa.array([date(999, 1, 2), date(2020, 6, 7)]),
+            "n": pa.array([7, 8], pa.int64()),
+        }
+    )
+    shp.write_dbf(t, tmp_path / "y.dbf")
+    back = shp.read_dbf(tmp_path / "y.dbf")
+    assert back["d"].to_pylist() == [date(999, 1, 2), date(2020, 6, 7)]
+    assert back["n"].to_pylist() == [7, 8]
+
+
+def test_dbf_name_truncation_collision_raises(tmp_path):
+    t = pa.table(
+        {
+            "municipality_a": pa.array([1], pa.int64()),
+            "municipality_b": pa.array([2], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="collision"):
+        shp.write_dbf(t, tmp_path / "c.dbf")
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_gkshp_pipeline_over_real_shapefiles(tmp_path):
     """End-to-end gk-shp equivalent over actual .shp bytes: write two

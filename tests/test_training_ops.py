@@ -150,6 +150,35 @@ def test_ann_ivf_recall():
     assert recall >= 0.5  # nprobe=4 of 8 lists
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_train_sample_distributed():
+    """train_sample draws a deterministic ~target-sized hash-stratum
+    sample without materializing the corpus, and an index trained on
+    it keeps the recall bound of the full-data index."""
+    from engine.ann import train_sample
+
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((400, 32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    s1 = train_sample(ds, target=100)
+    s2 = train_sample(ds.repartition(7), target=100)
+    # Deterministic and repartition-stable (hash stratum, not position).
+    assert {tuple(r) for r in s1} == {tuple(r) for r in s2}
+    assert 100 * 0.4 <= len(s1) <= 100 * 2.5
+    q = emb[0]
+    index = IvfIndex(s1, n_lists=8)
+    approx = ivf_topk(ds, index, q, k=10, nprobe=4, exclude_ids={0})
+    exact = brute_topk(ds, q, k=10, exclude_ids={0})
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.5
+
+
 def test_langid_prefers_marker_language():
     t = pa.table(
         {
