@@ -24,7 +24,7 @@ from geokit.cells import cell_id
 from geokit.datums import D96_TM
 from geokit.geoid import geoid_undulation
 from geokit.knn import PaddedGridKnn
-from geokit.polygons import pip_lookup
+from geokit.polygons import pip_lookup_auto
 from geokit.tm import tm_fwd
 
 
@@ -176,10 +176,12 @@ class PipJoin:
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = _np(batch, self.x_col)
         py = _np(batch, self.y_col)
-        idx = pip_lookup(self.polys, px, py)
+        # Auto-routes through the uniform-grid candidate index when the
+        # polygon set is nationwide-sized (zone_of exists for
+        # single-output callers; here idx is also needed for the name
+        # gather, so the lookup runs once).
+        idx = pip_lookup_auto(self.polys, px, py)
         found = idx >= 0
-        # (zone_of exists for single-output callers; here idx is also
-        # needed for the name gather, so the lookup runs once.)
         muni = np.where(
             found, self.polys.muni_id[np.where(found, idx, 0)], -1
         ).astype(np.int32)

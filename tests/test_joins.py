@@ -43,6 +43,56 @@ def test_pip_tiling_exhaustive():
     assert (got >= 0).all()
 
 
+def test_grid_pip_index_matches_linear_scan():
+    """GridPipIndex.lookup == pip_lookup point-for-point, including the
+    first-containing-polygon (lowest index) tie rule and outside-all
+    points (the nationwide-scale PIP path, round-2 verdict)."""
+    from geokit.polygons import GridPipIndex
+
+    polys = assets.load_municipalities()
+    px, py = _random_points(4000, seed=11)
+    idx = GridPipIndex(polys, nx=32, ny=32)
+    assert np.array_equal(idx.lookup(px, py), pip_lookup(polys, px, py))
+    # Degenerate grids still agree (every polygon in one cell).
+    one = GridPipIndex(polys, nx=1, ny=1)
+    assert np.array_equal(one.lookup(px, py), pip_lookup(polys, px, py))
+
+
+def test_grid_pip_overlapping_polygons_first_wins():
+    """Overlapping synthetic squares: the LOWEST polygon index must win
+    in both paths, and zone_of auto-routes large sets to the grid."""
+    from geokit.polygons import GRID_PIP_THRESHOLD, GridPipIndex, PolygonSet, zone_of
+
+    rng = np.random.default_rng(3)
+    n = GRID_PIP_THRESHOLD + 8  # force the grid path in zone_of
+    cx = rng.uniform(0, 100, n)
+    cy = rng.uniform(0, 100, n)
+    half = rng.uniform(3, 12, n)
+    xs, ys, starts = [], [], [0]
+    bbox = np.empty((n, 4))
+    for i in range(n):
+        xs += [cx[i] - half[i], cx[i] + half[i], cx[i] + half[i], cx[i] - half[i]]
+        ys += [cy[i] - half[i], cy[i] - half[i], cy[i] + half[i], cy[i] + half[i]]
+        starts.append(len(xs))
+        bbox[i] = [cx[i] - half[i], cy[i] - half[i], cx[i] + half[i], cy[i] + half[i]]
+    polys = PolygonSet(
+        muni_id=np.arange(100, 100 + n, dtype=np.int32),
+        name=np.array([f"p{i}" for i in range(n)], dtype=object),
+        ring_start=np.array(starts, dtype=np.int64),
+        xs=np.array(xs),
+        ys=np.array(ys),
+        bbox=bbox,
+    )
+    px = rng.uniform(-10, 110, 5000)
+    py = rng.uniform(-10, 110, 5000)
+    lin = pip_lookup(polys, px, py)
+    grid = GridPipIndex(polys).lookup(px, py)
+    assert np.array_equal(lin, grid)
+    zones = zone_of(polys, px, py)
+    want = np.where(lin >= 0, polys.muni_id[np.where(lin >= 0, lin, 0)], -1).astype(np.int32)
+    assert np.array_equal(zones, want)
+
+
 def test_knn_matches_bruteforce_sort_oracle():
     cp = assets.load_control_points()
     px, py = _random_points(500, seed=9)
