@@ -1201,7 +1201,15 @@ def q_fila2gk(sf_dir: str) -> Dataset:
     )
 
 
-def _sql_fila2gk(src_sql: str | None = None, keys: str = "l_orderkey, l_linenumber") -> str:
+def _fila2gk_ctes(
+    keys: str, src: str = "pts"
+) -> tuple[str, str, str, str]:
+    """The fila_wgs2gkxy CTE chain (ETRS89 fi/la degrees in CTE ``src``
+    -> Bessel GK grid), reusable: returns (chain_fragment starting with
+    a comma, x_expr, y_expr, h_expr) where the expressions are the
+    UNQUANTIZED doubles over the final ``fh`` CTE. ``keys`` is the
+    projection carried through the chain's narrow stages — callers that
+    need extra columns downstream must list them here."""
     from geokit.datums import D48_GK, HELMERT_D48_TO_D96 as P
     from geokit.ellipsoids import GRS80
     from geokit.helmert import _rotation_matrix
@@ -1219,12 +1227,8 @@ def _sql_fila2gk(src_sql: str | None = None, keys: str = "l_orderkey, l_linenumb
         f"j{n} AS (SELECT * REPLACE (atan2(Zc + {_c(e2b)} * ({_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi))) * sin(phi), p) AS phi) FROM j{n-1}),"
         for n in range(1, 9)
     )
-    if src_sql is None:
-        src_sql = _SQL_LL
-    return (
-        src_sql
-        + f""",
-ea AS (SELECT {keys}, radians(fi) AS phi0, radians(la) AS lam0 FROM pts),
+    chain = f""",
+ea AS (SELECT {keys}, radians(fi) AS phi0, radians(la) AS lam0 FROM {src}),
 eb AS (SELECT *, sin(phi0) AS sp, cos(phi0) AS cp FROM ea),
 ec AS (SELECT *, {_c(ag)} / sqrt(1.0e0 - {_c(e2g)} * sp * sp) AS N FROM eb),
 ed AS (SELECT {keys},
@@ -1254,18 +1258,27 @@ fe AS (SELECT *, tsp / tcp AS ttp,
    {_c(ab)} * ({_c(bc1)} * tphi - {_c(bc2)} * sin(2.0e0 * tphi) + {_c(bc3)} * sin(4.0e0 * tphi) - {_c(bc4)} * sin(6.0e0 * tphi)) AS TM FROM fd),
 ff AS (SELECT *, ttp * ttp AS TT, TA * TA AS TA2 FROM fe),
 fg AS (SELECT *, TA2 * TA AS TA3, TA2 * TA2 AS TA4 FROM ff),
-fh AS (SELECT *, TA4 * TA AS TA5, TA4 * TA2 AS TA6 FROM fg)
-SELECT {keys},
-  CAST(FLOOR((-5.0e6 + 0.9999e0 * (TM - 0.0e0 + TN * ttp * (TA2 / 2.0e0
+fh AS (SELECT *, TA4 * TA AS TA5, TA4 * TA2 AS TA6 FROM fg)"""
+    x_expr = f"""(-5.0e6 + 0.9999e0 * (TM - 0.0e0 + TN * ttp * (TA2 / 2.0e0
       + (5.0e0 - TT + 9.0e0 * TC + 4.0e0 * TC * TC) * TA4 / 24.0e0
-      + (61.0e0 - 58.0e0 * TT + TT * TT + 600.0e0 * TC - 330.0e0 * {_c(ep2b)}) * TA6 / 720.0e0))) * 1e2 + 0.5e0) AS BIGINT) AS x48_cm,
-  CAST(FLOOR((5.0e5 + 0.9999e0 * TN * (TA
+      + (61.0e0 - 58.0e0 * TT + TT * TT + 600.0e0 * TC - 330.0e0 * {_c(ep2b)}) * TA6 / 720.0e0)))"""
+    y_expr = f"""(5.0e5 + 0.9999e0 * TN * (TA
       + (1.0e0 - TT + TC) * TA3 / 6.0e0
-      + (5.0e0 - 18.0e0 * TT + TT * TT + 72.0e0 * TC - 58.0e0 * {_c(ep2b)}) * TA5 / 120.0e0)) * 1e2 + 0.5e0) AS BIGINT) AS y48_cm,
-  CAST(FLOOR(hb * 1e2 + 0.5e0) AS BIGINT) AS h_cm
+      + (5.0e0 - 18.0e0 * TT + TT * TT + 72.0e0 * TC - 58.0e0 * {_c(ep2b)}) * TA5 / 120.0e0))"""
+    return chain, x_expr, y_expr, "hb"
+
+
+def _sql_fila2gk(src_sql: str | None = None, keys: str = "l_orderkey, l_linenumber") -> str:
+    if src_sql is None:
+        src_sql = _SQL_LL
+    chain, xe, ye, he = _fila2gk_ctes(keys)
+    return f"""{src_sql}{chain}
+SELECT {keys},
+  CAST(FLOOR({xe} * 1e2 + 0.5e0) AS BIGINT) AS x48_cm,
+  CAST(FLOOR({ye} * 1e2 + 0.5e0) AS BIGINT) AS y48_cm,
+  CAST(FLOOR({he} * 1e2 + 0.5e0) AS BIGINT) AS h_cm
 FROM fh
 """
-    )
 
 
 SQL_ORACLES2["fila2gk"] = (
