@@ -1280,3 +1280,13 @@ REGISTRY.update({"hash_sample": (q_hash_sample, SQL_HASH_SAMPLE)})
 from engine.sql_oracles import SQL_ORACLES2 as _SQL_ORACLES2  # noqa: E402
 
 REGISTRY.update(_SQL_ORACLES2)
+
+# End-to-end flagship-chain value oracle (round 3): the REAL extract ->
+# prepare -> spatial stages over an orders-derived coordinate-text
+# corpus, mirrored completely in DuckDB (engine/geo_pipeline_oracle.py).
+from engine.geo_pipeline_oracle import (  # noqa: E402
+    _sql_geo_pipeline,
+    q_geo_pipeline_sql,
+)
+
+REGISTRY.update({"geo_pipeline_sql": (q_geo_pipeline_sql, _sql_geo_pipeline())})

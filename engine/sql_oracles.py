@@ -1202,14 +1202,17 @@ def q_fila2gk(sf_dir: str) -> Dataset:
 
 
 def _fila2gk_ctes(
-    keys: str, src: str = "pts"
+    keys: str, src: str = "pts", p: str = ""
 ) -> tuple[str, str, str, str]:
     """The fila_wgs2gkxy CTE chain (ETRS89 fi/la degrees in CTE ``src``
     -> Bessel GK grid), reusable: returns (chain_fragment starting with
     a comma, x_expr, y_expr, h_expr) where the expressions are the
-    UNQUANTIZED doubles over the final ``fh`` CTE. ``keys`` is the
+    UNQUANTIZED doubles over the final ``{p}fh`` CTE. ``keys`` is the
     projection carried through the chain's narrow stages — callers that
-    need extra columns downstream must list them here."""
+    need extra columns downstream must list them here. ``p`` prefixes
+    every CTE name so the chain can appear more than once in one WITH
+    (column names are not prefixed — project them away between
+    instances)."""
     from geokit.datums import D48_GK, HELMERT_D48_TO_D96 as P
     from geokit.ellipsoids import GRS80
     from geokit.helmert import _rotation_matrix
@@ -1224,41 +1227,41 @@ def _fila2gk_ctes(
     bc3 = 15.0 * e4b / 256.0 + 45.0 * e6b / 1024.0
     bc4 = 35.0 * e6b / 3072.0
     iters = "\n".join(
-        f"j{n} AS (SELECT * REPLACE (atan2(Zc + {_c(e2b)} * ({_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi))) * sin(phi), p) AS phi) FROM j{n-1}),"
+        f"{p}j{n} AS (SELECT * REPLACE (atan2(Zc + {_c(e2b)} * ({_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi))) * sin(phi), p) AS phi) FROM {p}j{n-1}),"
         for n in range(1, 9)
     )
     chain = f""",
-ea AS (SELECT {keys}, radians(fi) AS phi0, radians(la) AS lam0 FROM {src}),
-eb AS (SELECT *, sin(phi0) AS sp, cos(phi0) AS cp FROM ea),
-ec AS (SELECT *, {_c(ag)} / sqrt(1.0e0 - {_c(e2g)} * sp * sp) AS N FROM eb),
-ed AS (SELECT {keys},
+{p}ea AS (SELECT {keys}, radians(fi) AS phi0, radians(la) AS lam0 FROM {src}),
+{p}eb AS (SELECT *, sin(phi0) AS sp, cos(phi0) AS cp FROM {p}ea),
+{p}ec AS (SELECT *, {_c(ag)} / sqrt(1.0e0 - {_c(e2g)} * sp * sp) AS N FROM {p}eb),
+{p}ed AS (SELECT {keys},
    (N + 0.0e0) * cp * cos(lam0) AS X,
    (N + 0.0e0) * cp * sin(lam0) AS Y,
-   (N * (1.0e0 - {_c(e2g)}) + 0.0e0) * sp AS Z FROM ec),
-ee AS (SELECT {keys},
+   (N * (1.0e0 - {_c(e2g)}) + 0.0e0) * sp AS Z FROM {p}ec),
+{p}ee AS (SELECT {keys},
    (X - {_c(P.dx)}) / {_c(P.scale)} AS Xs,
    (Y - {_c(P.dy)}) / {_c(P.scale)} AS Ys,
-   (Z - {_c(P.dz)}) / {_c(P.scale)} AS Zs FROM ed),
-ef AS (SELECT {keys},
+   (Z - {_c(P.dz)}) / {_c(P.scale)} AS Zs FROM {p}ed),
+{p}ef AS (SELECT {keys},
    Xs * {_c(Rinv[0, 0])} + Ys * {_c(Rinv[0, 1])} + Zs * {_c(Rinv[0, 2])} AS Xc,
    Xs * {_c(Rinv[1, 0])} + Ys * {_c(Rinv[1, 1])} + Zs * {_c(Rinv[1, 2])} AS Yc,
-   Xs * {_c(Rinv[2, 0])} + Ys * {_c(Rinv[2, 1])} + Zs * {_c(Rinv[2, 2])} AS Zc FROM ee),
-j0 AS (SELECT *, sqrt(Xc*Xc + Yc*Yc) AS p, atan2(Yc, Xc) AS lam,
-   atan2(Zc, sqrt(Xc*Xc + Yc*Yc) * (1.0e0 - {_c(e2b)})) AS phi FROM ef),
+   Xs * {_c(Rinv[2, 0])} + Ys * {_c(Rinv[2, 1])} + Zs * {_c(Rinv[2, 2])} AS Zc FROM {p}ee),
+{p}j0 AS (SELECT *, sqrt(Xc*Xc + Yc*Yc) AS p, atan2(Yc, Xc) AS lam,
+   atan2(Zc, sqrt(Xc*Xc + Yc*Yc) * (1.0e0 - {_c(e2b)})) AS phi FROM {p}ef),
 {iters}
-fb AS (SELECT {keys}, lam, phi, sin(phi) AS sp2, cos(phi) AS cp2,
-   {_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi)) AS Nb, p FROM j8),
-fc AS (SELECT *, p / cp2 - Nb AS hb,
-   radians(degrees(phi)) AS tphi, radians(degrees(lam)) AS tlam FROM fb),
-fd AS (SELECT *, sin(tphi) AS tsp, cos(tphi) AS tcp FROM fc),
-fe AS (SELECT *, tsp / tcp AS ttp,
+{p}fb AS (SELECT {keys}, lam, phi, sin(phi) AS sp2, cos(phi) AS cp2,
+   {_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * sin(phi) * sin(phi)) AS Nb, p FROM {p}j8),
+{p}fc AS (SELECT *, p / cp2 - Nb AS hb,
+   radians(degrees(phi)) AS tphi, radians(degrees(lam)) AS tlam FROM {p}fb),
+{p}fd AS (SELECT *, sin(tphi) AS tsp, cos(tphi) AS tcp FROM {p}fc),
+{p}fe AS (SELECT *, tsp / tcp AS ttp,
    {_c(ab)} / sqrt(1.0e0 - {_c(e2b)} * tsp * tsp) AS TN,
    {_c(ep2b)} * tcp * tcp AS TC,
    (tlam - radians(15.0e0)) * tcp AS TA,
-   {_c(ab)} * ({_c(bc1)} * tphi - {_c(bc2)} * sin(2.0e0 * tphi) + {_c(bc3)} * sin(4.0e0 * tphi) - {_c(bc4)} * sin(6.0e0 * tphi)) AS TM FROM fd),
-ff AS (SELECT *, ttp * ttp AS TT, TA * TA AS TA2 FROM fe),
-fg AS (SELECT *, TA2 * TA AS TA3, TA2 * TA2 AS TA4 FROM ff),
-fh AS (SELECT *, TA4 * TA AS TA5, TA4 * TA2 AS TA6 FROM fg)"""
+   {_c(ab)} * ({_c(bc1)} * tphi - {_c(bc2)} * sin(2.0e0 * tphi) + {_c(bc3)} * sin(4.0e0 * tphi) - {_c(bc4)} * sin(6.0e0 * tphi)) AS TM FROM {p}fd),
+{p}ff AS (SELECT *, ttp * ttp AS TT, TA * TA AS TA2 FROM {p}fe),
+{p}fg AS (SELECT *, TA2 * TA AS TA3, TA2 * TA2 AS TA4 FROM {p}ff),
+{p}fh AS (SELECT *, TA4 * TA AS TA5, TA4 * TA2 AS TA6 FROM {p}fg)"""
     x_expr = f"""(-5.0e6 + 0.9999e0 * (TM - 0.0e0 + TN * ttp * (TA2 / 2.0e0
       + (5.0e0 - TT + 9.0e0 * TC + 4.0e0 * TC * TC) * TA4 / 24.0e0
       + (61.0e0 - 58.0e0 * TT + TT * TT + 600.0e0 * TC - 330.0e0 * {_c(ep2b)}) * TA6 / 720.0e0)))"""

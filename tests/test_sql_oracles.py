@@ -45,3 +45,31 @@ def test_sql_oracle_exact(ray_session, con, name):
         # exactly (floats would indicate a schema regression).
         assert not np.issubdtype(av.dtype, np.floating), c
         assert np.array_equal(av, bv), f"{name}.{c}"
+
+
+def test_geo_pipeline_sql_oracle_exact(ray_session, con):
+    """End-to-end flagship-chain value oracle (engine/geo_pipeline_oracle):
+    the REAL extract -> prepare -> spatial stages vs the complete DuckDB
+    mirror, exact on every quantized column; the corpus must exercise
+    all four text layouts plus both reject paths (no-coord, M4 bounds)."""
+    from engine.geo_pipeline_oracle import _sql_geo_pipeline, q_geo_pipeline_sql
+
+    ray_df = q_geo_pipeline_sql(SF).to_pandas()
+    sql_df = con.sql(_sql_geo_pipeline()).df()
+    assert len(ray_df) == len(sql_df)
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av = a[c].to_numpy()
+        bv = b[c].to_numpy()
+        assert not np.issubdtype(av.dtype, np.floating), c
+        assert np.array_equal(av, bv), f"geo_pipeline_sql.{c}"
+    # Layout coverage: decimal / DMS / D48 / D96 all survive.
+    assert set(a["system"].unique()) == {0, 1, 2, 3}
+    # Both reject paths fired: the corpus has orders rows with no
+    # coordinate (ok%17) and out-of-bounds coordinates (ok%23), so the
+    # survivor count is strictly below the orders row count.
+    n_orders = con.sql(f"SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert 0 < len(a) < n_orders
