@@ -4,15 +4,21 @@ for the reference's `gk-shp` source/sink (upstream shapelib
 published ESRI Shapefile Technical Description (July 1998 whitepaper)
 and the dBASE III file layout. No code is derived from shapelib.
 
-Supported shape types (the ones `gk-slo`/`gk-shp` workflows use):
-  1 Point, 3 PolyLine, 5 Polygon, 11 PointZ, 13 PolyLineZ,
-  15 PolygonZ, 8 MultiPoint. Null shapes (0) round-trip as empty.
+Supported shape types (every 2-D family in the spec except
+MultiPatch 31, documented out of scope):
+  1 Point, 3 PolyLine, 5 Polygon, 8 MultiPoint; Z variants 11 PointZ,
+  13 PolyLineZ, 15 PolygonZ, 18 MultiPointZ; measured variants
+  21 PointM, 23 PolyLineM, 25 PolygonM, 28 MultiPointM. Null shapes
+  (0) round-trip as empty. Measures follow the spec's "no data"
+  convention (< -1e38): absent ms columns write NODATA and all-NODATA
+  M blocks read back as absent, so schemas are round-trip stable.
 DBF field types: C (string), N (int64 or float64 by decimals), F
 (float64), L (bool), D (date as YYYYMMDD string).
 
 Geometry table mapping (matches engine/geometry.py):
   entity_id:int64, kind:string, xs:list<double>, ys:list<double>,
-  [zs:list<double>], [parts:list<int32>], attribute columns.
+  [zs:list<double>], [ms:list<double>], [parts:list<int32>],
+  attribute columns.
 
 Scale shape: one shapefile == one Ray task (`read_shapefiles` maps a
 dataset of paths through a parse task; `write_shapefile_partitions`
@@ -37,6 +43,11 @@ SHAPE_MULTIPOINT = 8
 SHAPE_POINTZ = 11
 SHAPE_POLYLINEZ = 13
 SHAPE_POLYGONZ = 15
+SHAPE_MULTIPOINTZ = 18
+SHAPE_POINTM = 21
+SHAPE_POLYLINEM = 23
+SHAPE_POLYGONM = 25
+SHAPE_MULTIPOINTM = 28
 
 _KIND_TO_TYPE = {
     "point": SHAPE_POINT,
@@ -46,44 +57,91 @@ _KIND_TO_TYPE = {
     "pointz": SHAPE_POINTZ,
     "polylinez": SHAPE_POLYLINEZ,
     "polygonz": SHAPE_POLYGONZ,
+    "multipointz": SHAPE_MULTIPOINTZ,
+    "pointm": SHAPE_POINTM,
+    "polylinem": SHAPE_POLYLINEM,
+    "polygonm": SHAPE_POLYGONM,
+    "multipointm": SHAPE_MULTIPOINTM,
 }
 _TYPE_TO_KIND = {v: k for k, v in _KIND_TO_TYPE.items()}
-_MULTI = {SHAPE_POLYLINE, SHAPE_POLYGON, SHAPE_POLYLINEZ, SHAPE_POLYGONZ}
-_HASZ = {SHAPE_POINTZ, SHAPE_POLYLINEZ, SHAPE_POLYGONZ}
+_MULTI = {
+    SHAPE_POLYLINE,
+    SHAPE_POLYGON,
+    SHAPE_POLYLINEZ,
+    SHAPE_POLYGONZ,
+    SHAPE_POLYLINEM,
+    SHAPE_POLYGONM,
+}
+_HASZ = {SHAPE_POINTZ, SHAPE_POLYLINEZ, SHAPE_POLYGONZ, SHAPE_MULTIPOINTZ}
+# Types with a *required-by-this-writer* measure block; Z types also
+# carry M (the spec makes M optional in both families — this writer
+# always emits it, and the reader accepts either).
+_HASM = {SHAPE_POINTM, SHAPE_POLYLINEM, SHAPE_POLYGONM, SHAPE_MULTIPOINTM}
+_MULTIPT = {SHAPE_MULTIPOINT, SHAPE_MULTIPOINTZ, SHAPE_MULTIPOINTM}
 
 
 # ------------------------------------------------------------ .shp/.shx
 
 
 def _shp_header(shape_type: int, bbox: tuple, file_len_words: int) -> bytes:
-    xmin, ymin, xmax, ymax, zmin, zmax = bbox
+    xmin, ymin, xmax, ymax, zmin, zmax, mmin, mmax = bbox
     return (
         struct.pack(">i", 9994)
         + b"\x00" * 20
         + struct.pack(">i", file_len_words)
         + struct.pack("<ii", 1000, shape_type)
-        + struct.pack("<8d", xmin, ymin, xmax, ymax, zmin, zmax, 0.0, 0.0)
+        + struct.pack("<8d", xmin, ymin, xmax, ymax, zmin, zmax, mmin, mmax)
     )
 
 
-def _record_content(shape_type: int, xs, ys, zs, parts) -> bytes:
+# ESRI spec: measure values < -1e38 mean "no data". Writing NODATA
+# (not zeros) for absent measures keeps read_shp's schema stable — a
+# Z-type file written without an ms column reads back without one.
+M_NODATA = -1e40
+_M_ABSENT = -1e38
+
+
+def _measure_block(ms, n: int) -> bytes:
+    """(Mmin, Mmax, Marray) block — NODATA fill when no measures."""
+    m = (
+        np.asarray(ms, dtype="<f8")
+        if ms is not None and len(ms) == n
+        else np.full(n, M_NODATA, dtype="<f8")
+    )
+    return struct.pack("<2d", m.min(), m.max()) + m.tobytes()
+
+
+def _record_content(shape_type: int, xs, ys, zs, parts, ms=None) -> bytes:
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     n = len(xs)
     if n == 0:
         return struct.pack("<i", 0)  # Null shape
-    if shape_type in (SHAPE_POINT, SHAPE_POINTZ):
+    if shape_type in (SHAPE_POINT, SHAPE_POINTZ, SHAPE_POINTM):
         out = struct.pack("<i", shape_type) + struct.pack("<2d", xs[0], ys[0])
+        m = float(ms[0]) if ms is not None and len(ms) else M_NODATA
         if shape_type == SHAPE_POINTZ:
             z = float(zs[0]) if zs is not None and len(zs) else 0.0
-            out += struct.pack("<2d", z, 0.0)  # z, m
+            out += struct.pack("<2d", z, m)  # z, m
+        elif shape_type == SHAPE_POINTM:
+            out += struct.pack("<d", m)
         return out
     pts = np.empty((n, 2), dtype="<f8")
     pts[:, 0] = xs
     pts[:, 1] = ys
     bbox = struct.pack("<4d", xs.min(), ys.min(), xs.max(), ys.max())
-    if shape_type == SHAPE_MULTIPOINT:
-        return struct.pack("<i", shape_type) + bbox + struct.pack("<i", n) + pts.tobytes()
+    if shape_type in _MULTIPT:
+        out = struct.pack("<i", shape_type) + bbox + struct.pack("<i", n) + pts.tobytes()
+        if shape_type == SHAPE_MULTIPOINTZ:
+            z = (
+                np.asarray(zs, dtype="<f8")
+                if zs is not None and len(zs) == n
+                else np.zeros(n, dtype="<f8")
+            )
+            out += struct.pack("<2d", z.min(), z.max()) + z.tobytes()
+        if shape_type in (SHAPE_MULTIPOINTZ, SHAPE_MULTIPOINTM):
+            out += _measure_block(ms, n)
+        return out
     p = np.asarray(parts if parts is not None and len(parts) else [0], dtype="<i4")
     out = (
         struct.pack("<i", shape_type)
@@ -99,7 +157,8 @@ def _record_content(shape_type: int, xs, ys, zs, parts) -> bytes:
             else np.zeros(n, dtype="<f8")
         )
         out += struct.pack("<2d", z.min(), z.max()) + z.tobytes()
-        out += struct.pack("<2d", 0.0, 0.0) + np.zeros(n, dtype="<f8").tobytes()  # M
+    if shape_type in _HASZ or shape_type in _HASM:
+        out += _measure_block(ms, n)
     return out
 
 
@@ -150,13 +209,16 @@ def write_shp(table: pa.Table, base: str | Path, crs: str | None = None) -> None
     xs_l = table["xs"].to_pylist()
     ys_l = table["ys"].to_pylist()
     zs_l = table["zs"].to_pylist() if "zs" in table.column_names else [None] * len(xs_l)
+    ms_l = table["ms"].to_pylist() if "ms" in table.column_names else [None] * len(xs_l)
     parts_l = (
         table["parts"].to_pylist() if "parts" in table.column_names else [None] * len(xs_l)
     )
 
     records = []
     for i in range(table.num_rows):
-        records.append(_record_content(shape_type, xs_l[i], ys_l[i], zs_l[i], parts_l[i]))
+        records.append(
+            _record_content(shape_type, xs_l[i], ys_l[i], zs_l[i], parts_l[i], ms_l[i])
+        )
 
     all_x = np.concatenate([np.asarray(x, dtype=np.float64) for x in xs_l if len(x)] or [np.zeros(1)])
     all_y = np.concatenate([np.asarray(y, dtype=np.float64) for y in ys_l if len(y)] or [np.zeros(1)])
@@ -169,7 +231,18 @@ def write_shp(table: pa.Table, base: str | Path, crs: str | None = None) -> None
         if have_z
         else np.zeros(1)
     )
-    bbox = (all_x.min(), all_y.min(), all_x.max(), all_y.max(), all_z.min(), all_z.max())
+    all_m = (
+        np.concatenate(
+            [np.asarray(m, dtype=np.float64) for m in ms_l if m is not None and len(m)]
+            or [np.zeros(1)]
+        )
+        if (have_z or shape_type in _HASM)
+        else np.zeros(1)
+    )
+    bbox = (
+        all_x.min(), all_y.min(), all_x.max(), all_y.max(),
+        all_z.min(), all_z.max(), all_m.min(), all_m.max(),
+    )
 
     shp_len = 50 + sum(4 + len(r) // 2 for r in records)  # 16-bit words
     shx_len = 50 + 4 * len(records)
@@ -188,7 +261,7 @@ def write_shp(table: pa.Table, base: str | Path, crs: str | None = None) -> None
     attr_cols = [
         c
         for c in table.column_names
-        if c not in ("kind", "xs", "ys", "zs", "parts")
+        if c not in ("kind", "xs", "ys", "zs", "ms", "parts")
     ]
     write_dbf(table.select(attr_cols), base.with_suffix(".dbf"))
     if crs is not None:
@@ -208,8 +281,9 @@ def read_shp(base: str | Path) -> pa.Table:
     if version != 1000:
         raise ValueError(f"{base}: unsupported shapefile version {version}")
 
-    kinds, xs_out, ys_out, zs_out, parts_out = [], [], [], [], []
+    kinds, xs_out, ys_out, zs_out, ms_out, parts_out = [], [], [], [], [], []
     any_z = False
+    any_m = False
     any_parts = False
     pos = 100
     while pos < min(file_len, len(buf)):
@@ -226,26 +300,66 @@ def read_shp(base: str | Path) -> pa.Table:
             xs_out.append([])
             ys_out.append([])
             zs_out.append([])
+            ms_out.append([])
             parts_out.append([])
             continue
         kinds.append(_TYPE_TO_KIND[st])
-        if st in (SHAPE_POINT, SHAPE_POINTZ):
+        if st in (SHAPE_POINT, SHAPE_POINTZ, SHAPE_POINTM):
             x, y = struct.unpack("<2d", content[4:20])
             xs_out.append([x])
             ys_out.append([y])
             if st == SHAPE_POINTZ:
                 zs_out.append([struct.unpack("<d", content[20:28])[0]])
                 any_z = True
+                # The spec makes the point's M optional — present iff
+                # the record is long enough.
+                mv = (
+                    struct.unpack("<d", content[28:36])[0]
+                    if len(content) >= 36
+                    else M_NODATA
+                )
+                if mv > _M_ABSENT:
+                    ms_out.append([mv])
+                    any_m = True
+                else:
+                    ms_out.append([])
+            elif st == SHAPE_POINTM:
+                zs_out.append([])
+                mv = struct.unpack("<d", content[20:28])[0]
+                if mv > _M_ABSENT:
+                    ms_out.append([mv])
+                    any_m = True
+                else:
+                    ms_out.append([])
             else:
                 zs_out.append([])
+                ms_out.append([])
             parts_out.append([0])
             continue
-        if st == SHAPE_MULTIPOINT:
+        if st in _MULTIPT:
             n = struct.unpack("<i", content[36:40])[0]
             pts = np.frombuffer(content, dtype="<f8", count=2 * n, offset=40).reshape(n, 2)
             xs_out.append(pts[:, 0].tolist())
             ys_out.append(pts[:, 1].tolist())
-            zs_out.append([])
+            off = 40 + 16 * n
+            if st == SHAPE_MULTIPOINTZ:
+                z = np.frombuffer(content, dtype="<f8", count=n, offset=off + 16)
+                zs_out.append(z.tolist())
+                any_z = True
+                off += 16 + 8 * n
+            else:
+                zs_out.append([])
+            m = (
+                np.frombuffer(content, dtype="<f8", count=n, offset=off + 16)
+                if st in (SHAPE_MULTIPOINTZ, SHAPE_MULTIPOINTM)
+                and len(content) >= off + 16 + 8 * n
+                else None
+            )
+            if m is not None and (m > _M_ABSENT).any():
+                ms_out.append(m.tolist())
+                any_m = True
+            else:
+                ms_out.append([])
             parts_out.append([0])
             continue
         nparts, npts = struct.unpack("<2i", content[36:44])
@@ -261,8 +375,22 @@ def read_shp(base: str | Path) -> pa.Table:
             z = np.frombuffer(content, dtype="<f8", count=npts, offset=off + 16)
             zs_out.append(z.tolist())
             any_z = True
+            off += 16 + 8 * npts
         else:
             zs_out.append([])
+        m = (
+            np.frombuffer(content, dtype="<f8", count=npts, offset=off + 16)
+            if (st in _HASZ or st in _HASM)
+            and len(content) >= off + 16 + 8 * npts
+            else None
+        )
+        if m is not None and (m > _M_ABSENT).any():
+            # M block (optional per spec, even for M-types; an
+            # all-NODATA block reads back as absent).
+            ms_out.append(m.tolist())
+            any_m = True
+        else:
+            ms_out.append([])
         parts_out.append(p.tolist())
         any_parts = any_parts or nparts > 1
 
@@ -274,6 +402,8 @@ def read_shp(base: str | Path) -> pa.Table:
     }
     if any_z:
         cols["zs"] = pa.array(zs_out, pa.list_(pa.float64()))
+    if any_m:
+        cols["ms"] = pa.array(ms_out, pa.list_(pa.float64()))
     if any_parts:
         cols["parts"] = pa.array(parts_out, pa.list_(pa.int32()))
     out = pa.table(cols)

@@ -1,4 +1,4 @@
-"""The 6 registry entries excluded from the driver's 50-query window
+"""The 7 registry entries excluded from the driver's 50-query window
 (__ray_entry__._DRIVER_EXCLUDED) must stay correct even though the
 driver no longer checks them: SQL-oracled ones are value-compared
 against DuckDB here; rows-only ones are executed and sanity-checked.
@@ -55,7 +55,14 @@ def test_excluded_sql_queries_still_exact(ray_session, con, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["sample_lineitem", "minhash_dedup", "geo_densest_cells", "geo_cell_day"]
+    "name",
+    [
+        "sample_lineitem",
+        "minhash_dedup",
+        "geo_densest_cells",
+        "geo_cell_day",
+        "geo_cell_rollup",
+    ],
 )
 def test_excluded_rows_only_queries_run(ray_session, name):
     from engine.geo_queries import GEO_REGISTRY

@@ -276,3 +276,67 @@ def test_shp_roundtrip_hypothesis(tmp_path):
         assert back["name"].to_pylist() == [d[1][:254].rstrip() for d in data]
 
     roundtrip()
+
+
+def _with_ms(t, seed=9):
+    rng = np.random.default_rng(seed)
+    ms = [rng.uniform(0, 9000, len(x)).tolist() for x in t["xs"].to_pylist()]
+    return t.append_column("ms", pa.array(ms, pa.list_(pa.float64())))
+
+
+def test_shp_golden_bytes_pointm(tmp_path):
+    """PointM record layout per spec: type 21, x, y, m — 28-byte
+    content (clen 14); header M range carries the measures."""
+    t = pa.table(
+        {
+            "entity_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["pointm"]),
+            "xs": pa.array([[444000.0]], pa.list_(pa.float64())),
+            "ys": pa.array([[91000.0]], pa.list_(pa.float64())),
+            "ms": pa.array([[12.5]], pa.list_(pa.float64())),
+        }
+    )
+    shp.write_shp(t, tmp_path / "pm")
+    buf = (tmp_path / "pm.shp").read_bytes()
+    assert struct.unpack("<2i", buf[28:36]) == (1000, 21)
+    # header mmin/mmax (bytes 84:100 of the 8d box)
+    assert struct.unpack("<2d", buf[84:100]) == (12.5, 12.5)
+    recno, clen = struct.unpack(">2i", buf[100:108])
+    assert (recno, clen) == (1, 14)
+    st, x, y, m = struct.unpack("<i3d", buf[108:136])
+    assert (st, x, y, m) == (21, 444000.0, 91000.0, 12.5)
+    assert len(buf) == 136
+
+
+@pytest.mark.parametrize(
+    "kind", ["pointm", "polylinem", "polygonm", "multipointm", "multipointz"]
+)
+def test_shp_roundtrip_measured_kinds(tmp_path, kind):
+    n = 1 if kind == "pointm" else 5
+    t = _poly_table(n=n, kind=kind, with_z=(kind == "multipointz"))
+    if kind == "pointm":
+        t = t.set_column(2, "xs", pa.array([[401250.5]], pa.list_(pa.float64())))
+        t = t.set_column(3, "ys", pa.array([[130750.25]], pa.list_(pa.float64())))
+    t = _with_ms(t)
+    shp.write_shp(t, tmp_path / "m")
+    back = shp.read_shp(tmp_path / "m")
+    assert back["kind"].to_pylist() == [kind] * n
+    for c in ("xs", "ys", "ms") + (("zs",) if kind == "multipointz" else ()):
+        for g, w in zip(back[c].to_pylist(), t[c].to_pylist()):
+            np.testing.assert_array_equal(g, w)  # float64 bit-exact
+
+
+def test_shp_z_without_ms_stays_ms_free(tmp_path):
+    """A Z-type table with no ms column writes NODATA measures and
+    reads back WITHOUT an ms column (spec: M < -1e38 is 'no data' —
+    schema is round-trip stable)."""
+    t = _poly_table(n=3, kind="polylinez", with_z=True)
+    shp.write_shp(t, tmp_path / "zn")
+    back = shp.read_shp(tmp_path / "zn")
+    assert "ms" not in back.column_names
+    # and WITH measures they round-trip bit-exact on the same type
+    t2 = _with_ms(t)
+    shp.write_shp(t2, tmp_path / "zm")
+    back2 = shp.read_shp(tmp_path / "zm")
+    for g, w in zip(back2["ms"].to_pylist(), t2["ms"].to_pylist()):
+        np.testing.assert_array_equal(g, w)
