@@ -43,6 +43,10 @@ def entry() -> Any:
 #                        chain, VALUE-checked) + cell_rollup_sql (the
 #                        rollup machinery, VALUE-checked); still runs
 #                        in entry() and stays pytest-covered
+#   geo_muni_rollup   -> geo_muni_rollup_sql (same stages + same
+#                        combiner rollup on the PIP key, VALUE-checked)
+#   geometry_transform-> geometry_summary (the same explode ->
+#                        menu-5 -> reassemble lifecycle, VALUE-checked)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -51,14 +55,14 @@ _DRIVER_EXCLUDED = {
     "geo_densest_cells",
     "geo_cell_day",
     "geo_cell_rollup",
+    "geo_muni_rollup",
+    "geometry_transform",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks
 # them (round 1 they fell past the cap and got no correctness row).
 _GEO_FIRST = [
     "geo_enriched",
-    "geo_muni_rollup",
-    "geometry_transform",
     "media_pipeline",
 ]
 

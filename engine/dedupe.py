@@ -209,6 +209,149 @@ def jaccard(texts_a: str, texts_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def shingle_set_rows(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", shingle_k: int = 3
+) -> pa.Table:
+    """Per doc: DISTINCT shingle hashes as flat (id, s, n) rows — the
+    inverted-index input for the exact Jaccard similarity join.
+    Distinctness via ONE lexsort across the whole batch (no per-doc
+    Python loop); carrying each doc's distinct-shingle count ``n`` on
+    every row lets the pair stage compute union sizes without a
+    separate sizes join. Docs with zero shingles (empty text) emit no
+    rows and therefore never pair."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    flat, counts = _flat_shingles(texts, shingle_k)
+    seg = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    order = np.lexsort((flat, seg))
+    fs, ss = flat[order], seg[order]
+    keep = np.ones(len(fs), dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+    dseg = ss[keep]
+    nd = np.bincount(dseg, minlength=len(texts)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ids[dseg].astype(np.int64)),
+            "s": pa.array(fs[keep].view(np.int64)),
+            "n": pa.array(nd[dseg]),
+        }
+    )
+
+
+def jaccard_similarity_join(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    num_partitions: int = 64,
+    max_df: int | None = None,
+) -> Dataset:
+    """Exact n-gram (word k-shingle) Jaccard similarity self-join: all
+    pairs with |A∩B| / |A∪B| >= num/den, via a distributed inverted
+    index on shingle hash — no LSH approximation, and no text through
+    any shuffle (only (id, shingle-hash, size) rows move).
+
+    Stage 1 co-groups by shingle hash and emits per-partition PARTIAL
+    intersection counts per candidate pair (docs sharing >= 1
+    shingle); stage 2 co-groups by id_a, sums partials to |A∩B| and
+    applies the threshold in integer cross-multiplied form
+    (``den*i >= num*(na+nb-i)`` — no float compare).
+
+    Scale note (100 TB): stage-1 cost is sum over shingles of df^2.
+    Ultra-common shingles (boilerplate runs) are the skew risk;
+    ``max_df`` drops shingle buckets with document frequency > max_df
+    from candidate generation, making reported intersections a lower
+    bound (the classic df-capping of the all-pairs-similarity
+    literature; prefix filtering is the fully-exact scale path). The
+    driver-gate query runs exact (max_df=None).
+
+    Returns Dataset[id_a, id_b, inter, na, nb] (all int64).
+    """
+    from engine.shuffle import keyed_partition_map
+
+    num, den = threshold
+    rows = ds.map_batches(
+        shingle_set_rows,
+        batch_format="pyarrow",
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, shingle_k=shingle_k),
+    )
+
+    partial_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("na", pa.int64()),
+            ("nb", pa.int64()),
+            ("pi", pa.int64()),
+        ]
+    )
+
+    def _empty(schema: pa.Schema) -> pd.DataFrame:
+        return pd.DataFrame({f.name: pd.Series(dtype=np.int64) for f in schema})
+
+    def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df, bounds = _bucket_runs(df, ["s"], id_col)
+        if df.empty:
+            return _empty(partial_schema)
+        ids = df[id_col].to_numpy()
+        ns = df["n"].to_numpy()
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if max_df is not None and e - s > max_df:
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s:e][ia])
+            out_b.append(ids[s:e][ib])
+            out_na.append(ns[s:e][ia])
+            out_nb.append(ns[s:e][ib])
+        if not out_a:
+            return _empty(partial_schema)
+        g = pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype(np.int64),
+                "id_b": np.concatenate(out_b).astype(np.int64),
+                "na": np.concatenate(out_na).astype(np.int64),
+                "nb": np.concatenate(out_nb).astype(np.int64),
+            }
+        )
+        return (
+            g.groupby(["id_a", "id_b", "na", "nb"], sort=False)
+            .size()
+            .reset_index(name="pi")
+        )
+
+    partials = keyed_partition_map(
+        rows, ["s"], bucket_partials, num_partitions, out_schema=partial_schema
+    )
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("inter", pa.int64()),
+            ("na", pa.int64()),
+            ("nb", pa.int64()),
+        ]
+    )
+
+    def sum_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty(out_schema)
+        g = (
+            df.groupby(["id_a", "id_b", "na", "nb"], sort=False)["pi"]
+            .sum()
+            .reset_index(name="inter")
+        )
+        i = g["inter"].to_numpy()
+        keep = den * i >= num * (g["na"].to_numpy() + g["nb"].to_numpy() - i)
+        return g.loc[keep, ["id_a", "id_b", "inter", "na", "nb"]]
+
+    return keyed_partition_map(
+        partials, ["id_a"], sum_filter, num_partitions=16, out_schema=out_schema
+    )
+
+
 
 def _bucket_runs(df: pd.DataFrame, bucket_cols: list[str], id_col: str):
     """Shared LSH-bucket scaffolding: keep only rows whose bucket key

@@ -168,6 +168,18 @@ def q_geo_pipeline_sql(sf_dir: str) -> Dataset:
     return ds.map_batches(_quantize, batch_format="pyarrow")
 
 
+def q_geo_muni_rollup_sql(sf_dir: str) -> Dataset:
+    """Municipality rollup on the SAME value-checkable chain: the REAL
+    stages + the REAL combiner-shuffle aggregate (grouped_count_sums)
+    over the PIP group key. H_orth is quantized per row BEFORE the sum
+    (0.1 mm int64) so the comparison is integer-exact regardless of
+    float summation order on either engine."""
+    from engine.shuffle import grouped_count_sums
+
+    ds = q_geo_pipeline_sql(sf_dir).select_columns(["muni_id", "horth_dmm"])
+    return grouped_count_sums(ds, key="muni_id", sum_cols=("horth_dmm",))
+
+
 # ------------------------------------------------------------ SQL mirror
 
 
@@ -286,7 +298,9 @@ def _sql_muni_edges() -> str:
     return ",\n  ".join(rows)
 
 
-def _sql_geo_pipeline() -> str:
+def _sql_geo_pipeline(final: str | None = None) -> str:
+    """Full-chain mirror; ``final`` overrides the tail SELECT (it sees
+    the ``aftq`` row set and the ``lab`` PIP labels)."""
     from engine.extract import PAT_D48, PAT_D96, PAT_DEC, PAT_DMS
 
     # ---- corpus generation (mirror of _build_texts) ----------------
@@ -452,7 +466,7 @@ inside AS (
  GROUP BY 1, 2 HAVING COUNT(*) % 2 = 1),
 lab AS (SELECT iid, MIN(im) AS mid FROM inside GROUP BY 1)"""
 
-    final = """
+    final = final or """
 SELECT a.page_id, CAST(a.sys AS INTEGER) AS system,
   CAST(FLOOR(a.fi * 1e6 + 0.5e0) AS BIGINT) AS fi_udeg,
   CAST(FLOOR(a.la * 1e6 + 0.5e0) AS BIGINT) AS la_udeg,
@@ -501,4 +515,19 @@ FROM aftq a LEFT JOIN lab l ON a.page_id = l.iid
         + aftq
         + pip
         + final
+    )
+
+
+def _sql_geo_muni_rollup() -> str:
+    """GROUP BY over the same chain: count + 0.1 mm-quantized H_orth
+    sum per municipality (muni_id = -1 for points outside every
+    polygon, same as the engine's PipJoin)."""
+    return _sql_geo_pipeline(
+        final="""
+SELECT CAST(COALESCE(l.mid, -1) AS INTEGER) AS muni_id,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(FLOOR((0.0e0 - a.gn) * 1e4 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_horth_dmm
+FROM aftq a LEFT JOIN lab l ON a.page_id = l.iid
+GROUP BY 1
+"""
     )

@@ -97,9 +97,17 @@ def hash_join(
     """Partitioned hash join of two Datasets on an equality key.
 
     Tags each side, buckets rows by ``hash(key) % B``, co-groups the
-    union by bucket, and merges each bucket with pandas. One shuffle
-    total; B bounds per-group memory (size B so the largest bucket of
-    the bigger side fits a worker heap)."""
+    union by bucket, and merges each bucket with an Arrow-native join.
+    One shuffle total; B bounds per-group memory (size B so the
+    largest bucket of the bigger side fits a worker heap).
+
+    Width note: the union requires both sides to carry the UNION
+    schema, so each side ships all-null fixed-width padding for the
+    other side's columns (~2x shuffle width when both payloads are
+    comparable). Acceptable for the narrow join payloads here; for
+    wide payloads, project each side to (key, needed cols) before the
+    join — or broadcast_lookup when one side fits in the object
+    store, which moves no padding at all."""
 
     l_schema = left.schema()
     r_schema = right.schema()

@@ -1272,6 +1272,49 @@ FROM documents d LEFT JOIN labels l USING (doc_id)
 # Exact value oracle (round-3): verified pair-for-pair against the
 # candidate stage and verdict-for-verdict against the full pipeline.
 REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, _sql_minhash_dedup_full())})
+
+
+def q_jaccard_join(sf_dir: str):
+    """Standalone exact n-gram Jaccard similarity self-join (the
+    brief's 'n-gram Jaccard' dedup method as a first-class operator):
+    distributed inverted index on shingle hash, integer-form threshold
+    — no LSH stage, no approximation."""
+    from engine.dedupe import jaccard_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return jaccard_similarity_join(ds)
+
+
+def _sql_jaccard_join(threshold_num: int = 1, threshold_den: int = 2) -> str:
+    """Mirror: same token FNV-1a -> word-3-shingle Horner mix ->
+    DISTINCT shingle sets (the minhash oracle's proven CTEs), then a
+    plain shingle equi-self-join for |A∩B| and the identical integer
+    cross-multiplied threshold."""
+    M = "18446744073709551616::HUGEINT"
+    P = "1099511628211"
+    return f"""
+WITH {_SQL_TOKEN_HASHES.lstrip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+sh3 AS (
+  SELECT a.doc_id, (((a.h * {P} + b.h) % {M}) * {P} + c.h) % {M} AS s
+  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sh1 AS (SELECT th.doc_id, th.h AS s FROM th JOIN cnt USING (doc_id) WHERE cnt.n < 3),
+us AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1)),
+usize AS (SELECT doc_id, COUNT(*) AS n FROM us GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM us a JOIN us b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, CAST(i.i AS BIGINT) AS inter,
+  CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb
+FROM inter i JOIN usize na ON na.doc_id = i.id_a
+             JOIN usize nb ON nb.doc_id = i.id_b
+WHERE {threshold_den} * i.i >= {threshold_num} * (na.n + nb.n - i.i)
+"""
+
+
+REGISTRY.update({"jaccard_join": (q_jaccard_join, _sql_jaccard_join())})
 REGISTRY.update({"hash_sample": (q_hash_sample, SQL_HASH_SAMPLE)})
 
 
@@ -1285,8 +1328,13 @@ REGISTRY.update(_SQL_ORACLES2)
 # prepare -> spatial stages over an orders-derived coordinate-text
 # corpus, mirrored completely in DuckDB (engine/geo_pipeline_oracle.py).
 from engine.geo_pipeline_oracle import (  # noqa: E402
+    _sql_geo_muni_rollup,
     _sql_geo_pipeline,
+    q_geo_muni_rollup_sql,
     q_geo_pipeline_sql,
 )
 
 REGISTRY.update({"geo_pipeline_sql": (q_geo_pipeline_sql, _sql_geo_pipeline())})
+REGISTRY.update(
+    {"geo_muni_rollup_sql": (q_geo_muni_rollup_sql, _sql_geo_muni_rollup())}
+)

@@ -212,7 +212,13 @@ def keyed_partition_map(
     schema types every column as null — downstream stages then log
     "Failed to hash the schemas" / mixed-RefBundle warnings and acero
     joins reject the null-typed fields. When given, every output block
-    is conformed to the schema (per-block metadata cast, ~free)."""
+    is conformed to the schema (per-block metadata cast, ~free).
+
+    Known limit: a result with ZERO rows overall still reports a None
+    dataset schema — Ray (2.49) drops empty blocks from schema
+    unification and never runs map_batches UDFs on them, so no user
+    code can retype a fully-empty dataset. Degenerate only (consumers
+    see correct schemas whenever any partition emitted rows)."""
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         h = deterministic_key_hash(batch, keys)

@@ -1,4 +1,4 @@
-"""The 7 registry entries excluded from the driver's 50-query window
+"""The 9 registry entries excluded from the driver's 50-query window
 (__ray_entry__._DRIVER_EXCLUDED) must stay correct even though the
 driver no longer checks them: SQL-oracled ones are value-compared
 against DuckDB here; rows-only ones are executed and sanity-checked.
@@ -62,6 +62,8 @@ def test_excluded_sql_queries_still_exact(ray_session, con, name):
         "geo_densest_cells",
         "geo_cell_day",
         "geo_cell_rollup",
+        "geo_muni_rollup",
+        "geometry_transform",
     ],
 )
 def test_excluded_rows_only_queries_run(ray_session, name):

@@ -542,3 +542,58 @@ def test_real_media_decode_stages():
     # shorter clips, so just bound it)
     assert aout["rms_milli"].between(150, 400).all()
     assert (aout["zero_crossings"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_similarity_join_matches_bruteforce():
+    """Exact inverted-index Jaccard join == O(n^2) scalar jaccard over
+    every pair, including the planted near/exact dups."""
+    t = _doc_table()
+    got = dedupe.jaccard_similarity_join(rd.from_arrow(t)).to_pandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if dedupe.jaccard(texts[i], texts[j]) >= 0.5:
+                expect.add((ids[i], ids[j]))
+    assert got_pairs == expect
+    assert (10, 61) in got_pairs  # exact dup
+    assert (5, 60) in got_pairs  # near dup above 0.5
+    # inter/na/nb are the true set sizes (spot-check the exact dup:
+    # identical shingle sets => inter == na == nb).
+    row = got[(got.id_a == 10) & (got.id_b == 61)].iloc[0]
+    assert row.inter == row.na == row.nb
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_join_max_df_drops_common_shingles():
+    """df-capping: reported intersections are a lower bound — capped
+    results are a subset of exact ones with inter_capped <= inter, and
+    max_df=1 (no shingle shared by 2+ docs survives) finds nothing.
+    A fully-empty result reports no schema (Ray drops empty blocks
+    from unification — documented keyed_partition_map limit)."""
+    t = _doc_table()
+    none_found = dedupe.jaccard_similarity_join(rd.from_arrow(t), max_df=1).to_pandas()
+    assert len(none_found) == 0
+    exact = dedupe.jaccard_similarity_join(rd.from_arrow(t)).to_pandas()
+    capped = dedupe.jaccard_similarity_join(rd.from_arrow(t), max_df=4).to_pandas()
+    exact_by_pair = {(a, b): i for a, b, i in zip(exact.id_a, exact.id_b, exact.inter)}
+    assert len(capped) > 0
+    for a, b, i in zip(capped.id_a, capped.id_b, capped.inter):
+        assert (a, b) in exact_by_pair and i <= exact_by_pair[(a, b)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_join_empty_and_tiny_docs():
+    """Zero-shingle docs never pair; sub-k docs fall back to token
+    hashes (two identical 2-token docs are an exact pair)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(["", "", "alpha beta", "alpha beta"]),
+        }
+    )
+    got = dedupe.jaccard_similarity_join(rd.from_arrow(t)).to_pandas()
+    assert sorted(zip(got.id_a, got.id_b)) == [(2, 3)]
