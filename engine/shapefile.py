@@ -4,12 +4,14 @@ for the reference's `gk-shp` source/sink (upstream shapelib
 published ESRI Shapefile Technical Description (July 1998 whitepaper)
 and the dBASE III file layout. No code is derived from shapelib.
 
-Supported shape types (every 2-D family in the spec except
-MultiPatch 31, documented out of scope):
+Supported shape types (the complete set in the spec):
   1 Point, 3 PolyLine, 5 Polygon, 8 MultiPoint; Z variants 11 PointZ,
   13 PolyLineZ, 15 PolygonZ, 18 MultiPointZ; measured variants
-  21 PointM, 23 PolyLineM, 25 PolygonM, 28 MultiPointM. Null shapes
-  (0) round-trip as empty. Measures follow the spec's "no data"
+  21 PointM, 23 PolyLineM, 25 PolygonM, 28 MultiPointM; 31 MultiPatch
+  (PolygonZ framing plus a PartTypes int array — 0 TriStrip, 1 TriFan,
+  2 OuterRing, 3 InnerRing, 4 FirstRing, 5 Ring — carried as a
+  ``part_types:list<int32>`` column). Null shapes (0) round-trip as
+  empty. Measures follow the spec's "no data"
   convention (< -1e38): absent ms columns write NODATA and all-NODATA
   M blocks read back as absent, so schemas are round-trip stable.
 DBF field types: C (string), N (int64 or float64 by decimals), F
@@ -48,6 +50,7 @@ SHAPE_POINTM = 21
 SHAPE_POLYLINEM = 23
 SHAPE_POLYGONM = 25
 SHAPE_MULTIPOINTM = 28
+SHAPE_MULTIPATCH = 31
 
 _KIND_TO_TYPE = {
     "point": SHAPE_POINT,
@@ -62,6 +65,7 @@ _KIND_TO_TYPE = {
     "polylinem": SHAPE_POLYLINEM,
     "polygonm": SHAPE_POLYGONM,
     "multipointm": SHAPE_MULTIPOINTM,
+    "multipatch": SHAPE_MULTIPATCH,
 }
 _TYPE_TO_KIND = {v: k for k, v in _KIND_TO_TYPE.items()}
 _MULTI = {
@@ -72,7 +76,13 @@ _MULTI = {
     SHAPE_POLYLINEM,
     SHAPE_POLYGONM,
 }
-_HASZ = {SHAPE_POINTZ, SHAPE_POLYLINEZ, SHAPE_POLYGONZ, SHAPE_MULTIPOINTZ}
+_HASZ = {
+    SHAPE_POINTZ,
+    SHAPE_POLYLINEZ,
+    SHAPE_POLYGONZ,
+    SHAPE_MULTIPOINTZ,
+    SHAPE_MULTIPATCH,
+}
 # Types with a *required-by-this-writer* measure block; Z types also
 # carry M (the spec makes M optional in both families — this writer
 # always emits it, and the reader accepts either).
@@ -111,7 +121,9 @@ def _measure_block(ms, n: int) -> bytes:
     return struct.pack("<2d", m.min(), m.max()) + m.tobytes()
 
 
-def _record_content(shape_type: int, xs, ys, zs, parts, ms=None) -> bytes:
+def _record_content(
+    shape_type: int, xs, ys, zs, parts, ms=None, part_types=None
+) -> bytes:
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     n = len(xs)
@@ -148,8 +160,18 @@ def _record_content(shape_type: int, xs, ys, zs, parts, ms=None) -> bytes:
         + bbox
         + struct.pack("<2i", len(p), n)
         + p.tobytes()
-        + pts.tobytes()
     )
+    if shape_type == SHAPE_MULTIPATCH:
+        # PartTypes array, one int per part (spec: 0 TriStrip .. 5
+        # Ring); absent column defaults to TriStrip (0).
+        pt = np.asarray(
+            part_types
+            if part_types is not None and len(part_types) == len(p)
+            else np.zeros(len(p)),
+            dtype="<i4",
+        )
+        out += pt.tobytes()
+    out += pts.tobytes()
     if shape_type in _HASZ:
         z = (
             np.asarray(zs, dtype="<f8")
@@ -213,11 +235,18 @@ def write_shp(table: pa.Table, base: str | Path, crs: str | None = None) -> None
     parts_l = (
         table["parts"].to_pylist() if "parts" in table.column_names else [None] * len(xs_l)
     )
+    ptypes_l = (
+        table["part_types"].to_pylist()
+        if "part_types" in table.column_names
+        else [None] * len(xs_l)
+    )
 
     records = []
     for i in range(table.num_rows):
         records.append(
-            _record_content(shape_type, xs_l[i], ys_l[i], zs_l[i], parts_l[i], ms_l[i])
+            _record_content(
+                shape_type, xs_l[i], ys_l[i], zs_l[i], parts_l[i], ms_l[i], ptypes_l[i]
+            )
         )
 
     all_x = np.concatenate([np.asarray(x, dtype=np.float64) for x in xs_l if len(x)] or [np.zeros(1)])
@@ -261,7 +290,7 @@ def write_shp(table: pa.Table, base: str | Path, crs: str | None = None) -> None
     attr_cols = [
         c
         for c in table.column_names
-        if c not in ("kind", "xs", "ys", "zs", "ms", "parts")
+        if c not in ("kind", "xs", "ys", "zs", "ms", "parts", "part_types")
     ]
     write_dbf(table.select(attr_cols), base.with_suffix(".dbf"))
     if crs is not None:
@@ -282,9 +311,11 @@ def read_shp(base: str | Path) -> pa.Table:
         raise ValueError(f"{base}: unsupported shapefile version {version}")
 
     kinds, xs_out, ys_out, zs_out, ms_out, parts_out = [], [], [], [], [], []
+    ptypes_out = []
     any_z = False
     any_m = False
     any_parts = False
+    any_ptypes = False
     pos = 100
     while pos < min(file_len, len(buf)):
         _recno, clen = struct.unpack(">2i", buf[pos : pos + 8])
@@ -302,6 +333,7 @@ def read_shp(base: str | Path) -> pa.Table:
             zs_out.append([])
             ms_out.append([])
             parts_out.append([])
+            ptypes_out.append([])
             continue
         kinds.append(_TYPE_TO_KIND[st])
         if st in (SHAPE_POINT, SHAPE_POINTZ, SHAPE_POINTM):
@@ -335,6 +367,7 @@ def read_shp(base: str | Path) -> pa.Table:
                 zs_out.append([])
                 ms_out.append([])
             parts_out.append([0])
+            ptypes_out.append([])
             continue
         if st in _MULTIPT:
             n = struct.unpack("<i", content[36:40])[0]
@@ -361,10 +394,18 @@ def read_shp(base: str | Path) -> pa.Table:
             else:
                 ms_out.append([])
             parts_out.append([0])
+            ptypes_out.append([])
             continue
         nparts, npts = struct.unpack("<2i", content[36:44])
         p = np.frombuffer(content, dtype="<i4", count=nparts, offset=44)
         off = 44 + 4 * nparts
+        if st == SHAPE_MULTIPATCH:
+            pt = np.frombuffer(content, dtype="<i4", count=nparts, offset=off)
+            off += 4 * nparts
+            ptypes_out.append(pt.tolist())
+            any_ptypes = True
+        else:
+            ptypes_out.append([])
         pts = np.frombuffer(content, dtype="<f8", count=2 * npts, offset=off).reshape(
             npts, 2
         )
@@ -392,7 +433,9 @@ def read_shp(base: str | Path) -> pa.Table:
         else:
             ms_out.append([])
         parts_out.append(p.tolist())
-        any_parts = any_parts or nparts > 1
+        # MultiPatch parts are load-bearing even when single-part (the
+        # part_types column aligns with them), so always keep them.
+        any_parts = any_parts or nparts > 1 or st == SHAPE_MULTIPATCH
 
     cols = {
         "entity_id": pa.array(np.arange(len(kinds), dtype=np.int64)),
@@ -406,6 +449,8 @@ def read_shp(base: str | Path) -> pa.Table:
         cols["ms"] = pa.array(ms_out, pa.list_(pa.float64()))
     if any_parts:
         cols["parts"] = pa.array(parts_out, pa.list_(pa.int32()))
+    if any_ptypes:
+        cols["part_types"] = pa.array(ptypes_out, pa.list_(pa.int32()))
     out = pa.table(cols)
 
     dbf_path = base.with_suffix(".dbf")

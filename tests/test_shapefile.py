@@ -340,3 +340,46 @@ def test_shp_z_without_ms_stays_ms_free(tmp_path):
     back2 = shp.read_shp(tmp_path / "zm")
     for g, w in zip(back2["ms"].to_pylist(), t2["ms"].to_pylist()):
         np.testing.assert_array_equal(g, w)
+
+
+def test_shp_multipatch_roundtrip_and_framing(tmp_path):
+    """MultiPatch (type 31): PolygonZ framing + PartTypes int array.
+    Round-trips parts, part_types, zs and ms bit-exactly; byte layout
+    places PartTypes between Parts and Points per the spec."""
+    t = _poly_table(n=3, kind="multipatch", with_z=True)
+    parts = [[0, 4], [0], [0, 3, 6]]
+    ptypes = [[2, 3], [0], [2, 5, 5]]  # OuterRing/InnerRing, TriStrip, rings
+    t = t.append_column("parts", pa.array(parts, pa.list_(pa.int32())))
+    t = t.append_column("part_types", pa.array(ptypes, pa.list_(pa.int32())))
+    shp.write_shp(t, tmp_path / "mp")
+    back = shp.read_shp(tmp_path / "mp")
+    assert back["kind"].to_pylist() == ["multipatch"] * 3
+    assert back["parts"].to_pylist() == parts
+    assert back["part_types"].to_pylist() == ptypes
+    for c in ("xs", "ys", "zs"):
+        for g, w in zip(back[c].to_pylist(), t[c].to_pylist()):
+            np.testing.assert_array_equal(g, w)
+    # golden framing of record 1: type 31, then bbox(32B), NumParts=2,
+    # NumPoints=n0, Parts[2], PartTypes[2], then points.
+    buf = (tmp_path / "mp.shp").read_bytes()
+    assert struct.unpack("<2i", buf[28:36]) == (1000, 31)
+    content = buf[108:]
+    st = struct.unpack("<i", content[:4])[0]
+    assert st == 31
+    nparts, npts = struct.unpack("<2i", content[36:44])
+    assert nparts == 2 and npts == len(t["xs"].to_pylist()[0])
+    assert struct.unpack("<2i", content[44:52]) == (0, 4)  # Parts
+    assert struct.unpack("<2i", content[52:60]) == (2, 3)  # PartTypes
+    x0, y0 = struct.unpack("<2d", content[60:76])
+    assert (x0, y0) == (t["xs"].to_pylist()[0][0], t["ys"].to_pylist()[0][0])
+
+
+def test_shp_multipatch_defaults_and_single_part(tmp_path):
+    """A multipatch written without parts/part_types defaults to one
+    TriStrip part and reads back with explicit [0]/[0] columns (parts
+    are load-bearing for this type, so they are always materialized)."""
+    t = _poly_table(n=2, kind="multipatch", with_z=True)
+    shp.write_shp(t, tmp_path / "mp1")
+    back = shp.read_shp(tmp_path / "mp1")
+    assert back["parts"].to_pylist() == [[0], [0]]
+    assert back["part_types"].to_pylist() == [[0], [0]]
