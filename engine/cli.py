@@ -219,40 +219,48 @@ def cmd_shp(args: argparse.Namespace) -> int:
     import pyarrow as pa
 
     from engine import shapefile as S
-    from engine.geometry import explode_vertices, reassemble_entities, transform_vertices
+    from engine.geometry import transform_geometry
     from engine.joins import broadcast_lookup
 
     bases = [os.path.splitext(f)[0] for f in args.files]
     ds = S.read_shapefiles(bases)
-    # Everything except the transformed xs/ys rides the broadcast side,
-    # keyed by entity_id: kind + DBF attrs AND the copied-through
-    # zs/parts columns (acero joins reject list payloads, and a shuffle
-    # here would move geometry twice). DBF rows are tiny; zs is
-    # vertex-sized, so for huge Z corpora prefer the parquet geometry
-    # path over this CLI convenience.
-    attr_cols = [c for c in ds.schema().names if c not in ("xs", "ys")]
+    # Vertex-scale payloads (zs/ms/parts/part_types) THREAD THROUGH the
+    # flat vertex pipeline (explode carry_cols) and reassemble with the
+    # geometry — nothing vertex-sized touches the driver. Only the
+    # per-ENTITY scalars (kind + DBF attribute row) ride the broadcast
+    # side, the legitimate small-side pattern; for corpora whose entity
+    # count alone outgrows a broadcast, use the parquet geometry path.
+    carry = tuple(
+        c for c in ("zs", "ms", "parts", "part_types") if c in ds.schema().names
+    )
+    attr_cols = [c for c in ds.schema().names if c not in ("xs", "ys") + carry]
     attrs = pa.Table.from_pandas(ds.select_columns(attr_cols).to_pandas())
 
-    verts = ds.map_batches(explode_vertices, batch_format="pyarrow")
-    moved = verts.map_batches(
-        transform_vertices, fn_kwargs=dict(transform=args.transform), batch_format="pyarrow"
-    )
-    geom = reassemble_entities(moved).map_batches(
+    geom = transform_geometry(ds, transform=args.transform, carry_cols=carry).map_batches(
         lambda b: b.drop_columns(["n_vertices"]), batch_format="pyarrow"
     )
 
+    list_types = {
+        "xs": pa.float64(),
+        "ys": pa.float64(),
+        "zs": pa.float64(),
+        "ms": pa.float64(),
+        "parts": pa.int32(),
+        "part_types": pa.int32(),
+    }
+
     def listify(b: pa.Table) -> pa.Table:
         # reassemble emits numpy arrays through pandas blocks; coerce
-        # to Arrow list<double> for the shapefile writer.
-        return pa.table(
-            {
-                "entity_id": pa.array(
-                    b["entity_id"].to_numpy(zero_copy_only=False), pa.int64()
-                ),
-                "xs": pa.array(b["xs"].to_pylist(), pa.list_(pa.float64())),
-                "ys": pa.array(b["ys"].to_pylist(), pa.list_(pa.float64())),
-            }
-        )
+        # to Arrow list columns for the shapefile writer.
+        cols = {
+            "entity_id": pa.array(
+                b["entity_id"].to_numpy(zero_copy_only=False), pa.int64()
+            )
+        }
+        for name in ("xs", "ys") + carry:
+            if name in b.column_names:
+                cols[name] = pa.array(b[name].to_pylist(), pa.list_(list_types[name]))
+        return pa.table(cols)
 
     geom = geom.map_batches(listify, batch_format="pyarrow")
     joined = broadcast_lookup(

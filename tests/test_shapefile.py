@@ -383,3 +383,56 @@ def test_shp_multipatch_defaults_and_single_part(tmp_path):
     back = shp.read_shp(tmp_path / "mp1")
     assert back["parts"].to_pylist() == [[0], [0]]
     assert back["part_types"].to_pylist() == [[0], [0]]
+
+
+def test_cli_shp_streams_z_parts_ptypes(tmp_path):
+    """The gk-shp CLI end-to-end over a MultiPatch file: x/y transform
+    per the direct kernel, z + ring structure (parts/part_types)
+    copied through the STREAMING vertex path (no vertex-scale payload
+    on the broadcast side), DBF attrs preserved."""
+    import subprocess
+    import sys
+
+    from geokit.transforms import gkxy2tmxy
+
+    t = _poly_table(n=3, kind="multipatch", with_z=True, seed=21)
+    parts = [[0, 3], [0], [0, 2]]
+    ptypes = [[2, 3], [0], [5, 5]]
+    t = t.append_column("parts", pa.array(parts, pa.list_(pa.int32())))
+    t = t.append_column("part_types", pa.array(ptypes, pa.list_(pa.int32())))
+    shp.write_shp(t, tmp_path / "mp-in")
+
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "engine.cli", "shp", "-t", "5",
+            str(tmp_path / "mp-in.shp"), "--output", str(out_dir),
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    bases = _json.loads(r.stdout.strip().splitlines()[-1])["written"]
+    got = {}
+    for b in bases:
+        back = shp.read_shp(b)
+        for i in range(back.num_rows):
+            got[back["entity_id"][i].as_py()] = {
+                c: back[c][i].as_py() for c in back.column_names
+            }
+    assert len(got) == 3
+    for i in range(3):
+        eid = i  # single input file: ids pass through read_shapefiles' fidx=0
+        w = got[eid]
+        ex, ey, _ = gkxy2tmxy(
+            np.asarray(t["xs"][i].as_py()), np.asarray(t["ys"][i].as_py())
+        )
+        np.testing.assert_array_equal(w["xs"], ex)
+        np.testing.assert_array_equal(w["ys"], ey)
+        np.testing.assert_array_equal(w["zs"], t["zs"][i].as_py())  # copied
+        assert w["parts"] == parts[i]
+        assert w["part_types"] == ptypes[i]
+        assert w["kind"] == "multipatch"
+        assert w["name"] == t["name"][i].as_py()
