@@ -47,6 +47,10 @@ def entry() -> Any:
 #                        combiner rollup on the PIP key, VALUE-checked)
 #   geometry_transform-> geometry_summary (the same explode ->
 #                        menu-5 -> reassemble lifecycle, VALUE-checked)
+#   ann_bruteforce    -> ann_multi (the same tie-safe partial-top-k
+#                        kernel, run for 8 query vectors instead of 1)
+#   tm2gk             -> tm_inverse + fila2gk (menu 3 is exactly their
+#                        composition; both components stay VALUE-checked)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -57,6 +61,8 @@ _DRIVER_EXCLUDED = {
     "geo_cell_rollup",
     "geo_muni_rollup",
     "geometry_transform",
+    "ann_bruteforce",
+    "tm2gk",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

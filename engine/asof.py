@@ -1,0 +1,168 @@
+"""Distributed as-of join (nearest-earlier / nearest-later match).
+
+The upstream reference (mrihtar/GeoCoordinateConverter) has no as-of
+operator; this is one of the custom temporal-join operators a
+large-scale training-data pipeline needs (brief: as-of join / range
+join / windowed aggregate family). Semantics match DuckDB's
+``ASOF LEFT JOIN``: for each left row, pick the right row with the
+same key and the greatest ``on`` value <= the left row's ``on``
+(``direction="backward"``; ``"forward"`` mirrors with the smallest
+``on`` >= left's). Unmatched left rows survive with null (or
+``fill``-ed) right payloads.
+
+Ray-Data-first shape (the hash_join pattern, engine/joins.py): tag
+both sides, pad each to the union schema with typed nulls, take ONE
+hash co-partition shuffle on the join key (every row of a key lands
+in exactly one partition — no global sort, no driver collection),
+then run a per-partition C-speed ``pandas.merge_asof`` (sort by the
+``on`` column inside the partition only). ``num_partitions`` bounds
+per-group memory exactly like hash_join's bucket count: size it so
+the largest key-partition of the bigger side fits a worker heap; at
+100 TB raise it so partitions stay ~ the target block size.
+
+Partitioning assumption (documented per the custom-operator contract):
+correctness needs all rows of a join key in one partition — provided
+by the shared ``deterministic_key_hash`` coarse partition. Skewed
+keys concentrate in single partitions; as-of cannot salt a key (its
+matches must co-locate), so a pathological single-key corpus bounds
+parallelism at 1 for that key — same contract as any keyed window op
+(engine/windows.py).
+
+Determinism: when several right rows share an identical (key, on)
+pair, ``tie_breaks`` columns order them and the LAST one wins (i.e.
+the max tie-break), mirrored in SQL oracles by a row_number dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    on: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+    tie_breaks: Sequence[str] = (),
+    fill: Mapping[str, object] | None = None,
+    num_partitions: int = 32,
+) -> Dataset:
+    """As-of join ``left`` to ``right`` on equality of ``key`` and
+    nearest ``on`` (see module docstring for semantics and the
+    partitioning contract).
+
+    ``right`` must already be projected to ``[key, on] + payload``
+    with payload names disjoint from left's columns (rename upstream —
+    keeps the one shuffle narrow instead of shipping unused width).
+    The matched right ``on`` value is returned as ``f"{on}{suffix}"``.
+
+    ``fill``: optional ``{column: value}`` applied to unmatched left
+    rows (which otherwise carry nulls). Filling integer / timestamp
+    payloads keeps their exact dtype through the pandas kernel;
+    unfilled integer payloads come back as nullable Int64.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    if key not in l_cols or key not in r_cols or on not in l_cols or on not in r_cols:
+        raise ValueError(f"key={key!r} and on={on!r} must exist on both sides")
+    payload = [c for c in r_cols if c not in (key, on)]
+    on_r = f"{on}{suffix}"
+    overlap = (set(payload) | {on_r}) & set(l_cols)
+    if overlap:
+        raise ValueError(f"right payload collides with left columns: {overlap}")
+    bad_tb = [c for c in tie_breaks if c not in payload]
+    if bad_tb:
+        raise ValueError(f"tie_breaks must be right payload columns: {bad_tb}")
+
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_fields = [(c, l_types[c]) for c in l_cols]
+    out_fields.append((on_r, r_types[on]))
+    out_fields += [(c, r_types[c]) for c in payload]
+    out_schema = pa.schema(out_fields)
+    out_cols = [f[0] for f in out_fields]
+    r_out = [on_r] + payload
+    int_payload = {
+        c for c in r_out if pa.types.is_integer(dict(out_fields)[c])
+    }
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+        for c in r_out:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, dict(out_fields)[c]))
+        return batch.select(out_cols + ["_side"])
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {on_r if c == on else c: batch[c] for c in r_cols}
+        t = pa.table(cols)
+        t = t.append_column("_side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        for c in l_cols:
+            if c != key:
+                t = t.append_column(c, pa.nulls(t.num_rows, l_types[c]))
+        return t.select(out_cols + ["_side"])
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    fill = dict(fill or {})
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["_side"] == 0, l_cols].copy()
+        r = df.loc[df["_side"] == 1, [key, on_r, *payload]].copy()
+        if len(l) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols}).head(0)
+        # The union pads each side's exclusive columns with typed nulls,
+        # so an integer merge key arrives as float64 in any partition
+        # where the other side contributed rows (pandas int-with-null
+        # promotion) — restore the declared dtype so merge_asof sees
+        # identical key dtypes in every partition.
+        for frame, col in ((l, on), (r, on_r), (l, key), (r, key)):
+            want = out_schema.field(col).type
+            if pa.types.is_integer(want) and frame[col].dtype.kind == "f":
+                frame[col] = frame[col].astype(want.to_pandas_dtype())
+        if len(r) == 0:
+            out = l
+            for c in r_out:
+                null = pd.NaT if pa.types.is_temporal(out_schema.field(c).type) else np.nan
+                out[c] = null
+        else:
+            # mergesort = stable. merge_asof resolves equal `on` values
+            # positionally: backward takes the LAST such right row,
+            # forward the FIRST — so tie-breaks sort ascending for
+            # backward and descending for forward, making "max
+            # tie-break wins" hold in both directions.
+            l = l.sort_values(on, kind="mergesort")
+            asc = [True] + [direction == "backward"] * len(tie_breaks)
+            r = r.sort_values([on_r, *tie_breaks], ascending=asc, kind="mergesort")
+            out = pd.merge_asof(
+                l, r, left_on=on, right_on=on_r, by=key, direction=direction
+            )
+        for c in r_out:
+            if c in fill:
+                want = out_schema.field(c).type
+                out[c] = out[c].fillna(fill[c])
+                if pa.types.is_integer(want):
+                    out[c] = out[c].astype(np.int64)
+            elif c in int_payload and out[c].isna().any():
+                out[c] = out[c].astype("Int64")  # nullable int, not float
+        return out[out_cols]
+
+    from engine.shuffle import keyed_partition_map
+
+    return keyed_partition_map(
+        both, [key], part_fn, num_partitions=num_partitions, out_schema=out_schema
+    )

@@ -1338,3 +1338,138 @@ REGISTRY.update({"geo_pipeline_sql": (q_geo_pipeline_sql, _sql_geo_pipeline())})
 REGISTRY.update(
     {"geo_muni_rollup_sql": (q_geo_muni_rollup_sql, _sql_geo_muni_rollup())}
 )
+
+
+# -------------------------------------- non-equi joins (as-of / range)
+# The brief's custom-operator family beyond the upstream reference:
+# as-of join (engine/asof.py) and interval/range join
+# (engine/interval.py) complete the trio with the windowed aggregates
+# (engine/windows.py). Both are value-oracled: DuckDB has a native
+# ASOF JOIN, and the range join is a plain inequality-predicate join.
+
+
+def q_asof_events(sf_dir: str) -> Dataset:
+    """As-of join: each non-purchase event matched to the same user's
+    most recent purchase at that moment (one hash co-partition shuffle
+    + per-partition C-speed merge_asof; engine/asof.py). Timestamps
+    are surfaced as epoch-microsecond BIGINTs and unmatched rows carry
+    sentinels, so the driver's value hash covers the null path with no
+    float-NaN / timestamp-unit ambiguity."""
+    import pandas as pd
+
+    from engine.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def split_left(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["event_type"], "purchase"))
+
+    def split_right(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "purchase_event_id": b["event_id"],
+                "purchase_value": b["value"],
+            }
+        )
+
+    left = ev.map_batches(split_left, batch_format="pyarrow")
+    right = ev.map_batches(split_right, batch_format="pyarrow")
+    joined = asof_join(
+        left,
+        right,
+        key="user_id",
+        on="ts",
+        tie_breaks=("purchase_event_id",),
+        fill={
+            "ts_r": pd.Timestamp("1970-01-01"),
+            "purchase_event_id": -1,
+            "purchase_value": -1.0,
+        },
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "value": b["value"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "purchase_ts_us": b["ts_r"].cast(pa.int64()),
+                "purchase_event_id": b["purchase_event_id"],
+                "purchase_value": b["purchase_value"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF_EVENTS = """
+WITH r0 AS (
+  SELECT user_id, ts, event_id AS purchase_event_id, value AS purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'),
+-- identical (user, ts) purchases resolve to the max event_id: mirrors
+-- the kernel's tie_breaks=("purchase_event_id",) last-wins contract
+r AS (SELECT user_id, ts, purchase_event_id, purchase_value
+      FROM r0 WHERE rn = 1),
+l AS (SELECT event_id, user_id, ts, event_type, value FROM events
+      WHERE event_type <> 'purchase')
+SELECT l.event_id, l.user_id, l.event_type, l.value,
+       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+       COALESCE(CAST(epoch_us(r.ts) AS BIGINT), 0) AS purchase_ts_us,
+       COALESCE(r.purchase_event_id, -1) AS purchase_event_id,
+       COALESCE(r.purchase_value, -1.0) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_interval_bands(sf_dir: str) -> Dataset:
+    """Interval (range) join: events joined to overlapping value bands
+    derived from the nation table by integer arithmetic (binned
+    replication + one co-partition shuffle; engine/interval.py).
+    Bands overlap by 7 units so multi-match rows exist, and values
+    above the last band exercise the unmatched (dropped) path."""
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    nat = _read(sf_dir, "nation", ["n_nationkey"])
+
+    def bands(b: pa.Table) -> pa.Table:
+        k = b["n_nationkey"].cast(pa.int64())
+        lo = pc.multiply(k.cast(pa.float64()), 18.0)
+        return pa.table(
+            {"lo": lo, "hi": pc.add(lo, 25.0), "band_id": k}
+        )
+
+    bands_ds = nat.map_batches(bands, batch_format="pyarrow")
+    return interval_join_entry(ev, bands_ds)
+
+
+def interval_join_entry(points: Dataset, bands_ds: Dataset) -> Dataset:
+    from engine.interval import interval_join
+
+    return interval_join(
+        points, bands_ds, value="value", bin_width=16.0, num_partitions=16
+    )
+
+
+SQL_INTERVAL_BANDS = """
+WITH b AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+         CAST(n_nationkey AS DOUBLE) * 18.0 AS lo,
+         CAST(n_nationkey AS DOUBLE) * 18.0 + 25.0 AS hi
+  FROM nation)
+SELECT e.event_id, e.value, b.lo, b.hi, b.band_id
+FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
+REGISTRY.update(
+    {
+        "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
+        "interval_bands": (q_interval_bands, SQL_INTERVAL_BANDS),
+    }
+)
