@@ -43,6 +43,7 @@ def interval_join(
     hi: str = "hi",
     bin_width: float = 1.0,
     num_partitions: int = 32,
+    broadcast_threshold: int = 65_536,
 ) -> Dataset:
     """Inner-join ``points`` to every interval with
     ``lo <= point[value] < hi`` (see module docstring for the
@@ -52,6 +53,14 @@ def interval_join(
     names disjoint from the point columns. Output = point columns +
     ``lo``/``hi`` + interval payload; a point matching k intervals
     emits k rows, an unmatched point emits none (inner semantics).
+
+    Small interval side (count <= ``broadcast_threshold``): the
+    interval table is collected ONCE, a CSR bin->intervals index is
+    built and ``ray.put`` into the object store, and every point batch
+    resolves matches locally — zero shuffle, the points never move
+    (the broadcast_lookup / GridPipIndex pattern). Above the threshold
+    the co-partition shuffle path runs; both paths are value-identical
+    (pytest-parametrized equivalence).
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
@@ -72,6 +81,12 @@ def interval_join(
         [(c, p_types[c]) for c in p_cols] + [(c, i_types[c]) for c in i_cols]
     )
     bw = float(bin_width)
+
+    n_intervals = intervals.count()
+    if n_intervals <= broadcast_threshold:
+        return _interval_join_broadcast(
+            points, intervals, value, lo, hi, bw, out_schema, p_cols, i_cols
+        )
 
     def tag_points(batch: pa.Table) -> pa.Table:
         v = batch[value].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -128,3 +143,76 @@ def interval_join(
     return keyed_partition_map(
         both, ["_bin"], part_fn, num_partitions=num_partitions, out_schema=out_schema
     )
+
+
+def _interval_join_broadcast(
+    points: Dataset,
+    intervals: Dataset,
+    value: str,
+    lo: str,
+    hi: str,
+    bw: float,
+    out_schema: pa.Schema,
+    p_cols: list,
+    i_cols: list,
+) -> Dataset:
+    """Small-interval-side path: collect the interval table once
+    (bounded by broadcast_threshold rows), build a CSR bin->interval
+    candidate index, ship it through the object store with ``ray.put``
+    (ONE copy per node, not per batch/task), and resolve matches
+    inside ``map_batches`` — the points never shuffle."""
+    import ray
+
+    itab = pa.concat_tables(
+        [t for t in (ray.get(r) for r in intervals.to_arrow_refs()) if t.num_columns]
+    )
+    lo_v = itab[lo].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi_v = itab[hi].to_numpy(zero_copy_only=False).astype(np.float64)
+    if np.any(hi_v < lo_v):
+        raise ValueError("interval with hi < lo")
+    if len(lo_v) == 0:
+        empty = out_schema.empty_table()
+        return points.map_batches(
+            lambda b: empty, batch_format="pyarrow"
+        )
+    first = np.floor(lo_v / bw).astype(np.int64)
+    last = np.floor(hi_v / bw).astype(np.int64)  # over-replication OK (see shuffle path)
+    counts = last - first + 1
+    rep_iid = np.repeat(np.arange(len(lo_v)), counts)
+    offs = np.arange(counts.sum()) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+    )
+    rep_bin = first[rep_iid] + offs
+    # CSR over the OCCUPIED bin range [bin_min, bin_max]: indptr maps a
+    # point's bin to its candidate interval ids. Dense indptr is fine —
+    # its size is total replicated entries' bin span, bounded by
+    # broadcast_threshold * max span / bw (caller-sized via bin_width).
+    order = np.argsort(rep_bin, kind="stable")
+    rep_bin, rep_iid = rep_bin[order], rep_iid[order]
+    bin_min, bin_max = int(rep_bin[0]), int(rep_bin[-1])
+    indptr = np.searchsorted(rep_bin, np.arange(bin_min, bin_max + 2))
+    index_ref = ray.put((bin_min, bin_max, indptr, rep_iid, lo_v, hi_v, itab))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        bmin, bmax, iptr, iids, lov, hiv, itbl = ray.get(index_ref)
+        v = batch[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / bw).astype(np.int64)
+        inside = (b >= bmin) & (b <= bmax)
+        bi = b[inside] - bmin
+        starts, ends = iptr[bi], iptr[bi + 1]
+        cand_counts = ends - starts
+        p_idx_inside = np.flatnonzero(inside)
+        p_idx = np.repeat(p_idx_inside, cand_counts)
+        coffs = np.arange(cand_counts.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(cand_counts)[:-1])), cand_counts
+        )
+        cand = iids[np.repeat(starts, cand_counts) + coffs]
+        keep = (v[p_idx] >= lov[cand]) & (v[p_idx] < hiv[cand])
+        p_idx, cand = p_idx[keep], cand[keep]
+        out = batch.take(pa.array(p_idx))
+        itaken = itbl.take(pa.array(cand))
+        for c in i_cols:
+            out = out.append_column(c, itaken[c])
+        return out.select(out_schema.names).cast(out_schema)
+
+    return points.map_batches(lookup, batch_format="pyarrow")

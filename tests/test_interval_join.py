@@ -39,7 +39,8 @@ def _brute(p, i):
 
 
 @pytest.mark.parametrize("bin_width", [0.7, 5.0, 64.0])
-def test_interval_join_matches_bruteforce(ray_session, bin_width):
+@pytest.mark.parametrize("threshold", [0, 65_536])  # 0 = force shuffle path
+def test_interval_join_matches_bruteforce(ray_session, bin_width, threshold):
     import ray
     from engine.interval import interval_join
 
@@ -50,6 +51,7 @@ def test_interval_join_matches_bruteforce(ray_session, bin_width):
         value="v",
         bin_width=bin_width,
         num_partitions=7,
+        broadcast_threshold=threshold,
     ).to_pandas()
     pairs = sorted(zip(got["pid"].astype(np.int64), got["iid"].astype(np.int64)))
     assert pairs == _brute(p, i)
@@ -59,7 +61,8 @@ def test_interval_join_matches_bruteforce(ray_session, bin_width):
     assert ((got["v"] >= got["lo"]) & (got["v"] < got["hi"])).all()
 
 
-def test_interval_join_halfopen_boundaries(ray_session):
+@pytest.mark.parametrize("threshold", [0, 65_536])
+def test_interval_join_halfopen_boundaries(ray_session, threshold):
     """v == lo matches, v == hi does not — including when the boundary
     sits exactly on a bin edge (the over-replication path)."""
     import ray
@@ -72,6 +75,7 @@ def test_interval_join_halfopen_boundaries(ray_session):
     got = interval_join(
         ray.data.from_pandas(p), ray.data.from_pandas(i),
         value="v", bin_width=10.0,  # lo and hi both exactly on bin edges
+        broadcast_threshold=threshold,
     ).to_pandas()
     assert sorted(got["pid"].tolist()) == [0, 2]
 
