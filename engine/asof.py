@@ -54,6 +54,7 @@ def asof_join(
     tie_breaks: Sequence[str] = (),
     fill: Mapping[str, object] | None = None,
     num_partitions: int = 32,
+    broadcast_threshold: int = 65_536,
 ) -> Dataset:
     """As-of join ``left`` to ``right`` on equality of ``key`` and
     nearest ``on`` (see module docstring for semantics and the
@@ -68,6 +69,13 @@ def asof_join(
     rows (which otherwise carry nulls). Filling integer / timestamp
     payloads keeps their exact dtype through the pandas kernel;
     unfilled integer payloads come back as nullable Int64.
+
+    Small right side (count <= ``broadcast_threshold``): the right
+    table is collected once, sorted once, ``ray.put`` into the object
+    store, and every left batch merge_asofs against it locally — zero
+    shuffle, the big side never moves (the broadcast_lookup pattern).
+    Pass ``broadcast_threshold=0`` to force the co-partition shuffle
+    path when the right side scales with the corpus.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -96,6 +104,29 @@ def asof_join(
     int_payload = {
         c for c in r_out if pa.types.is_integer(dict(out_fields)[c])
     }
+    fill = dict(fill or {})
+
+    def finish_fill(out: pd.DataFrame) -> pd.DataFrame:
+        """Post-merge null handling shared by both execution paths:
+        fill-ed columns keep their exact dtype; unfilled integer
+        payloads with unmatched rows become nullable Int64 (never a
+        silent float64)."""
+        for c in r_out:
+            if c in fill:
+                want = out_schema.field(c).type
+                out[c] = out[c].fillna(fill[c])
+                if pa.types.is_integer(want):
+                    out[c] = out[c].astype(np.int64)
+            elif c in int_payload and out[c].isna().any():
+                out[c] = out[c].astype("Int64")  # nullable int, not float
+        return out[out_cols]
+
+    n_right = right.count()
+    if n_right <= broadcast_threshold:
+        return _asof_join_broadcast(
+            left, right, key, on, on_r, payload, direction, tie_breaks,
+            out_schema, out_cols, r_out, finish_fill,
+        )
 
     def tag_left(batch: pa.Table) -> pa.Table:
         batch = batch.append_column(
@@ -117,8 +148,6 @@ def asof_join(
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     both = lt.union(rt)
-
-    fill = dict(fill or {})
 
     def part_fn(df: pd.DataFrame) -> pd.DataFrame:
         l = df.loc[df["_side"] == 0, l_cols].copy()
@@ -151,18 +180,66 @@ def asof_join(
             out = pd.merge_asof(
                 l, r, left_on=on, right_on=on_r, by=key, direction=direction
             )
-        for c in r_out:
-            if c in fill:
-                want = out_schema.field(c).type
-                out[c] = out[c].fillna(fill[c])
-                if pa.types.is_integer(want):
-                    out[c] = out[c].astype(np.int64)
-            elif c in int_payload and out[c].isna().any():
-                out[c] = out[c].astype("Int64")  # nullable int, not float
-        return out[out_cols]
+        return finish_fill(out)
 
     from engine.shuffle import keyed_partition_map
 
     return keyed_partition_map(
         both, [key], part_fn, num_partitions=num_partitions, out_schema=out_schema
+    )
+
+
+def _asof_join_broadcast(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    on: str,
+    on_r: str,
+    payload: list,
+    direction: str,
+    tie_breaks,
+    out_schema: pa.Schema,
+    out_cols: list,
+    r_out: list,
+    finish_fill,
+) -> Dataset:
+    """Small-right-side path: collect the right table once (bounded by
+    broadcast_threshold rows), sort it ONCE by (on, tie_breaks) with
+    the direction-correct tie order, ``ray.put`` it, and merge_asof
+    every left batch against it inside ``map_batches`` — zero shuffle,
+    the (big) left side never moves. Value-identical to the
+    co-partition path (pytest-parametrized equivalence)."""
+    import ray
+
+    rtab = pa.concat_tables(
+        [t for t in (ray.get(r) for r in right.to_arrow_refs()) if t.num_columns]
+    )
+    rdf = pa.table(
+        {on_r if c == on else c: rtab[c] for c in rtab.schema.names}
+    ).to_pandas()
+    asc = [True] + [direction == "backward"] * len(tie_breaks)
+    rdf = rdf.sort_values([on_r, *tie_breaks], ascending=asc, kind="mergesort")
+    rdf = rdf[[key, on_r, *payload]].reset_index(drop=True)
+    rref = ray.put(rdf)
+
+    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols}).head(0)
+        r = ray.get(rref)
+        if len(r) == 0:
+            out = df.copy()
+            for c in r_out:
+                null = pd.NaT if pa.types.is_temporal(out_schema.field(c).type) else np.nan
+                out[c] = null
+        else:
+            l = df.sort_values(on, kind="mergesort")
+            out = pd.merge_asof(
+                l, r, left_on=on, right_on=on_r, by=key, direction=direction
+            )
+        return finish_fill(out)
+
+    from engine.shuffle import conform_blocks
+
+    return conform_blocks(
+        left.map_batches(lookup, batch_format="pandas"), out_schema
     )

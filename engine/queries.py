@@ -1382,6 +1382,10 @@ def q_asof_events(sf_dir: str) -> Dataset:
         right,
         key="user_id",
         on="ts",
+        # purchases scale WITH the corpus (big-big at 100 TB): force
+        # the co-partition shuffle path so the gate exercises the
+        # scale-true plan; the broadcast path is pytest-equivalent.
+        broadcast_threshold=0,
         tie_breaks=("purchase_event_id",),
         fill={
             "ts_r": pd.Timestamp("1970-01-01"),

@@ -66,7 +66,8 @@ def _mk(seed=7, n_left=400, n_right=150, n_keys=12):
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
-def test_asof_join_matches_bruteforce(ray_session, direction):
+@pytest.mark.parametrize("threshold", [0, 65_536])  # 0 = force shuffle path
+def test_asof_join_matches_bruteforce(ray_session, direction, threshold):
     import ray
     from engine.asof import asof_join
 
@@ -80,6 +81,7 @@ def test_asof_join_matches_bruteforce(ray_session, direction):
             direction=direction,
             tie_breaks=("rid",),
             num_partitions=7,
+            broadcast_threshold=threshold,
         )
         .to_pandas()
         .sort_values("lid")
