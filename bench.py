@@ -90,6 +90,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     results["pages_pipeline"] = round(t_min, 3)
     geotagged_rows = int(rollup.cnt.sum())
 
+    extra: dict[str, float] = {}
     if not os.environ.get("GRAFT_BENCH_ONLY_PAGES"):
         for name in [
             "lineitem_agg",
@@ -107,6 +108,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             if hasattr(r, "to_pandas"):  # Dataset / pa.Table; else already pandas
                 r.to_pandas()
             results[name] = round(time.time() - t0, 3)
+        # Round-3 additions, timed OUTSIDE the headline sum so
+        # headline_total_sec stays comparable across rounds.
+        for name in ["asof_events", "interval_bands"]:
+            fn, _ = Q.REGISTRY[name]
+            t0 = time.time()
+            fn(sf_dir).to_pandas()
+            extra[name] = round(time.time() - t0, 3)
 
     total = round(sum(results.values()), 3)
     out = {
@@ -124,6 +132,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pages_rows_per_s": round(n_pages / t_min, 1),
         "pages_rows_per_s_median": round(n_pages / t_med, 1),
     }
+    if extra:
+        out["extra_queries"] = extra
     ray.shutdown()
     return out
 
