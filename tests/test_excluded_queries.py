@@ -1,4 +1,4 @@
-"""The 9 registry entries excluded from the driver's 50-query window
+"""The 11 registry entries excluded from the driver's 50-query window
 (__ray_entry__._DRIVER_EXCLUDED) must stay correct even though the
 driver no longer checks them: SQL-oracled ones are value-compared
 against DuckDB here; rows-only ones are executed and sanity-checked.
@@ -30,7 +30,9 @@ def _excluded():
     return e._DRIVER_EXCLUDED
 
 
-@pytest.mark.parametrize("name", ["doc_quality", "supplier_nation"])
+@pytest.mark.parametrize(
+    "name", ["doc_quality", "supplier_nation", "ann_bruteforce", "tm2gk"]
+)
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
     from engine.queries import REGISTRY
 
