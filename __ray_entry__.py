@@ -51,6 +51,17 @@ def entry() -> Any:
 #                        kernel, run for 8 query vectors instead of 1)
 #   tm2gk             -> tm_inverse + fila2gk (menu 3 is exactly their
 #                        composition; both components stay VALUE-checked)
+#   filter_project    -> lineitem_agg (identical pruned-read + Arrow
+#                        filter+project prep stage, then an aggregate)
+#   topk_orders       -> topk_per_type (the same per-block prune +
+#                        small-merge top-k kernel; global top-k is the
+#                        1-group case) + rollup_lineitem's ALL row
+#   distinct_flags    -> set_ops_names (union-DISTINCT runs the same
+#                        per-block unique partial + keyed distinct) +
+#                        dedup_documents (distinct machinery on digests)
+#   s2_cells          -> geo_pipeline_sql (cell assignment VALUE-checked
+#                        on the full flagship chain) + cell_rollup_sql
+#                        (the cell-keyed rollup machinery, VALUE-checked)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -63,6 +74,10 @@ _DRIVER_EXCLUDED = {
     "geometry_transform",
     "ann_bruteforce",
     "tm2gk",
+    "filter_project",
+    "topk_orders",
+    "distinct_flags",
+    "s2_cells",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

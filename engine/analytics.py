@@ -1,0 +1,426 @@
+"""Analytics operators beyond the upstream checklist (SURVEY.md §2.8):
+grouping-sets/ROLLUP aggregates in one combiner pass, hopping
+(overlapping sliding) window aggregates, exact distributed grouped
+quantiles over a column-pruned shuffle, and a flag-producing
+semi/anti join. Each is driver-gated with a DuckDB value oracle.
+
+Scale notes live on each operator; the shared principles:
+- aggregation is always per-batch partial -> one partials-only shuffle
+  (engine.shuffle.grouped_count_sums) — rows never move for a rollup;
+- window replication is vectorized (np.repeat) and multiplies only the
+  pruned (ts, key, value) projection, never the full row;
+- the quantile shuffle carries (group, int64 value) only — 16 B/row —
+  and per-group exactness is the documented memory contract (a group's
+  values must fit one worker; use a sketch when they cannot);
+- the semi/anti flag join is size-adaptive like engine.dedupe's
+  candidate filter: broadcast key set under a threshold, bucketed
+  hash-join above it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from engine.shuffle import grouped_count_sums, keyed_partition_map
+
+# ------------------------------------------------------------------ rollup
+
+# Sentinel standing in for "all values" in rolled-up key columns while
+# partials move through the (null-averse) combiner shuffle; surfaced as
+# the literal 'ALL' on both the Ray and SQL sides (key domains here are
+# single-letter flags, so no collision; the `lvl` column disambiguates
+# regardless: lvl = 2*GROUPING(k1) + GROUPING(k2)).
+_ALL = "ALL"
+
+
+def rollup_aggregate(
+    ds: Dataset, keys: list[str], sum_col: str, num_partitions: int = 64
+) -> Dataset:
+    """GROUP BY ROLLUP(keys) in ONE pass and ONE partials shuffle.
+
+    Each input batch is expanded to len(keys)+1 grouping sets (the
+    rolled-up key columns replaced by the ALL sentinel and tagged with
+    `lvl`) BEFORE the per-batch combiner runs, so the shuffle moves
+    one partial row per (grouping set x key tuple x batch) — the
+    expansion multiplies partials, not rows. At 100 TB this is
+    len(keys)+1 combiner outputs per batch versus len(keys)+1 full
+    aggregation passes for the naive plan.
+    """
+    levels = len(keys) + 1
+
+    def expand(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in b.column_names}
+        n = b.num_rows
+        parts = []
+        for lvl in range(levels):
+            # lvl = number of trailing keys rolled up (ROLLUP order).
+            rolled = keys[len(keys) - lvl :]
+            arrs = []
+            names = []
+            for c in b.column_names:
+                if c in rolled:
+                    arrs.append(pa.array(np.full(n, _ALL), type=pa.string()))
+                else:
+                    arrs.append(cols[c])
+                names.append(c)
+            arrs.append(pa.array(np.full(n, lvl, dtype=np.int64)))
+            names.append("lvl")
+            parts.append(pa.table(dict(zip(names, arrs))))
+        return pa.concat_tables(parts)
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return grouped_count_sums(
+        expanded,
+        keys + ["lvl"],
+        sum_cols=[sum_col],
+        num_partitions=num_partitions,
+    )
+
+
+def q_rollup_lineitem(sf_dir: str) -> Dataset:
+    """ROLLUP(l_returnflag, l_linestatus) over lineitem: count + exact
+    cents sum at every grouping level, one combiner pass."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.round(pc.multiply(b["l_quantity"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_cents": qty,
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = rollup_aggregate(ds, ["l_returnflag", "l_linestatus"], "qty_cents")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["l_returnflag", "l_linestatus", "lvl", "cnt", "sum_qty_cents"]
+        ).select(["l_returnflag", "l_linestatus", "lvl", "cnt", "sum_qty_cents"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------- hopping window
+
+HOP_S = 7200  # 2 h hop
+WIN_HOPS = 3  # 6 h window = 3 hops
+
+
+def hopping_window_aggregate(
+    ds: Dataset,
+    ts_col: str,
+    key_col: str,
+    value_cents_col: str,
+    hop_s: int = HOP_S,
+    win_hops: int = WIN_HOPS,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Overlapping (hopping) window aggregate: every event belongs to
+    ``win_hops`` windows of length ``hop_s * win_hops`` starting every
+    ``hop_s`` seconds; count + exact sum per (window start, key).
+
+    The replication happens INSIDE map_batches on the pruned
+    (ts, key, value) projection — np.repeat/np.tile, no Python rows —
+    and feeds the standard combiner shuffle, so the shuffle still
+    moves per-batch partials only. Replication factor is win_hops (a
+    constant), independent of data size; memory per batch is bounded
+    by win_hops x the pruned batch width.
+    """
+    hop_us = np.int64(hop_s) * 1_000_000
+
+    def replicate(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        epoch = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        base = np.floor_divide(epoch, hop_us)
+        offs = np.arange(win_hops, dtype=np.int64)
+        w_idx = np.repeat(base, win_hops) - np.tile(offs, n)
+        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), win_hops))
+        keys = b[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = b[value_cents_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return pa.table(
+            {
+                "w_start": pa.array(w_idx * np.int64(hop_s)),
+                key_col: keys.take(rep_idx),
+                value_cents_col: vals.take(rep_idx),
+            }
+        )
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+    return grouped_count_sums(
+        rep, ["w_start", key_col], sum_cols=[value_cents_col],
+        num_partitions=num_partitions,
+    )
+
+
+def q_hopping_window(sf_dir: str) -> Dataset:
+    """6-hour windows hopping every 2 hours over events, per
+    event_type: n events + exact milli-sum of value."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        milli = pc.cast(
+            pc.round(pc.multiply(b["value"], 1000.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {"ts": b["ts"], "event_type": b["event_type"], "value_milli": milli}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = hopping_window_aggregate(ds, "ts", "event_type", "value_milli")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["w_start", "event_type", "n_events", "sum_value_milli"]
+        ).select(["w_start", "event_type", "n_events", "sum_value_milli"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_HOPPING_WINDOW = f"""
+SELECT (epoch_us(ts) // {HOP_S * 1_000_000} - i) * {HOP_S} AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+CROSS JOIN range({WIN_HOPS}) t(i)
+GROUP BY w_start, event_type
+"""
+
+
+# ------------------------------------------------------- grouped quantiles
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    quantiles=QUANTILES,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Exact discrete quantiles (percentile_disc semantics: smallest
+    value with cumulative frequency >= q, i.e. sorted[ceil(q*n)-1])
+    per group.
+
+    The shuffle carries ONLY (key, int64 value) — the projection
+    happens before this call — so at 100 TB the exchange is ~16 B/row
+    regardless of row width. Memory contract: all values of one GROUP
+    must fit a worker (np.sort per group); exact distributed quantiles
+    cannot do better without a value-domain histogram. For groups that
+    cannot fit, swap in a mergeable sketch (t-digest/KLL) — the
+    combiner plumbing is grouped_count_sums-shaped and unchanged.
+    """
+    qcols = [f"p{int(q * 100)}_{value_col}" for q in quantiles]
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(key, sort=False):
+            v = np.sort(g[value_col].to_numpy())
+            n = len(v)
+            idx = [min(n - 1, int(np.ceil(q * n)) - 1) for q in quantiles]
+            rows.append((k, *[v[i] for i in idx]))
+        return pd.DataFrame(rows, columns=[key, *qcols]).astype(
+            {c: np.int64 for c in qcols}
+        )
+
+    s = ds.schema()
+    key_type = dict(zip(s.names, s.types))[key]
+    schema = pa.schema([(key, key_type)] + [(c, pa.int64()) for c in qcols])
+    return keyed_partition_map(
+        ds, [key], per_partition, num_partitions, out_schema=schema
+    )
+
+
+def q_grouped_quantiles(sf_dir: str) -> Dataset:
+    """Exact p50/p90/p99 of o_totalprice (cents) per o_orderpriority."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"o_orderpriority": b["o_orderpriority"], "cents": cents})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_quantiles(ds, "o_orderpriority", "cents")
+
+
+SQL_GROUPED_QUANTILES = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       quantile_disc(cents, 0.5)  AS p50_cents,
+       quantile_disc(cents, 0.9)  AS p90_cents,
+       quantile_disc(cents, 0.99) AS p99_cents
+FROM c
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------- semi/anti flag
+
+# Broadcast-vs-hash-join routing threshold for the distinct key set
+# (same policy knob as engine.dedupe.candidate_docs): below it the
+# sorted key array is ray.put once and probed via searchsorted in every
+# task; above it the flag is computed by the bucketed hash_join (one
+# co-partition shuffle, driver never sees the keys).
+FLAG_BROADCAST_MAX = 4_000_000
+
+
+def flag_join(
+    left: Dataset,
+    right_keys: Dataset,
+    key: str,
+    right_key: str,
+    flag_name: str,
+    broadcast_max: int = FLAG_BROADCAST_MAX,
+) -> Dataset:
+    """Attach a boolean ``flag_name`` to ``left``: does the row's
+    ``key`` appear in ``right_keys[right_key]``?  Semi join = filter
+    flag true; anti join = filter flag false; this keeps both in one
+    pass so callers needing the partition (e.g. routing matched vs
+    unmatched rows differently) read the flag instead of running two
+    joins.
+
+    right_keys is first reduced to DISTINCT keys distributed (per-block
+    unique partial, then a keyed-partition distinct), so the routing
+    decision sees the true key cardinality, not the row count."""
+    import ray
+
+    def uniq_partial(b: pa.Table) -> pa.Table:
+        col = b[right_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({right_key: col.unique()})
+
+    partials = right_keys.map_batches(uniq_partial, batch_format="pyarrow")
+
+    def distinct_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=[right_key])
+
+    rs = right_keys.schema()
+    kt = dict(zip(rs.names, rs.types))[right_key]
+    distinct = keyed_partition_map(
+        partials, [right_key], distinct_partition, 16,
+        out_schema=pa.schema([(right_key, kt)]),
+    )
+    n_keys = distinct.count()
+
+    if n_keys <= broadcast_max:
+        keys = np.sort(
+            np.concatenate(
+                [
+                    b[right_key].to_numpy(zero_copy_only=False)
+                    for b in distinct.iter_batches(batch_format="pyarrow")
+                ]
+            )
+            if n_keys
+            else np.empty(0, dtype=np.int64)
+        )
+        ref = ray.put(keys)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            kv = batch[key]
+            if isinstance(kv, pa.ChunkedArray):
+                kv = kv.combine_chunks()
+            kv = kv.to_numpy(zero_copy_only=False)
+            if len(ks) == 0:
+                hit = np.zeros(len(kv), dtype=bool)
+            else:
+                pos = np.clip(np.searchsorted(ks, kv), 0, len(ks) - 1)
+                hit = ks[pos] == kv
+            return batch.append_column(flag_name, pa.array(hit))
+
+        return left.map_batches(probe, batch_format="pyarrow")
+
+    # Large key set: bucketed hash join (left outer) against the
+    # distinct keys carrying a constant marker; null marker -> False.
+    from engine.joins import hash_join
+
+    marked = distinct.map_batches(
+        lambda b: b.rename_columns([key]).append_column(
+            "_flag_marker", pa.array(np.ones(b.num_rows, dtype=bool))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, marked, key, how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        f = pc.fill_null(b["_flag_marker"], False)
+        return b.drop_columns(["_flag_marker"]).append_column(flag_name, f)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SEMI_ANTI_CUTOFF = "2001-06-01"
+
+
+def q_semi_anti(sf_dir: str, broadcast_max: int = FLAG_BROADCAST_MAX) -> Dataset:
+    """Orders flagged by whether any of their lineitems shipped after
+    the cutoff (late-tail semi/anti partition in one pass)."""
+    from engine.queries import _read
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def late(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["l_shipdate"], pa.scalar(pd.Timestamp(SEMI_ANTI_CUTOFF)))
+        return b.filter(keep).select(["l_orderkey"])
+
+    late_keys = li.map_batches(late, batch_format="pyarrow")
+    out = flag_join(
+        orders, late_keys, "o_orderkey", "l_orderkey", "has_late",
+        broadcast_max=broadcast_max,
+    )
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderpriority", "has_late"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SEMI_ANTI = f"""
+SELECT o.o_orderkey, o.o_orderpriority,
+       (k.l_orderkey IS NOT NULL) AS has_late
+FROM orders o
+LEFT JOIN (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '{SEMI_ANTI_CUTOFF}'
+) k ON o.o_orderkey = k.l_orderkey
+"""

@@ -1477,3 +1477,29 @@ REGISTRY.update(
         "interval_bands": (q_interval_bands, SQL_INTERVAL_BANDS),
     }
 )
+
+
+# ------------------------------------------------ analytics (SURVEY §2.8)
+# Grouping-sets rollup, hopping windows, exact grouped quantiles and the
+# semi/anti flag join live in engine.analytics (imported late: analytics
+# defers its _read import to call time, so no cycle).
+
+from engine.analytics import (  # noqa: E402
+    SQL_GROUPED_QUANTILES,
+    SQL_HOPPING_WINDOW,
+    SQL_ROLLUP_LINEITEM,
+    SQL_SEMI_ANTI,
+    q_grouped_quantiles,
+    q_hopping_window,
+    q_rollup_lineitem,
+    q_semi_anti,
+)
+
+REGISTRY.update(
+    {
+        "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
+        "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
+        "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
+        "semi_anti_orders": (q_semi_anti, SQL_SEMI_ANTI),
+    }
+)

@@ -1,0 +1,123 @@
+"""engine/analytics.py — rollup, hopping window, grouped quantiles,
+semi/anti flag join: DuckDB value oracles (the driver comparison in
+miniature) plus path-equivalence and brute-force property checks.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _assert_exact(ray_df, sql_df):
+    assert len(ray_df) == len(sql_df)
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert np.array_equal(av, bv), c
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rollup_lineitem", "hopping_window", "grouped_quantiles", "semi_anti_orders"],
+)
+def test_analytics_sql_exact(ray_session, con, name):
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    _assert_exact(fn(SF).to_pandas(), con.sql(sql).df())
+
+
+def test_flag_join_hash_path_equals_broadcast(ray_session, con):
+    """broadcast_max=1 forces the bucketed hash-join route; both paths
+    must produce the identical flag table (and match the oracle)."""
+    from engine.analytics import SQL_SEMI_ANTI, q_semi_anti
+
+    hj = q_semi_anti(SF, broadcast_max=1).to_pandas()
+    _assert_exact(hj, con.sql(SQL_SEMI_ANTI).df())
+
+
+def test_flag_join_empty_right_side(ray_session):
+    """A cutoff past max(l_shipdate) leaves the key set empty: every
+    order must flag False on the broadcast path (len(ks)==0 guard)."""
+    import engine.analytics as an
+
+    old = an.SEMI_ANTI_CUTOFF
+    an.SEMI_ANTI_CUTOFF = "2199-01-01"
+    try:
+        df = an.q_semi_anti(SF).to_pandas()
+    finally:
+        an.SEMI_ANTI_CUTOFF = old
+    assert len(df) > 0 and not df["has_late"].any()
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """Internal consistency: the lvl-2 ALL/ALL row equals the sum of
+    each finer level (a seam the SQL oracle can't misreport on both
+    sides at once)."""
+    from engine.analytics import q_rollup_lineitem
+
+    df = q_rollup_lineitem(SF).to_pandas()
+    total = df[df.lvl == 2]
+    assert len(total) == 1
+    for lvl in (0, 1):
+        part = df[df.lvl == lvl]
+        assert part.cnt.sum() == total.cnt.iloc[0]
+        assert part.sum_qty_cents.sum() == total.sum_qty_cents.iloc[0]
+    # lvl-1 rows roll up the linestatus axis only
+    assert (df[df.lvl == 1].l_linestatus == "ALL").all()
+    assert (df[df.lvl == 1].l_returnflag != "ALL").all()
+
+
+def test_hopping_window_replication_invariants(ray_session):
+    """Every event lands in exactly WIN_HOPS windows: total window
+    event-count is WIN_HOPS x the row count, and each (event ts) is
+    covered by windows whose [w_start, w_start + WIN_HOPS*HOP_S) span
+    contains it."""
+    import pyarrow.parquet as pq
+
+    from engine.analytics import HOP_S, WIN_HOPS, q_hopping_window
+
+    df = q_hopping_window(SF).to_pandas()
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert df.n_events.sum() == WIN_HOPS * n_events
+    # windows align to the hop grid
+    assert (df.w_start % HOP_S == 0).all()
+
+
+def test_grouped_quantiles_brute_force(ray_session):
+    """percentile_disc rule (sorted[ceil(q*n)-1]) recomputed per group
+    on the driver from the raw parquet."""
+    import pyarrow.parquet as pq
+
+    from engine.analytics import QUANTILES, q_grouped_quantiles
+
+    df = q_grouped_quantiles(SF).to_pandas().set_index("o_orderpriority")
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    t["cents"] = np.round(t.o_totalprice * 100).astype(np.int64)
+    for k, g in t.groupby("o_orderpriority"):
+        v = np.sort(g.cents.to_numpy())
+        n = len(v)
+        for q in QUANTILES:
+            expect = v[min(n - 1, int(np.ceil(q * n)) - 1)]
+            assert df.loc[k, f"p{int(q*100)}_cents"] == expect, (k, q)

@@ -1,4 +1,4 @@
-"""The 11 registry entries excluded from the driver's 50-query window
+"""The 15 registry entries excluded from the driver's 50-query window
 (__ray_entry__._DRIVER_EXCLUDED) must stay correct even though the
 driver no longer checks them: SQL-oracled ones are value-compared
 against DuckDB here; rows-only ones are executed and sanity-checked.
@@ -31,7 +31,17 @@ def _excluded():
 
 
 @pytest.mark.parametrize(
-    "name", ["doc_quality", "supplier_nation", "ann_bruteforce", "tm2gk"]
+    "name",
+    [
+        "doc_quality",
+        "supplier_nation",
+        "ann_bruteforce",
+        "tm2gk",
+        "filter_project",
+        "topk_orders",
+        "distinct_flags",
+        "s2_cells",
+    ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
     from engine.queries import REGISTRY
