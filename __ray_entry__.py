@@ -62,6 +62,10 @@ def entry() -> Any:
 #   s2_cells          -> geo_pipeline_sql (cell assignment VALUE-checked
 #                        on the full flagship chain) + cell_rollup_sql
 #                        (the cell-keyed rollup machinery, VALUE-checked)
+#   approx_distinct_users: approximate by design (HLL sketch) — the
+#                        window already carries ann_ivf as the
+#                        approximate-op representative; accuracy is
+#                        pytest-bounded vs exact COUNT(DISTINCT)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -78,6 +82,7 @@ _DRIVER_EXCLUDED = {
     "topk_orders",
     "distinct_flags",
     "s2_cells",
+    "approx_distinct_users",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

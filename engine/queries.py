@@ -1503,3 +1503,10 @@ REGISTRY.update(
         "semi_anti_orders": (q_semi_anti, SQL_SEMI_ANTI),
     }
 )
+
+
+# HLL approximate distinct (engine.sketch): approximate by design, so
+# driver-excluded like ann_ivf; accuracy/mergeability pytest-bounded.
+from engine.sketch import q_approx_distinct_users  # noqa: E402
+
+REGISTRY.update({"approx_distinct_users": (q_approx_distinct_users, None)})
