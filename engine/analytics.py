@@ -1,4 +1,4 @@
-"""Analytics operators beyond the upstream checklist (SURVEY.md §2.8):
+"""Analytics operators beyond the upstream checklist (SURVEY.md §2.9):
 grouping-sets/ROLLUP aggregates in one combiner pass, hopping
 (overlapping sliding) window aggregates, exact distributed grouped
 quantiles over a column-pruned shuffle, and a flag-producing

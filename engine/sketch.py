@@ -1,4 +1,4 @@
-"""HyperLogLog approximate-distinct sketch (SURVEY.md §2.8).
+"""HyperLogLog approximate-distinct sketch (SURVEY.md §2.9).
 
 A mergeable cardinality sketch in the combiner idiom every aggregate
 here uses: per-batch partial = one 2^p-byte register array (rho-max
