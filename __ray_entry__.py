@@ -66,6 +66,9 @@ def entry() -> Any:
 #                        window already carries ann_ivf as the
 #                        approximate-op representative; accuracy is
 #                        pytest-bounded vs exact COUNT(DISTINCT)
+#   quantile_sketch_orders: approximate by design (t-digest); rank
+#                        error pytest-bounded against the exact
+#                        grouped_quantiles gate query
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -83,6 +86,7 @@ _DRIVER_EXCLUDED = {
     "distinct_flags",
     "s2_cells",
     "approx_distinct_users",
+    "quantile_sketch_orders",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

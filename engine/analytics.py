@@ -238,8 +238,9 @@ def grouped_quantiles(
     regardless of row width. Memory contract: all values of one GROUP
     must fit a worker (np.sort per group); exact distributed quantiles
     cannot do better without a value-domain histogram. For groups that
-    cannot fit, swap in a mergeable sketch (t-digest/KLL) — the
-    combiner plumbing is grouped_count_sums-shaped and unchanged.
+    cannot fit, swap in the mergeable t-digest
+    (engine.tdigest.grouped_quantile_sketch — same keyed-shuffle
+    plumbing, O(delta) centroids per group instead of all values).
     """
     qcols = [f"p{int(q * 100)}_{value_col}" for q in quantiles]
 

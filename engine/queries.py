@@ -1510,3 +1510,11 @@ REGISTRY.update(
 from engine.sketch import q_approx_distinct_users  # noqa: E402
 
 REGISTRY.update({"approx_distinct_users": (q_approx_distinct_users, None)})
+
+
+# t-digest quantile sketch (engine.tdigest): the mergeable companion to
+# grouped_quantiles for groups that exceed one worker; approximate by
+# design -> driver-excluded, rank-error pytest-bounded.
+from engine.tdigest import q_quantile_sketch_orders  # noqa: E402
+
+REGISTRY.update({"quantile_sketch_orders": (q_quantile_sketch_orders, None)})
