@@ -110,10 +110,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             results[name] = round(time.time() - t0, 3)
         # Round-3 additions, timed OUTSIDE the headline sum so
         # headline_total_sec stays comparable across rounds.
-        for name in ["asof_events", "interval_bands"]:
+        for name in [
+            "asof_events",
+            "interval_bands",
+            "rollup_lineitem",
+            "hopping_window",
+            "grouped_quantiles",
+            "semi_anti_orders",
+        ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()
-            fn(sf_dir).to_pandas()
+            r = fn(sf_dir)
+            if hasattr(r, "to_pandas"):
+                r.to_pandas()
             extra[name] = round(time.time() - t0, 3)
 
     total = round(sum(results.values()), 3)
