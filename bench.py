@@ -294,6 +294,15 @@ def run_scaling(sf_dir: str, pairs=((8, 32),)) -> dict:
         "pairs": results,
     }
     os.makedirs("BENCH", exist_ok=True)
+    # Preserve the hand-maintained execution-variance history section
+    # (everything from its "## Round-3 execution variance" heading on):
+    # each --scaling run replaces only the headline table + raw record.
+    history = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        old = open("BENCH/BASELINE.md").read()
+        marker = old.find("## Round-3 execution variance")
+        if marker >= 0:
+            history = "\n" + old[marker:]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH results — sandbox scaling proxy (interleaved pinned A/B runs)\n\n"
@@ -324,6 +333,8 @@ def run_scaling(sf_dir: str, pairs=((8, 32),)) -> dict:
                 f"{hw_eff:.3f} | {eff_paired / hw_eff:.3f} |\n"
             )
         f.write(f"\nraw: `{json.dumps(res)}`\n")
+        if history:
+            f.write(history)
     return res
 
 
