@@ -69,6 +69,11 @@ def entry() -> Any:
 #   quantile_sketch_orders: approximate by design (t-digest); rank
 #                        error pytest-bounded against the exact
 #                        grouped_quantiles gate query
+#   dms_roundtrip     -> format_points (the same dms2deg/deg2dms
+#                        kernels, checked via printf STRING identity —
+#                        strictly stronger than the roundtrip values) +
+#                        geo_pipeline_sql (DMS parse branch of the
+#                        layout cascade, VALUE-checked in the chain)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -87,6 +92,7 @@ _DRIVER_EXCLUDED = {
     "s2_cells",
     "approx_distinct_users",
     "quantile_sketch_orders",
+    "dms_roundtrip",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -745,8 +745,51 @@ FROM w GROUP BY doc_id
 """
 
 
+def q_vocab_topk(sf_dir: str) -> Dataset:
+    """Vocabulary heavy hitters (training-data op: vocab building /
+    frequent-token mining): exact top-20 tokens by count. Map-side
+    combiner emits per-batch (token, _cnt) distinct-token partials
+    (textops.token_count_partials — the shuffle moves vocab-sized
+    partials, never occurrences), ONE coarse keyed partition merges
+    them at C speed, then the per-block-prune top-k on the total order
+    (cnt DESC, token ASC) so ties are deterministic on both sides."""
+    from engine.shuffle import keyed_partition_map, topk
+    from engine.textops import token_count_partials
+
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=256)
+    partials = ds.map_batches(token_count_partials, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["_cnt"].sum().reset_index()
+        return pd.DataFrame(
+            {"token": g["token"], "cnt": g["_cnt"].astype(np.int64)}
+        )
+
+    merged = keyed_partition_map(
+        partials,
+        ["token"],
+        merge,
+        num_partitions=32,
+        out_schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())]),
+    )
+    return topk(merged, ["cnt", "token"], 20, descending=[True, False])
+
+
+# regexp_extract_all('[a-z0-9]+') ≡ split on '[^a-z0-9]+' + drop empties
+# (prototype-verified token-for-token at sf0.01).
+SQL_VOCAB_TOPK = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 20
+"""
+
+
 REGISTRY.update(
     {
+        "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
         "langid": (q_langid, SQL_LANGID),
         "token_stats_ext": (q_token_stats_ext, SQL_TOKEN_STATS_EXT),
         "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),

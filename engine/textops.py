@@ -83,6 +83,28 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).append_column("n_subword_tokens", pc.cast(bpe, pa.int64()))
 
 
+def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Map-side combiner of vocabulary building: lowercase →
+    ``[a-z0-9]+`` tokens → ONE (token, _cnt) row per DISTINCT token in
+    the batch (RE2 split + list_flatten + value_counts, no Python
+    loop). The downstream shuffle moves vocabulary-sized partials,
+    never per-occurrence rows — at corpus scale the batch vocabulary
+    saturates (Heaps' law) so partial size is ~constant per block."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))  # split edge artifacts
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {
+            "token": vc.field("values"),
+            "_cnt": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
 # --- document fingerprinting (rolling hash / winnowing) ---------------
 
 _B = np.uint64(1099511628211)  # FNV prime as rolling base

@@ -597,3 +597,38 @@ def test_jaccard_join_empty_and_tiny_docs():
     )
     got = dedupe.jaccard_similarity_join(rd.from_arrow(t)).to_pandas()
     assert sorted(zip(got.id_a, got.id_b)) == [(2, 3)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_topk_matches_python_oracle():
+    """Exact heavy-hitters vocabulary: combiner partials + coarse
+    keyed merge + pruned top-k == a scalar Counter, including the
+    (cnt DESC, token ASC) tie order at the LIMIT boundary."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from engine.queries import q_vocab_topk
+
+    sf = "/root/testdata/sf0.001"
+    df = q_vocab_topk(sf).to_pandas()
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    ctr = collections.Counter(
+        tok for s in texts for tok in re.findall(r"[a-z0-9]+", s.lower())
+    )
+    expect = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(df.token, df.cnt)) == expect
+
+
+def test_token_count_partials_edge_cases():
+    """Punctuation-only and empty docs contribute no tokens; counts
+    combine occurrences within the batch."""
+    from engine.textops import token_count_partials
+
+    t = pa.table({"text": pa.array(["!!! ...", "", "Ab ab 7", "ab"])})
+    out = token_count_partials(t)
+    got = dict(zip(out["token"].to_pylist(), out["_cnt"].to_pylist()))
+    assert got == {"ab": 3, "7": 1}
