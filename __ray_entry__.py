@@ -93,6 +93,9 @@ _DRIVER_EXCLUDED = {
     "approx_distinct_users",
     "quantile_sketch_orders",
     "dms_roundtrip",
+    # approximate by design (Count-Min sketch): overcount-only
+    # estimates pytest-bounded vs the exact vocab_topk gate query
+    "cms_heavy_hitters",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -1561,3 +1561,9 @@ REGISTRY.update({"approx_distinct_users": (q_approx_distinct_users, None)})
 from engine.tdigest import q_quantile_sketch_orders  # noqa: E402
 
 REGISTRY.update({"quantile_sketch_orders": (q_quantile_sketch_orders, None)})
+
+# Count-Min frequency sketch (approximate heavy hitters; overcount-only
+# estimates pytest-bounded against the exact vocab_topk counts).
+from engine.cms import q_cms_heavy_hitters  # noqa: E402
+
+REGISTRY.update({"cms_heavy_hitters": (q_cms_heavy_hitters, None)})
