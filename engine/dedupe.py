@@ -934,7 +934,16 @@ def candidate_docs(
         [id_col],
         lambda df: df.drop_duplicates([id_col]),
         out_schema=pa.schema([(id_col, pa.int64())]),
-    )
+    ).materialize()
+    # Bloom PREFILTER before the text shuffle: the endpoint bitset
+    # broadcasts in constant memory (<= 16 MiB) even when the exact id
+    # set cannot, so only candidate text (+ ~1% false positives, which
+    # the exact inner join below drops) enters the hash-join shuffle.
+    from engine.joins import bloom_bits_size, bloom_build, bloom_semi_filter
+
+    m_bits = bloom_bits_size(2 * n_pairs)
+    words = bloom_build(eps, id_col, m_bits)
+    src = bloom_semi_filter(src, words, id_col, m_bits)
     return hash_join(src, eps, key=id_col, how="inner")
 
 

@@ -181,3 +181,111 @@ def semi_filter(ds: Dataset, keys: np.ndarray, key: str, anti: bool = False) -> 
         return batch.filter(pa.array(~hit if anti else hit))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- Bloom-filter semi PREFILTER (huge build sides) --------------------
+#
+# When the build-side key set is too large to broadcast exactly
+# (semi_filter) but the probe side is vastly larger (the 100 TB case:
+# filtering a corpus down to LSH candidate endpoints), an m-bit Bloom
+# filter gives a constant-memory broadcast with NO false negatives:
+# every true match survives; a bounded false-positive fraction of
+# non-matches rides along and is dropped by the exact downstream join.
+# NEVER use for anti joins — false positives would drop true anti rows.
+
+
+def _bloom_seeds(k_hashes: int) -> np.ndarray:
+    # Derived odd constants (splitmix64 of 1..k) — any distinct odd
+    # values decorrelate the k index hashes.
+    from engine.sketch import _splitmix64
+
+    return _splitmix64(np.arange(1, k_hashes + 1, dtype=np.uint64)) | np.uint64(1)
+
+
+def bloom_bits_size(n_keys_hint: int) -> int:
+    """m_bits sized at ~16 bits/key (k=5 → ~1% FP), clamped to
+    [2^20, 2^27] (128 KiB – 16 MiB of broadcast words)."""
+    m = 1 << 20
+    while m < 16 * max(n_keys_hint, 1) and m < (1 << 27):
+        m <<= 1
+    return m
+
+
+def bloom_build(
+    ds: Dataset, key: str, m_bits: int, k_hashes: int = 5
+) -> np.ndarray:
+    """Distributed Bloom bitset over a key column: per-block partial
+    word arrays (uint64), tree-merged by bitwise OR inside map_batches
+    (associative/commutative — register-exact like the HLL/CMS
+    merges), final OR on the driver over the handful of surviving
+    rows. Broadcast cost is m_bits/8 bytes regardless of key count."""
+    from engine.sketch import _hash_column, _splitmix64
+
+    n_words = m_bits // 64
+    seeds = _bloom_seeds(k_hashes)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        base = _hash_column(b[key])
+        for s in seeds:
+            idx = _splitmix64(base ^ s) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return pa.table(
+            {"words": pa.FixedSizeListArray.from_arrays(pa.array(words), n_words)}
+        )
+
+    def merge_rows(b: pa.Table) -> pa.Table:
+        arr = (
+            b["words"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            .reshape(-1, n_words)
+        )
+        return pa.table(
+            {
+                "words": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.bitwise_or.reduce(arr, axis=0)), n_words
+                )
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        merge_rows, batch_format="pyarrow", batch_size=64
+    )
+    out = np.zeros(n_words, dtype=np.uint64)
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        vals = b["words"].combine_chunks().values.to_numpy(zero_copy_only=False)
+        out |= np.bitwise_or.reduce(vals.reshape(-1, n_words), axis=0)
+    return out
+
+
+def bloom_contains(
+    words: np.ndarray, col, m_bits: int, k_hashes: int = 5
+) -> np.ndarray:
+    """Vectorized membership test (bool per value; no false negatives)."""
+    from engine.sketch import _hash_column, _splitmix64
+
+    base = _hash_column(col)
+    hit = np.ones(len(base), dtype=bool)
+    for s in _bloom_seeds(k_hashes):
+        idx = _splitmix64(base ^ s) % np.uint64(m_bits)
+        bit = words[(idx >> np.uint64(6)).astype(np.int64)] >> (idx & np.uint64(63))
+        hit &= (bit & np.uint64(1)).astype(bool)
+    return hit
+
+
+def bloom_semi_filter(
+    ds: Dataset, words: np.ndarray, key: str, m_bits: int, k_hashes: int = 5
+) -> Dataset:
+    """Filter ``ds`` to rows whose key is (probably) in the Bloom set:
+    the bitset broadcasts once (ray.put), the test runs where the
+    blocks live. Keeps ALL true matches plus ~FP-rate impostors — pair
+    with an exact join/verify downstream when exactness is required."""
+    ref = ray.put(words)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        return batch.filter(pa.array(bloom_contains(w, batch[key], m_bits, k_hashes)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,6 +1,8 @@
 """PIP / kNN join conformance vs brute-force oracles (SURVEY.md §5.2.4)."""
 
 import numpy as np
+import pyarrow as pa
+import pytest
 
 import assets
 from geokit.knn import brute_knn, grid_knn
@@ -154,3 +156,41 @@ def test_bucket_hash_spreads_stride_aligned_keys():
     h = deterministic_key_hash(keys, ["k"])
     buckets = np.unique(np.abs(h) % 16)
     assert len(buckets) == 16  # all buckets populated
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_no_false_negatives_and_bounded_fp():
+    """Every build key passes the filter (hard guarantee); measured
+    false-positive rate on disjoint probes stays near the ~1% design
+    point at 16 bits/key."""
+    import ray.data as rd
+
+    from engine.joins import bloom_bits_size, bloom_build, bloom_contains
+
+    build = np.arange(0, 20_000, 2, dtype=np.int64)  # 10k even keys
+    m_bits = bloom_bits_size(len(build))
+    ds = rd.from_arrow(pa.table({"k": pa.array(build)})).repartition(8)
+    words = bloom_build(ds, "k", m_bits)
+    assert bloom_contains(words, pa.array(build), m_bits).all()
+    probes = np.arange(1, 200_001, 2, dtype=np.int64)  # odd: all absent
+    fp = bloom_contains(words, pa.array(probes), m_bits).mean()
+    assert fp < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_filter_string_keys_and_empty_build():
+    import ray.data as rd
+
+    from engine.joins import bloom_build, bloom_semi_filter
+
+    build = rd.from_arrow(pa.table({"k": pa.array(["a", "b"])}))
+    words = bloom_build(build, "k", 1 << 20)
+    probe = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "c", "d"]), "v": pa.array([1, 2, 3, 4])})
+    )
+    got = bloom_semi_filter(probe, words, "k", 1 << 20).to_pandas()
+    assert set(got.k) >= {"a", "b"}  # no false negatives
+    # Empty build side: all-zero words keep nothing.
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.string())}))
+    w0 = bloom_build(empty, "k", 1 << 20)
+    assert bloom_semi_filter(probe, w0, "k", 1 << 20).count() == 0
