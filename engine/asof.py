@@ -121,8 +121,10 @@ def asof_join(
                 out[c] = out[c].astype("Int64")  # nullable int, not float
         return out[out_cols]
 
-    n_right = right.count()
-    if n_right <= broadcast_threshold:
+    # The count probe is a full right-side pass — skip it when the
+    # caller already forced the shuffle path (broadcast_threshold=0,
+    # the scale-true setting: right side grows with the corpus).
+    if broadcast_threshold > 0 and right.count() <= broadcast_threshold:
         return _asof_join_broadcast(
             left, right, key, on, on_r, payload, direction, tie_breaks,
             out_schema, out_cols, r_out, finish_fill,

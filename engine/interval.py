@@ -82,8 +82,9 @@ def interval_join(
     )
     bw = float(bin_width)
 
-    n_intervals = intervals.count()
-    if n_intervals <= broadcast_threshold:
+    # Skip the full-pass count probe when the caller already forced
+    # the shuffle path (broadcast_threshold=0).
+    if broadcast_threshold > 0 and intervals.count() <= broadcast_threshold:
         return _interval_join_broadcast(
             points, intervals, value, lo, hi, bw, out_schema, p_cols, i_cols
         )
