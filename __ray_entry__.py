@@ -74,6 +74,11 @@ def entry() -> Any:
 #                        strictly stronger than the roundtrip values) +
 #                        geo_pipeline_sql (DMS parse branch of the
 #                        layout cascade, VALUE-checked in the chain)
+#   events_daily      -> hopping_window (time-keyed combiner aggregate
+#                        over the same events table, VALUE-checked,
+#                        plus window replication) + json_props_stats
+#                        (the same grouped_count_sums rollup machinery
+#                        on events, VALUE-checked)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -93,6 +98,7 @@ _DRIVER_EXCLUDED = {
     "approx_distinct_users",
     "quantile_sketch_orders",
     "dms_roundtrip",
+    "events_daily",
     # approximate by design (Count-Min sketch): overcount-only
     # estimates pytest-bounded vs the exact vocab_topk gate query
     "cms_heavy_hitters",

@@ -787,8 +787,40 @@ LIMIT 20
 """
 
 
+def q_json_props_stats(sf_dir: str) -> Dataset:
+    """Semi-structured ingestion: extract the integer `k` field from
+    the JSON `props` payload with ONE vectorized RE2 pass
+    (textops.json_field_int — no per-row parse), then the standard
+    combiner rollup per event_type. The 100 TB shape: parse cost is a
+    flat scan fused into the read stage; only (type, partial) rows
+    shuffle."""
+    from engine.textops import json_field_int
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "k": json_field_int(b["props"], "k")}
+        )
+
+    ds = ds.map_batches(fn, batch_format="pyarrow")
+    return grouped_count_sums(
+        ds, "event_type", sum_cols=["k"], min_cols=["k"], max_cols=["k"]
+    )
+
+
+SQL_JSON_PROPS_STATS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 REGISTRY.update(
     {
+        "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS_STATS),
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
         "langid": (q_langid, SQL_LANGID),
         "token_stats_ext": (q_token_stats_ext, SQL_TOKEN_STATS_EXT),

@@ -83,6 +83,24 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).append_column("n_subword_tokens", pc.cast(bpe, pa.int64()))
 
 
+def json_field_int(col: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
+    """Vectorized integer-field extraction from a FLAT JSON string
+    column (one RE2 pass, no per-row parse) — the semi-structured
+    ingestion fast path for telemetry/props payloads whose schema is
+    one level deep (the `events.props` shape). Missing keys yield
+    null. Nested / escaped-string JSON needs a real parser: route
+    it through an actor-pool map_batches stage instead (the
+    multimodal-decode pattern); this kernel deliberately matches only
+    unquoted integer values."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import re as _re
+
+    pat = f'"{_re.escape(key)}":\\s*(?P<v>-?\\d+)'
+    ext = pc.extract_regex(col, pat)
+    return pc.cast(pc.struct_field(ext, "v"), pa.int64())
+
+
 def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Map-side combiner of vocabulary building: lowercase →
     ``[a-z0-9]+`` tokens → ONE (token, _cnt) row per DISTINCT token in

@@ -1,4 +1,4 @@
-"""The 15 registry entries excluded from the driver's 50-query window
+"""The registry entries excluded from the driver's 50-query window
 (__ray_entry__._DRIVER_EXCLUDED) must stay correct even though the
 driver no longer checks them: SQL-oracled ones are value-compared
 against DuckDB here; rows-only ones are executed and sanity-checked.
@@ -41,6 +41,8 @@ def _excluded():
         "topk_orders",
         "distinct_flags",
         "s2_cells",
+        "dms_roundtrip",
+        "events_daily",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -632,3 +632,15 @@ def test_token_count_partials_edge_cases():
     out = token_count_partials(t)
     got = dict(zip(out["token"].to_pylist(), out["_cnt"].to_pylist()))
     assert got == {"ab": 3, "7": 1}
+
+
+def test_json_field_int_edges():
+    """Missing key → null; negative ints; key-name escaping; nested
+    values deliberately NOT matched (flat-schema contract)."""
+    from engine.textops import json_field_int
+
+    col = pa.array(
+        ['{"k": 7}', '{"j": 1}', '{"k": -42}', '{"k": "str"}', None]
+    )
+    got = json_field_int(col, "k").to_pylist()
+    assert got == [7, None, -42, None, None]
