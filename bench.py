@@ -117,6 +117,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "hopping_window",
             "grouped_quantiles",
             "semi_anti_orders",
+            "vocab_topk",
+            "json_props_stats",
+            "cms_heavy_hitters",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()
