@@ -79,6 +79,11 @@ def entry() -> Any:
 #                        plus window replication) + json_props_stats
 #                        (the same grouped_count_sums rollup machinery
 #                        on events, VALUE-checked)
+#   parts_by_brand    -> lineitem_agg / segment_revenue / cell_rollup_sql
+#                        (the identical grouped_count_sums combiner
+#                        machinery, VALUE-checked on three other
+#                        tables) + pivot_orders (the same machinery as
+#                        its first pass, on a fourth)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -99,6 +104,7 @@ _DRIVER_EXCLUDED = {
     "quantile_sketch_orders",
     "dms_roundtrip",
     "events_daily",
+    "parts_by_brand",
     # approximate by design (Count-Min sketch): overcount-only
     # estimates pytest-bounded vs the exact vocab_topk gate query
     "cms_heavy_hitters",

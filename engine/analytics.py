@@ -425,3 +425,122 @@ LEFT JOIN (
   WHERE l_shipdate > TIMESTAMP '{SEMI_ANTI_CUTOFF}'
 ) k ON o.o_orderkey = k.l_orderkey
 """
+
+
+# ------------------------------------------------------------------ pivot
+
+
+def pivot_aggregate(
+    ds: Dataset,
+    row_key: str,
+    col_key: str,
+    value: str,
+    col_values: list[str],
+    num_partitions: int = 32,
+) -> Dataset:
+    """Pivot / crosstab aggregate: count + exact sum of ``value`` per
+    (row_key, col_key) cell, reshaped wide as ``cnt_{v}`` /
+    ``sum_{v}`` per declared column value.
+
+    Shape: ONE combiner pass over the data (grouped_count_sums — the
+    shuffle moves (row, col, partials) rows, never input rows), then a
+    second keyed partition over the GROUP-COUNT-sized narrow result to
+    scatter each row's cells into wide columns — metadata-scale, so
+    the pivot adds no data-scale movement at 100 TB.
+
+    ``col_values`` must be DECLARED by the caller (the schema-
+    stability contract: every block must emit the same wide columns;
+    discovering the domain would need its own distinct pre-pass).
+    An undeclared col_key value in the data raises rather than being
+    silently dropped; absent (row, col) cells emit 0 — matching
+    SQL's SUM(CASE WHEN .. THEN .. ELSE 0 END)."""
+    narrow = grouped_count_sums(
+        ds, key=[row_key, col_key], sum_cols=[value], num_partitions=num_partitions
+    )
+    sum_col = f"sum_{value}"
+    kt = pa.string()
+
+    def pivot_partition(df: pd.DataFrame) -> pd.DataFrame:
+        unknown = set(df[col_key]) - set(col_values)
+        if unknown:
+            raise ValueError(f"undeclared {col_key} values: {sorted(unknown)}")
+        cnt = df.pivot(index=row_key, columns=col_key, values="cnt")
+        sm = df.pivot(index=row_key, columns=col_key, values=sum_col)
+        out = pd.DataFrame({row_key: cnt.index})
+        for v in col_values:
+            out[f"cnt_{v}"] = (
+                cnt[v].fillna(0).astype(np.int64).to_numpy()
+                if v in cnt.columns
+                else np.zeros(len(cnt), dtype=np.int64)
+            )
+            out[f"sum_{v}"] = (
+                sm[v].fillna(0).astype(np.int64).to_numpy()
+                if v in sm.columns
+                else np.zeros(len(cnt), dtype=np.int64)
+            )
+        return out
+
+    fields = [(row_key, kt)]
+    for v in col_values:
+        fields += [(f"cnt_{v}", pa.int64()), (f"sum_{v}", pa.int64())]
+    return keyed_partition_map(
+        narrow,
+        [row_key],
+        pivot_partition,
+        num_partitions=8,
+        out_schema=pa.schema(fields),
+    )
+
+
+ORDERSTATUS_VALUES = ["F", "O", "P"]
+
+
+def q_pivot_orders(sf_dir: str) -> Dataset:
+    """Orders crosstab: per o_orderpriority row, count + exact cents
+    sum of o_totalprice pivoted across the three o_orderstatus
+    columns."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_orderstatus": b["o_orderstatus"],
+                "price_cents": cents,
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = pivot_aggregate(
+        ds, "o_orderpriority", "o_orderstatus", "price_cents", ORDERSTATUS_VALUES
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        names = ["o_orderpriority"]
+        for v in ORDERSTATUS_VALUES:
+            names += [f"cnt_{v}", f"sum_{v}"]
+        return b.select(names)
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _sql_pivot_orders() -> str:
+    cells = ",\n".join(
+        f"       CAST(SUM(CASE WHEN o_orderstatus = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_{v},\n"
+        f"       CAST(SUM(CASE WHEN o_orderstatus = '{v}' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_{v}"
+        for v in ORDERSTATUS_VALUES
+    )
+    return f"""
+SELECT o_orderpriority,
+{cells}
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+SQL_PIVOT_ORDERS = _sql_pivot_orders()

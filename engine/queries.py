@@ -1562,10 +1562,12 @@ REGISTRY.update(
 from engine.analytics import (  # noqa: E402
     SQL_GROUPED_QUANTILES,
     SQL_HOPPING_WINDOW,
+    SQL_PIVOT_ORDERS,
     SQL_ROLLUP_LINEITEM,
     SQL_SEMI_ANTI,
     q_grouped_quantiles,
     q_hopping_window,
+    q_pivot_orders,
     q_rollup_lineitem,
     q_semi_anti,
 )
@@ -1576,6 +1578,7 @@ REGISTRY.update(
         "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
         "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "semi_anti_orders": (q_semi_anti, SQL_SEMI_ANTI),
+        "pivot_orders": (q_pivot_orders, SQL_PIVOT_ORDERS),
     }
 )
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -37,7 +38,13 @@ def _assert_exact(ray_df, sql_df):
 
 @pytest.mark.parametrize(
     "name",
-    ["rollup_lineitem", "hopping_window", "grouped_quantiles", "semi_anti_orders"],
+    [
+        "rollup_lineitem",
+        "hopping_window",
+        "grouped_quantiles",
+        "semi_anti_orders",
+        "pivot_orders",
+    ],
 )
 def test_analytics_sql_exact(ray_session, con, name):
     from engine.queries import REGISTRY
@@ -121,3 +128,46 @@ def test_grouped_quantiles_brute_force(ray_session):
         for q in QUANTILES:
             expect = v[min(n - 1, int(np.ceil(q * n)) - 1)]
             assert df.loc[k, f"p{int(q*100)}_cents"] == expect, (k, q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_aggregate_matches_pandas():
+    """Distributed pivot == pandas pivot_table on random cells,
+    including absent (row, col) combinations emitting 0."""
+    import ray.data as rd
+
+    from engine.analytics import pivot_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    rows = np.array(["r1", "r2", "r3", "r4"])[rng.integers(0, 4, n)]
+    cols = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    vals = rng.integers(-50, 50, n).astype(np.int64)
+    mask = ~((rows == "r4") & (cols == "c"))  # plant an absent cell
+    t = pa.table({"r": rows[mask], "c": cols[mask], "v": vals[mask]})
+    got = (
+        pivot_aggregate(rd.from_arrow(t).repartition(8), "r", "c", "v", ["a", "b", "c"])
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    for v in ["a", "b", "c"]:
+        sub = df[df.c == v].groupby("r")["v"].agg(["count", "sum"])
+        for r in ["r1", "r2", "r3", "r4"]:
+            row = got[got.r == r].iloc[0]
+            cnt = int(sub["count"].get(r, 0))
+            sm = int(sub["sum"].get(r, 0))
+            assert row[f"cnt_{v}"] == cnt and row[f"sum_{v}"] == sm, (r, v)
+    assert got[got.r == "r4"].iloc[0]["cnt_c"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_undeclared_column_value_raises():
+    import ray.data as rd
+
+    from engine.analytics import pivot_aggregate
+
+    t = pa.table({"r": ["x"], "c": ["SURPRISE"], "v": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="undeclared|SURPRISE"):
+        pivot_aggregate(rd.from_arrow(t), "r", "c", "v", ["a"]).to_pandas()

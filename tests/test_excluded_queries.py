@@ -43,6 +43,7 @@ def _excluded():
         "s2_cells",
         "dms_roundtrip",
         "events_daily",
+        "parts_by_brand",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
