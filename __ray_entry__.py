@@ -50,7 +50,8 @@ def entry() -> Any:
 #   ann_bruteforce    -> ann_multi (the same tie-safe partial-top-k
 #                        kernel, run for 8 query vectors instead of 1)
 #   tm2gk             -> tm_inverse + fila2gk (menu 3 is exactly their
-#                        composition; both components stay VALUE-checked)
+#                        composition; both components stay VALUE-checked —
+#                        fila2gk in the excluded-queries exactness test)
 #   filter_project    -> lineitem_agg (identical pruned-read + Arrow
 #                        filter+project prep stage, then an aggregate)
 #   topk_orders       -> topk_per_type (the same per-block prune +
@@ -84,6 +85,12 @@ def entry() -> Any:
 #                        machinery, VALUE-checked on three other
 #                        tables) + pivot_orders (the same machinery as
 #                        its first pass, on a fourth)
+#   fila2gk           -> helmert_chain + tm_forward (menu 1 is exactly
+#                        their composition, the tm2gk precedent; both
+#                        components stay VALUE-checked) +
+#                        geo_pipeline_sql (the D48/GK branch of the
+#                        flagship chain runs the same composition,
+#                        VALUE-checked end-to-end)
 _DRIVER_EXCLUDED = {
     "sample_lineitem",
     "minhash_dedup",
@@ -105,6 +112,7 @@ _DRIVER_EXCLUDED = {
     "dms_roundtrip",
     "events_daily",
     "parts_by_brand",
+    "fila2gk",
     # approximate by design (Count-Min sketch): overcount-only
     # estimates pytest-bounded vs the exact vocab_topk gate query
     "cms_heavy_hitters",

@@ -544,3 +544,138 @@ FROM orders GROUP BY o_orderpriority
 
 
 SQL_PIVOT_ORDERS = _sql_pivot_orders()
+
+
+# ------------------------------------------------------------- moments
+
+
+def moment_stats(
+    ds: Dataset, key: str, x: str, y: str, num_partitions: int = 32
+) -> Dataset:
+    """Per-group moment statistics (mean / population variance /
+    Pearson correlation) in ONE combiner pass: the five power sums
+    (Σx, Σy, Σx², Σy², Σxy) accumulate as EXACT int64 per batch and
+    shuffle as partials (grouped_count_sums), so engine summation
+    order cannot perturb them; the float mean/var/corr are computed
+    ONCE per output group from the same integers in a fixed operation
+    order, giving bitwise-identical float64 on any engine that mirrors
+    the formula (the driver's DuckDB oracle does).
+
+    ``x``/``y`` must already be int64-scaled by the caller (the cents
+    policy). Exactness contract: max|x|² × rows-per-group must stay
+    below 2^63 — at wider scales, widen the moment accumulators (the
+    combiner shape is unchanged).
+
+    Output: key, cnt, sum_x, sum_y, sum_xx, sum_yy, sum_xy, mean_x,
+    var_x, corr_xy."""
+
+    def prods(b: pa.Table) -> pa.Table:
+        xv = b[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = b[y].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key: b[key],
+                "x": xv,
+                "y": yv,
+                "xx": xv * xv,
+                "yy": yv * yv,
+                "xy": xv * yv,
+            }
+        )
+
+    narrow = grouped_count_sums(
+        ds.map_batches(prods, batch_format="pyarrow"),
+        key=key,
+        sum_cols=["x", "y", "xx", "yy", "xy"],
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sum_x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b["sum_y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b["sum_xx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b["sum_yy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b["sum_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # Operation ORDER is the contract (mirrored term-for-term in
+        # the SQL oracle) — do not "simplify".
+        mean_x = sx / cnt
+        var_x = (sxx - sx * sx / cnt) / cnt
+        num = cnt * sxy - sx * sy
+        den = np.sqrt((cnt * sxx - sx * sx) * (cnt * syy - sy * sy))
+        corr = num / den
+        return pa.table(
+            {
+                key: b[key],
+                "cnt": b["cnt"],
+                "sum_x": b["sum_x"],
+                "sum_y": b["sum_y"],
+                "sum_xx": b["sum_xx"],
+                "sum_yy": b["sum_yy"],
+                "sum_xy": b["sum_xy"],
+                "mean_x": pa.array(mean_x),
+                "var_x": pa.array(var_x),
+                "corr_xy": pa.array(corr),
+            }
+        )
+
+    # grouped_count_sums already names the outputs key, cnt,
+    # sum_x/sum_y/sum_xx/sum_yy/sum_xy (from the product column names).
+    return narrow.map_batches(finish, batch_format="pyarrow")
+
+
+def q_moment_stats(sf_dir: str) -> Dataset:
+    """Per-event-type moments of (value cents, JSON props.k): exact
+    integer power sums through the shuffle, mean/var/corr computed
+    once per group."""
+    from engine.queries import _read
+    from engine.textops import json_field_int
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        xc = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "xc": xc,
+                "k": json_field_int(b["props"], "k"),
+            }
+        )
+
+    return moment_stats(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", "xc", "k"
+    )
+
+
+SQL_MOMENT_STATS = """
+WITH base AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+         CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+         CAST(SUM(x * y) AS BIGINT) AS sum_xy
+  FROM base GROUP BY event_type)
+SELECT event_type, cnt, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       CAST(sum_x AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean_x,
+       (CAST(sum_xx AS DOUBLE)
+          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) / CAST(cnt AS DOUBLE))
+         / CAST(cnt AS DOUBLE) AS var_x,
+       (CAST(cnt AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+          - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+         / SQRT((CAST(cnt AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                   - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                * (CAST(cnt AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                   - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) AS corr_xy
+FROM m
+"""

@@ -1562,11 +1562,13 @@ REGISTRY.update(
 from engine.analytics import (  # noqa: E402
     SQL_GROUPED_QUANTILES,
     SQL_HOPPING_WINDOW,
+    SQL_MOMENT_STATS,
     SQL_PIVOT_ORDERS,
     SQL_ROLLUP_LINEITEM,
     SQL_SEMI_ANTI,
     q_grouped_quantiles,
     q_hopping_window,
+    q_moment_stats,
     q_pivot_orders,
     q_rollup_lineitem,
     q_semi_anti,
@@ -1579,6 +1581,7 @@ REGISTRY.update(
         "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
         "semi_anti_orders": (q_semi_anti, SQL_SEMI_ANTI),
         "pivot_orders": (q_pivot_orders, SQL_PIVOT_ORDERS),
+        "moment_stats_events": (q_moment_stats, SQL_MOMENT_STATS),
     }
 )
 

@@ -44,6 +44,7 @@ def _assert_exact(ray_df, sql_df):
         "grouped_quantiles",
         "semi_anti_orders",
         "pivot_orders",
+        "moment_stats_events",
     ],
 )
 def test_analytics_sql_exact(ray_session, con, name):

@@ -44,6 +44,7 @@ def _excluded():
         "dms_roundtrip",
         "events_daily",
         "parts_by_brand",
+        "fila2gk",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
