@@ -207,6 +207,19 @@ def keyed_partition_map(
     buckets of a 5k-doc corpus), while this pays it ``num_partitions``
     times and lets the partition_fn handle fine groups at C speed.
 
+    Partitioning contract (measured, Ray 2.49): the sort's map stage
+    splits every input block into ``num_partitions`` sub-blocks, and
+    Ray stores any object below ``max_direct_call_object_size``
+    (100 KB default) INLINE in the owner's (driver's) heap instead of
+    plasma — so ``block_bytes / num_partitions`` must stay above
+    ~100 KB or the shuffle parks ~its whole payload on the driver
+    (verified: a 240 MB string shuffle at 64 blocks x 64 partitions
+    drove driver RssAnon to 0.57 GB; the same shuffle at 16 x 4, or
+    with the inline cap lowered to 10 KB, stayed at ~0.1 GB). At the
+    production 128 MB block target even 1024 partitions clears the
+    threshold; only small-block test corpora can trip it — size
+    ``num_partitions`` down for tiny inputs.
+
     ``out_schema``: declared output schema. Ray's pandas ``map_groups``
     emits zero-column empty blocks for empty partitions, whose unified
     schema types every column as null — downstream stages then log
