@@ -986,6 +986,17 @@ def verify_pairs_jaccard_distributed(
     cand = candidate_docs(
         ds, pairs, id_col, text_col, max_broadcast_endpoints=max_broadcast_endpoints
     )
+    # The semi-filter preserves the CORPUS's block structure, leaving
+    # candidate-scale rows scattered over corpus-scale block counts —
+    # the downstream sorts then pay per-block overhead on mostly-empty
+    # blocks (measured: coalescing halved the 1M-doc verify wall,
+    # 24.3 s -> 12.5 s). Coalesce to a pair-proportional block count
+    # (≥ num_partitions so the co-group still parallelizes; ~64k
+    # candidate rows per block keeps blocks MB-scale at any n_pairs).
+    n_pairs_total = pairs.count()  # cached: pairs is materialized
+    cand = cand.repartition(
+        max(num_partitions, -(-2 * n_pairs_total // 65_536))
+    )
 
     def endpoints(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False)
