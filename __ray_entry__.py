@@ -116,6 +116,9 @@ _DRIVER_EXCLUDED = {
     # approximate by design (Count-Min sketch): overcount-only
     # estimates pytest-bounded vs the exact vocab_topk gate query
     "cms_heavy_hitters",
+    # transcendental idf has no bitwise SQL mirror; pytest-exact vs a
+    # scalar brute-force oracle (float contract = numpy's log)
+    "tfidf_top_terms",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -1605,3 +1605,85 @@ REGISTRY.update({"quantile_sketch_orders": (q_quantile_sketch_orders, None)})
 from engine.cms import q_cms_heavy_hitters  # noqa: E402
 
 REGISTRY.update({"cms_heavy_hitters": (q_cms_heavy_hitters, None)})
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """TF-IDF top-k terms per document — the classic relevance /
+    keyword-extraction text op. Two passes over (doc, token, tf)
+    combiner partials (docs never span blocks, so per-block tf is
+    exact): pass 1 reduces df per token (each (doc, token) row counts
+    once) plus N; the vocab-scale df table broadcasts (ray.put +
+    searchsorted — swap in joins.hash_join for corpora whose vocab
+    exceeds driver memory); pass 2 scores tf·ln(N/df) and takes the
+    per-doc top-k on the (score DESC, token ASC) total order,
+    vectorized per block.
+
+    Driver-excluded: the transcendental idf has no bitwise SQL
+    mirror; exactness is pytest-verified against a scalar brute-force
+    oracle. Columns: doc_id, rank, term, score."""
+    import ray
+
+    from engine.textops import doc_token_tf_partials
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    n_docs = ds.count()
+    tf = ds.map_batches(doc_token_tf_partials, batch_format="pyarrow").materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            b["token"].combine_chunks() if isinstance(b["token"], pa.ChunkedArray) else b["token"]
+        )
+        return pa.table(
+            {"token": vc.field("values"), "_cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    from engine.shuffle import keyed_partition_map
+
+    df_ds = keyed_partition_map(
+        tf.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"],
+        lambda d: d.groupby("token", sort=False)["_cnt"].sum().reset_index(name="df"),
+        num_partitions=16,
+        out_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+    parts = [b for b in df_ds.iter_batches(batch_format="pyarrow")]
+    dft = pa.concat_tables(parts).combine_chunks() if parts else pa.table(
+        {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
+    order = pc.sort_indices(dft, sort_keys=[("token", "ascending")])
+    dft = dft.take(order)
+    vocab = np.asarray(dft["token"].to_pylist(), dtype=object)
+    dfv = dft["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ref = ray.put((vocab, dfv))
+
+    def score(b: pa.Table) -> pa.Table:
+        voc, dfs = ray.get(ref)
+        toks = np.asarray(b["token"].to_pylist(), dtype=object)
+        pos = np.searchsorted(voc, toks)
+        tfs = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfs * np.log(float(n_docs) / dfs[pos])
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                "term": toks,
+                "score": s,
+            }
+        )
+        out = out.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = out.groupby("doc_id", sort=False).head(k)
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+                "rank": pa.array(top["rank"].to_numpy().astype(np.int64)),
+                "term": pa.array(top["term"], pa.string()),
+                "score": pa.array(top["score"].to_numpy()),
+            }
+        )
+
+    return tf.map_batches(score, batch_format="pyarrow")
+
+
+REGISTRY.update({"tfidf_top_terms": (q_tfidf_top_terms, None)})

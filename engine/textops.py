@@ -190,3 +190,31 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16)
         texts = texts.combine_chunks()
     fp = rolling_fingerprint(np.array(texts.to_pylist(), dtype=object), window)
     return batch.append_column("fingerprint", pa.array(fp, pa.int64()))
+
+
+def doc_token_tf_partials(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-(doc, token) term frequencies for one batch (vectorized:
+    split + flatten + offsets; the doc boundary rides along as a
+    repeated id column, counted in one pandas C-speed groupby)."""
+    import pandas as pd
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    rep_ids = np.repeat(ids.to_numpy(zero_copy_only=False), counts)
+    df = pd.DataFrame({"doc_id": rep_ids, "token": flat.to_pylist()})
+    df = df[df.token != ""]
+    g = df.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+    return pa.table(
+        {
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "token": pa.array(g["token"], pa.string()),
+            "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+        }
+    )

@@ -644,3 +644,42 @@ def test_json_field_int_edges():
     )
     got = json_field_int(col, "k").to_pylist()
     assert got == [7, None, -42, None, None]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms_matches_bruteforce():
+    """Distributed two-pass TF-IDF == scalar per-doc computation,
+    float-identical (the engine's float contract is numpy's log, which
+    can differ from math.log by 1 ULP), including rank tie order."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from engine.queries import q_tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = q_tfidf_top_terms(sf, k=3).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        i: re.findall(r"[a-z0-9]+", s.lower())
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    n = len(docs)
+    df = collections.Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    expect = {}
+    for i, toks in docs.items():
+        tf = collections.Counter(toks)
+        scored = sorted(
+            ((term, cnt * float(np.log(n / df[term]))) for term, cnt in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        expect[i] = scored
+    assert len(got) == sum(len(v) for v in expect.values())
+    for doc_id, grp in got.groupby("doc_id"):
+        grp = grp.sort_values("rank")
+        exp = expect[doc_id]
+        assert list(grp.term) == [t_ for t_, _ in exp], doc_id
+        assert list(grp.score) == [s_ for _, s_ in exp], doc_id
