@@ -120,6 +120,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "vocab_topk",
             "json_props_stats",
             "cms_heavy_hitters",
+            "pivot_orders",
+            "moment_stats_events",
+            "tfidf_top_terms",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()
