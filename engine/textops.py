@@ -218,3 +218,60 @@ def doc_token_tf_partials(batch: pa.Table, id_col: str = "doc_id", text_col: str
             "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
         }
     )
+
+
+def contamination_flags(
+    ds,
+    queries: list[str],
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark-decontamination flag: marks every document whose text
+    contains ANY word-k-gram of any query string (the standard n-gram
+    contamination test LLM training pipelines run against eval sets).
+
+    Shape: the query side's k-gram hash set is computed once on the
+    driver (query sets are benchmark-scale, thousands of rows) and
+    broadcast via ray.put; each doc block re-uses the dedup module's
+    flat-shingle kernel (whitespace tokens, FNV-1a, Horner k-gram —
+    exact-token, case-sensitive matching; normalize upstream if
+    desired) and tests membership with one searchsorted — zero
+    shuffles, the corpus never moves. For query sets too large to
+    broadcast exactly, swap the sorted array for joins.bloom_build
+    (no false negatives; FP-rate flags verified downstream).
+
+    Queries (and docs) with fewer than k tokens fall back to raw
+    token hashes — a short query then flags any doc sharing a token,
+    matching the shingle kernel's documented short-doc semantics.
+
+    Returns Dataset[id_col, contaminated: bool]."""
+    import ray
+
+    from engine.dedupe import _flat_shingles
+
+    qh = np.unique(_flat_shingles(list(queries), k)[0])
+    ref = ray.put(qh)  # already sorted by np.unique
+
+    def flag(b: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        texts_col = b[text_col]
+        if isinstance(texts_col, pa.ChunkedArray):
+            texts_col = texts_col.combine_chunks()
+        sh, counts = _flat_shingles(texts_col.to_pylist(), k)
+        if len(q) and len(sh):
+            pos = np.clip(np.searchsorted(q, sh), 0, len(q) - 1)
+            m = q[pos] == sh
+        else:
+            m = np.zeros(len(sh), dtype=bool)
+        cm = np.concatenate([[0], np.cumsum(m)])
+        ends = np.cumsum(counts)
+        hits = cm[ends] - cm[ends - counts]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

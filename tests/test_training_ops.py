@@ -683,3 +683,42 @@ def test_tfidf_top_terms_matches_bruteforce():
         exp = expect[doc_id]
         assert list(grp.term) == [t_ for t_, _ in exp], doc_id
         assert list(grp.score) == [s_ for _, s_ in exp], doc_id
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_flags_exact():
+    """Docs containing a planted benchmark 8-gram are flagged; docs
+    sharing only 7 of the 8 words in sequence are not; short-query
+    token fallback flags token-sharing docs."""
+    from engine.textops import contamination_flags
+
+    bench = "the quick brown fox jumps over the lazy"
+    docs = [
+        (0, f"prefix words {bench} suffix words here"),   # contains it
+        (1, "the quick brown fox jumps over a lazy dog"), # 8th word differs
+        (2, "totally unrelated salad of tokens apple"),   # clean
+        (3, bench),                                        # exactly it
+        (4, "lazy the over jumps fox brown quick the"),   # right words, wrong order
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    got = (
+        contamination_flags(rd.from_arrow(t).repartition(3), [bench], k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got.contaminated) == [True, False, False, True, False]
+    # short query (< k tokens): token-fallback semantics
+    got2 = (
+        contamination_flags(rd.from_arrow(t), ["apple"], k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got2.contaminated) == [False, False, True, False, False]
+    # empty query set flags nothing
+    got3 = contamination_flags(rd.from_arrow(t), [], k=8).to_pandas()
+    assert not got3.contaminated.any()
