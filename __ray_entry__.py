@@ -119,6 +119,10 @@ _DRIVER_EXCLUDED = {
     # transcendental idf has no bitwise SQL mirror; pytest-exact vs a
     # scalar brute-force oracle (float contract = numpy's log)
     "tfidf_top_terms",
+    # composition of individually VALUE-checked parts (quality_scores,
+    # langid, dedup_documents, minhash_dedup_full, hash_sample);
+    # stage-by-stage pytest on planted defect classes
+    "curation_pipeline",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -1206,3 +1206,21 @@ def minhash_dedup_verdict(
         )
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def content_digests(txt: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content digest as two independent vectorized 64-bit
+    FNV-1a variants (constants pinned — VERSION-STABLE, the polars
+    lesson from ADVICE r2). Shared by the exact-dedup gate query and
+    the curation pipeline."""
+    from engine.shuffle import _fnv1a_bytes_vectorized
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    d1 = _fnv1a_bytes_vectorized(txt)
+    d2 = _fnv1a_bytes_vectorized(
+        txt,
+        offset=np.uint64(0x9E3779B97F4A7C15),
+        prime=np.uint64(0x100000001B3) ^ np.uint64(0xA5A5A5A5A5A5A5A4),
+    )
+    return d1, d2

@@ -201,19 +201,9 @@ def q_dedup_documents(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
 
     def digest(b: pa.Table) -> pa.Table:
-        from engine.shuffle import _fnv1a_bytes_vectorized
+        from engine.dedupe import content_digests
 
-        txt = b["text"]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        d1 = _fnv1a_bytes_vectorized(txt)
-        # Independent second member of the family: different odd
-        # multiplier + offset basis (splitmix64's golden-gamma).
-        d2 = _fnv1a_bytes_vectorized(
-            txt,
-            offset=np.uint64(0x9E3779B97F4A7C15),
-            prime=np.uint64(0x100000001B3) ^ np.uint64(0xA5A5A5A5A5A5A5A4),
-        )
+        d1, d2 = content_digests(b["text"])
         return pa.table({"doc_id": b["doc_id"], "d1": pa.array(d1), "d2": pa.array(d2)})
 
     out = (
@@ -1687,3 +1677,26 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3):
 
 
 REGISTRY.update({"tfidf_top_terms": (q_tfidf_top_terms, None)})
+
+
+def q_curation_pipeline(sf_dir: str):
+    """The composed LLM-data curation chain (engine/curation.py) over
+    the documents table: quality -> language -> exact dedup ->
+    near-dup dedup -> split. Driver-excluded: a composition of parts
+    that are each value-checked (quality_scores, langid,
+    dedup_documents, minhash_dedup_full, hash_sample) — the
+    composition itself is pytest-verified stage-by-stage on planted
+    defect classes (tests/test_curation.py)."""
+    from engine.curation import curate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    out, report = curate(
+        ds,
+        langs=("en", "de", "es", "fr", "it", "sl", "und"),
+        min_tokens=3,
+        min_alpha_milli=200,
+    )
+    return out
+
+
+REGISTRY.update({"curation_pipeline": (q_curation_pipeline, None)})
