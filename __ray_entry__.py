@@ -119,6 +119,10 @@ _DRIVER_EXCLUDED = {
     # transcendental idf has no bitwise SQL mirror; pytest-exact vs a
     # scalar brute-force oracle (float contract = numpy's log)
     "tfidf_top_terms",
+    # same combiner + coarse-merge + pruned-top-k machinery as
+    # vocab_topk with the n-gram kernel; SQL oracle value-checked in
+    # the excluded-queries exactness test
+    "bigram_topk",
     # composition of individually VALUE-checked parts (quality_scores,
     # langid, dedup_documents, minhash_dedup_full, hash_sample);
     # stage-by-stage pytest on planted defect classes

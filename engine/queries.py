@@ -1700,3 +1700,44 @@ def q_curation_pipeline(sf_dir: str):
 
 
 REGISTRY.update({"curation_pipeline": (q_curation_pipeline, None)})
+
+
+def q_bigram_topk(sf_dir: str) -> Dataset:
+    """Top-20 word bigrams by exact count — vocab_topk's machinery
+    with the n-gram combiner kernel (frequent-phrase mining /
+    collocation extraction). Driver-excluded as the same combiner +
+    coarse-merge + pruned-top-k machinery as vocab_topk; the SQL
+    oracle is value-checked in the excluded-queries exactness test."""
+    from engine.shuffle import keyed_partition_map, topk
+    from engine.textops import ngram_count_partials
+
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=256)
+    partials = ds.map_batches(
+        ngram_count_partials, batch_format="pyarrow", fn_kwargs=dict(n=2)
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False)["_cnt"].sum().reset_index()
+        return pd.DataFrame({"ngram": g["ngram"], "cnt": g["_cnt"].astype(np.int64)})
+
+    merged = keyed_partition_map(
+        partials,
+        ["ngram"],
+        merge,
+        num_partitions=32,
+        out_schema=pa.schema([("ngram", pa.string()), ("cnt", pa.int64())]),
+    )
+    return topk(merged, ["cnt", "ngram"], 20, descending=[True, False])
+
+
+SQL_BIGRAM_TOPK = """
+WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT ts[i] || ' ' || ts[i + 1] AS ngram
+  FROM tok, LATERAL unnest(range(1, len(ts))) AS t(i))
+GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC
+LIMIT 20
+"""
+
+REGISTRY.update({"bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK)})

@@ -275,3 +275,39 @@ def contamination_flags(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def ngram_count_partials(batch: pa.Table, n: int = 2, text_col: str = "text") -> pa.Table:
+    """Map-side combiner of n-gram vocabulary building: word n-grams
+    as space-joined strings, one (ngram, _cnt) row per distinct n-gram
+    in the batch. Vectorized: one flat token array for the whole
+    batch, n shifted slices joined element-wise, cross-document
+    windows masked out via offsets."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).to_pylist()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # strip the empty-string artifacts consistently with token counts
+    keep = np.array([t != "" for t in flat], dtype=bool)
+    doc_of = np.repeat(np.arange(len(counts)), counts)[keep]
+    flat = np.asarray([t for t in flat if t != ""], dtype=object)
+    total = len(flat)
+    if total < n:
+        return pa.table({"ngram": pa.array([], pa.string()), "_cnt": pa.array([], pa.int64())})
+    window_ok = np.ones(total - n + 1, dtype=bool)
+    for j in range(1, n):
+        window_ok &= doc_of[j : total - n + 1 + j] == doc_of[: total - n + 1]
+    parts = [pa.array(flat[j : total - n + 1 + j], pa.string()) for j in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, " ")
+    grams = joined.filter(pa.array(window_ok))
+    vc = pc.value_counts(grams)
+    return pa.table(
+        {
+            "ngram": vc.field("values"),
+            "_cnt": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )

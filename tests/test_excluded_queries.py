@@ -45,6 +45,7 @@ def _excluded():
         "events_daily",
         "parts_by_brand",
         "fila2gk",
+        "bigram_topk",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
