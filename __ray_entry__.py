@@ -127,6 +127,13 @@ _DRIVER_EXCLUDED = {
     # langid, dedup_documents, minhash_dedup_full, hash_sample);
     # stage-by-stage pytest on planted defect classes
     "curation_pipeline",
+    # token_stats_ext -> quality_scores + langid (the identical
+    # one-RE2-pass count-per-doc machinery, VALUE-checked on the same
+    # table) + doc_token_stats (token counting VALUE-checked in
+    # aggregate) + repetition_signals (the same lowercased tokenizer's
+    # total feeds its n_tok_r column, VALUE-checked); stays SQL-exact
+    # in the excluded-queries test
+    "token_stats_ext",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

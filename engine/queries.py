@@ -523,6 +523,51 @@ FROM documents
 """
 
 
+def q_repetition_signals(sf_dir: str) -> Dataset:
+    """Gopher-style repetition quality signals (the repetition half of
+    the Rae et al. filter set): per-doc duplicate-token fraction,
+    top-token mass, duplicate-bigram fraction — exact-int milli so the
+    DuckDB mirror is bitwise. Zero shuffles (fused per-doc scan)."""
+    from engine.textops import repetition_signals_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return ds.map_batches(repetition_signals_batch, batch_format="pyarrow")
+
+
+# regexp_extract_all('[a-z0-9]+') ≡ the engine's split-and-drop-empties
+# tokenizer (the SQL_VOCAB_TOPK equivalence). Bigrams pair adjacent
+# token positions within a doc: range(1, len(ts)) yields p in
+# [1, len-1], pairing ts[p] with ts[p+1] (1-indexed DuckDB lists); a
+# 0/1-token doc drops out of the LATERAL and COALESCEs to 0.
+SQL_REPETITION_SIGNALS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY doc_id, tok),
+ta AS (
+  SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS d, MAX(c) AS m
+  FROM tf GROUP BY doc_id),
+bf AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, ts[p] || ' ' || ts[p + 1] AS bigram
+        FROM t, LATERAL unnest(range(1, len(ts))) AS r(p))
+  GROUP BY doc_id, bigram),
+ba AS (
+  SELECT doc_id, SUM(c) AS nb, CAST(COUNT(*) AS BIGINT) AS db
+  FROM bf GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(COALESCE(ta.n, 0) AS BIGINT) AS n_tok_r,
+  CAST(FLOOR(1000.0 * (COALESCE(ta.n, 0) - COALESCE(ta.d, 0))
+             / GREATEST(COALESCE(ta.n, 0), 1) + 0.5) AS BIGINT) AS dup_tok_milli,
+  CAST(FLOOR(1000.0 * COALESCE(ta.m, 0)
+             / GREATEST(COALESCE(ta.n, 0), 1) + 0.5) AS BIGINT) AS top_tok_milli,
+  CAST(FLOOR(1000.0 * (COALESCE(ba.nb, 0) - COALESCE(ba.db, 0))
+             / GREATEST(COALESCE(ba.nb, 0), 1) + 0.5) AS BIGINT) AS dup_bigram_milli
+FROM t LEFT JOIN ta ON t.doc_id = ta.doc_id LEFT JOIN ba ON t.doc_id = ba.doc_id
+"""
+
+
 # ------------------------------------------------------------------ ANN
 
 
@@ -814,6 +859,7 @@ REGISTRY.update(
         "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
         "langid": (q_langid, SQL_LANGID),
         "token_stats_ext": (q_token_stats_ext, SQL_TOKEN_STATS_EXT),
+        "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
         "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
         "ann_ivf": (q_ann_ivf, None),

@@ -277,6 +277,93 @@ def contamination_flags(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def repetition_signals_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed exact-int so aggregates
+    and the SQL oracle are order-free):
+
+      n_tok_r          total ``[a-z0-9]+`` tokens (lowercased — the
+                       vocab_topk tokenizer)
+      dup_tok_milli    floor(1000·(n_tok − n_distinct)/max(n_tok,1)+.5)
+                       — fraction of tokens that are repeats
+      top_tok_milli    floor(1000·max_tf/max(n_tok,1)+.5) — mass of the
+                       single most frequent token
+      dup_bigram_milli same repeat fraction over word bigrams
+
+    Shape: ZERO shuffles — purely per-doc, fused into the scan. One
+    flat token array per batch (split + flatten + offsets), per-doc
+    term frequencies in one C-speed pandas groupby, bigrams via the
+    shifted-slice element-wise join with cross-doc windows masked
+    (the ngram_count_partials idiom). Docs with no tokens emit all
+    zeros; docs with < 2 tokens have no bigrams (dup_bigram_milli 0).
+    """
+    import pandas as pd
+
+    ids_col = batch[id_col]
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = batch.num_rows
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    flat = flat.filter(pa.array(keep))
+    doc_of = doc_of[keep]
+
+    n_tok = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    max_tf = np.zeros(n, dtype=np.int64)
+    n_bi = np.zeros(n, dtype=np.int64)
+    n_bi_distinct = np.zeros(n, dtype=np.int64)
+    total = len(flat)
+    if total:
+        tf = (
+            pd.DataFrame({"d": doc_of, "t": flat.to_pandas()})
+            .groupby(["d", "t"], sort=False)
+            .size()
+        )
+        per_doc = tf.groupby(level=0)
+        agg = per_doc.agg(["sum", "size", "max"])
+        idx = agg.index.to_numpy().astype(np.int64)
+        n_tok[idx] = agg["sum"].to_numpy()
+        n_distinct[idx] = agg["size"].to_numpy()
+        max_tf[idx] = agg["max"].to_numpy()
+    if total >= 2:
+        same_doc = doc_of[1:] == doc_of[:-1]
+        if same_doc.any():
+            bigrams = pc.binary_join_element_wise(
+                flat.slice(0, total - 1), flat.slice(1), " "
+            ).filter(pa.array(same_doc))
+            bf = (
+                pd.DataFrame({"d": doc_of[:-1][same_doc], "b": bigrams.to_pandas()})
+                .groupby(["d", "b"], sort=False)
+                .size()
+            )
+            bagg = bf.groupby(level=0).agg(["sum", "size"])
+            bidx = bagg.index.to_numpy().astype(np.int64)
+            n_bi[bidx] = bagg["sum"].to_numpy()
+            n_bi_distinct[bidx] = bagg["size"].to_numpy()
+
+    def milli(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        return np.floor(1000.0 * num / np.maximum(den, 1) + 0.5).astype(np.int64)
+
+    return pa.table(
+        {
+            id_col: ids_col,
+            "n_tok_r": pa.array(n_tok),
+            "dup_tok_milli": pa.array(milli(n_tok - n_distinct, n_tok)),
+            "top_tok_milli": pa.array(milli(max_tf, n_tok)),
+            "dup_bigram_milli": pa.array(milli(n_bi - n_bi_distinct, n_bi)),
+        }
+    )
+
+
 def ngram_count_partials(batch: pa.Table, n: int = 2, text_col: str = "text") -> pa.Table:
     """Map-side combiner of n-gram vocabulary building: word n-grams
     as space-joined strings, one (ngram, _cnt) row per distinct n-gram

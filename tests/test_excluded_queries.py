@@ -46,6 +46,7 @@ def _excluded():
         "parts_by_brand",
         "fila2gk",
         "bigram_topk",
+        "token_stats_ext",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

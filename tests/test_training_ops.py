@@ -722,3 +722,42 @@ def test_contamination_flags_exact():
     # empty query set flags nothing
     got3 = contamination_flags(rd.from_arrow(t), [], k=8).to_pandas()
     assert not got3.contaminated.any()
+
+
+def test_repetition_signals_matches_scalar_oracle():
+    """Gopher repetition signals vs a per-doc scalar oracle, incl. the
+    edge classes: empty text, punctuation-only, single token, all-same
+    tokens, fully-distinct tokens, repeated-bigram loops."""
+    import collections
+    import re
+
+    from engine.textops import repetition_signals_batch
+
+    docs = [
+        "",                                  # no tokens at all
+        "!!! ...",                           # punctuation-only
+        "word",                              # 1 token: no bigrams
+        "same same same same same",          # all-dup tokens AND bigrams
+        "a b c d e f",                       # fully distinct
+        "Ab aB 7x 7x go go go stop",         # case folding + mixed dups
+        "x y x y x y x y",                   # bigram loop: 'x y' dominates
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)), "text": pa.array(docs)}
+    )
+    out = repetition_signals_batch(t).to_pandas().sort_values("doc_id")
+
+    def milli(num: int, den: int) -> int:
+        return int(np.floor(1000.0 * num / max(den, 1) + 0.5))
+
+    for i, s in enumerate(docs):
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        tf = collections.Counter(toks)
+        bi = collections.Counter(zip(toks, toks[1:]))
+        n, d, m = len(toks), len(tf), max(tf.values(), default=0)
+        nb, db = sum(bi.values()), len(bi)
+        row = out.iloc[i]
+        assert row.n_tok_r == n
+        assert row.dup_tok_milli == milli(n - d, n)
+        assert row.top_tok_milli == milli(m, n)
+        assert row.dup_bigram_milli == milli(nb - db, nb), s
