@@ -134,6 +134,11 @@ _DRIVER_EXCLUDED = {
     # total feeds its n_tok_r column, VALUE-checked); stays SQL-exact
     # in the excluded-queries test
     "token_stats_ext",
+    # raster_sample -> geoid_bilinear (the identical broadcast-grid
+    # per-point bilinear lookup machinery, VALUE-checked on the geoid
+    # grids); the raster family stays represented in-window by
+    # rasterize + zonal_stats; stays SQL-exact in the excluded test
+    "raster_sample",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -568,6 +568,98 @@ FROM t LEFT JOIN ta ON t.doc_id = ta.doc_id LEFT JOIN ba ON t.doc_id = ba.doc_id
 """
 
 
+def q_pii_scrub(sf_dir: str) -> Dataset:
+    """PII detection + redaction (curation scrubbing stage). The
+    relational testdata carries no PII, so PII-bearing text is
+    synthesized from `orders` by integer arithmetic + string casts —
+    the geo_pipeline_sql precedent: BOTH sides build byte-identical
+    strings from the same parquet, then the REAL kernel
+    (textops.pii_scrub_batch) runs on the Ray side and the RE2-verbatim
+    regexp_extract_all/regexp_replace mirror on the DuckDB side.
+    Every 2nd order carries an email, every 3rd a phone, every 5th an
+    IPv4 (so counts vary 0/1 per kind and combos overlap). Zero
+    shuffles; the scrub fuses into the scan."""
+    from engine.textops import pii_scrub_batch
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        A = np.char.add
+
+        def s(a):
+            return a.astype(str)
+
+        email = A(A(A(A(" u", s(ok % 97)), "@host"), s(ck % 13)), ".net")
+        phone = A(
+            A(A(A(" ", s(ok % 900 + 100)), A("-", s(ck % 900 + 100))), "-"),
+            s(ok % 9000 + 1000),
+        )
+        ip = A(
+            A(A(A(A(A(" ", s(ok % 256)), "."), s(ck % 256)), A(".", s(ok % 100))), "."),
+            s(ck % 100),
+        )
+        txt = A("user ", s(ck))
+        txt = A(txt, np.where(ok % 2 == 0, email, ""))
+        txt = A(txt, np.where(ok % 3 == 0, phone, ""))
+        txt = A(txt, np.where(ok % 5 == 0, ip, ""))
+        txt = A(txt, " end")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "text": pa.array(txt.astype(object), pa.string()),
+            }
+        )
+
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(
+            ["o_orderkey", "n_emails", "n_phones", "n_ips", "text_scrubbed"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_pii_scrub() -> str:
+    """Mirror generated from textops.PII_PATTERNS (single source for
+    the regexes; DuckDB's regexp_* is RE2, the same engine as pyarrow's
+    compute kernels, so the pattern strings transfer verbatim)."""
+    from engine.textops import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH t AS (
+  SELECT o_orderkey,
+    'user ' || CAST(o_custkey AS VARCHAR)
+    || CASE WHEN o_orderkey % 2 = 0 THEN
+         ' u' || CAST(o_orderkey % 97 AS VARCHAR) || '@host'
+         || CAST(o_custkey % 13 AS VARCHAR) || '.net' ELSE '' END
+    || CASE WHEN o_orderkey % 3 = 0 THEN
+         ' ' || CAST(o_orderkey % 900 + 100 AS VARCHAR)
+         || '-' || CAST(o_custkey % 900 + 100 AS VARCHAR)
+         || '-' || CAST(o_orderkey % 9000 + 1000 AS VARCHAR) ELSE '' END
+    || CASE WHEN o_orderkey % 5 = 0 THEN
+         ' ' || CAST(o_orderkey % 256 AS VARCHAR)
+         || '.' || CAST(o_custkey % 256 AS VARCHAR)
+         || '.' || CAST(o_orderkey % 100 AS VARCHAR)
+         || '.' || CAST(o_custkey % 100 AS VARCHAR) ELSE '' END
+    || ' end' AS text
+  FROM orders)
+SELECT o_orderkey,
+  {counts},
+  {scrub} AS text_scrubbed
+FROM t
+"""
+
+
 # ------------------------------------------------------------------ ANN
 
 
@@ -860,6 +952,7 @@ REGISTRY.update(
         "langid": (q_langid, SQL_LANGID),
         "token_stats_ext": (q_token_stats_ext, SQL_TOKEN_STATS_EXT),
         "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
+        "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
         "ann_ivf": (q_ann_ivf, None),

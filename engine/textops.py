@@ -364,6 +364,38 @@ def repetition_signals_batch(
     )
 
 
+# PII patterns (RE2 — the same engine behind pyarrow.compute AND
+# DuckDB's regexp_* functions, so the oracle mirrors these strings
+# verbatim). Detection counts are taken on the ORIGINAL text; redaction
+# applies sequentially EMAIL → PHONE → IP (placeholders contain no
+# digits, so earlier replacements cannot create later matches).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phones", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII detection + redaction (the scrubbing stage of a training-data
+    curation pipeline): appends ``n_emails``/``n_phones``/``n_ips``
+    (match counts on the original text) and ``text_scrubbed`` (matches
+    replaced by ``[EMAIL]``/``[PHONE]``/``[IP]`` in that order). One
+    vectorized RE2 count + one RE2 replace per pattern, zero shuffles —
+    at corpus scale this fuses into the scan like the other per-doc
+    text kernels."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out = batch
+    scrubbed = text
+    for name, pat, repl in PII_PATTERNS:
+        cnt = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+        out = out.append_column(f"n_{name}", cnt)
+        scrubbed = pc.replace_substring_regex(scrubbed, pat, repl)
+    return out.append_column("text_scrubbed", scrubbed)
+
+
 def ngram_count_partials(batch: pa.Table, n: int = 2, text_col: str = "text") -> pa.Table:
     """Map-side combiner of n-gram vocabulary building: word n-grams
     as space-joined strings, one (ngram, _cnt) row per distinct n-gram

@@ -47,6 +47,7 @@ def _excluded():
         "fila2gk",
         "bigram_topk",
         "token_stats_ext",
+        "raster_sample",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

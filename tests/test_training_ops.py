@@ -761,3 +761,34 @@ def test_repetition_signals_matches_scalar_oracle():
         assert row.dup_tok_milli == milli(n - d, n)
         assert row.top_tok_milli == milli(m, n)
         assert row.dup_bigram_milli == milli(nb - db, nb), s
+
+
+def test_pii_scrub_planted_cases():
+    """PII detect+redact vs hand-computed expectations, incl. the \\b
+    guard cases (digit runs around phones/IPs), 1-char TLDs, multiple
+    matches per doc, and the fixed EMAIL->PHONE->IP redaction order."""
+    from engine.textops import pii_scrub_batch
+
+    docs = [
+        "mail a.b-c_d%e+f@sub.domain.co now",   # full local-part charset
+        "two bob@x.io and eve@y.org here",      # two emails in one doc
+        "call 555-123-4567 ok",                 # plain phone
+        "digits 1555-123-45678 no",             # \b blocks inside digit runs
+        "ip 10.0.0.1 end",                      # plain IPv4
+        "ver 1234.5.6.7 no",                    # 4-digit octet: \b blocks
+        "a@b.c",                                # 1-char TLD: not an email
+        "",                                     # empty text
+        "x@y.zz 111-222-3333 8.8.8.8",          # all three kinds
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)), "text": pa.array(docs)}
+    )
+    out = pii_scrub_batch(t).to_pandas()
+    assert list(out.n_emails) == [1, 2, 0, 0, 0, 0, 0, 0, 1]
+    assert list(out.n_phones) == [0, 0, 1, 0, 0, 0, 0, 0, 1]
+    assert list(out.n_ips) == [0, 0, 0, 0, 1, 0, 0, 0, 1]
+    assert out.text_scrubbed[0] == "mail [EMAIL] now"
+    assert out.text_scrubbed[1] == "two [EMAIL] and [EMAIL] here"
+    assert out.text_scrubbed[3] == "digits 1555-123-45678 no"  # untouched
+    assert out.text_scrubbed[7] == ""
+    assert out.text_scrubbed[8] == "[EMAIL] [PHONE] [IP]"
