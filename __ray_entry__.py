@@ -139,6 +139,10 @@ _DRIVER_EXCLUDED = {
     # grids); the raster family stays represented in-window by
     # rasterize + zonal_stats; stays SQL-exact in the excluded test
     "raster_sample",
+    # hash_sample -> stratified_sample (the identical keyed-hash
+    # threshold kernel: single-rate/single-group/no-replication is the
+    # one-entry rates dict case); stays SQL-exact in the excluded test
+    "hash_sample",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -679,3 +679,118 @@ SELECT event_type, cnt, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
                    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) AS corr_xy
 FROM m
 """
+
+
+# ------------------------------------------------- stratified sampling
+
+
+def stratified_sample(
+    ds: Dataset,
+    group_col: str,
+    rates_milli: dict[str, int],
+    hash_col: str,
+    default_milli: int = 0,
+    copy_col: str = "copy_i",
+) -> Dataset:
+    """Weighted per-group sampler — the domain-mixing primitive of a
+    training-data pipeline (sample each source/language/quality bucket
+    at its own configured rate when composing a corpus mix).
+
+    ``rates_milli[group]`` is the sampling rate in milli-fractions and
+    may EXCEED 1000: a row yields ``rate // 1000`` guaranteed copies
+    plus one more iff ``hash < rate % 1000`` — i.e. rates above 1000
+    UPSAMPLE by epoch replication (2500 = every row 2-3x), the standard
+    data-mixing treatment of high-value domains. Groups absent from the
+    dict get ``default_milli``. Emitted copies carry ``copy_col``
+    (0..n-1) so downstream shuffles/splits can distinguish them and the
+    output stays value-deterministic.
+
+    ``hash_col`` must be an int64 column in [0, 1000) computed by the
+    caller from stable row identity (e.g. ``(id * 2654435761) % 1000``,
+    the hash_sample kernel) — NOT from position or RNG. That makes the
+    sample reproducible across runs, repartitionings and engines (the
+    SQL oracle mirrors the same arithmetic), and resumable jobs keep
+    their sampling decisions.
+
+    Shape: ZERO shuffles — pure per-block filter/replicate fused into
+    the scan; replication is one ``Table.take`` gather per block.
+    Per-group rate lookup is dictionary-encoded (one dict probe per
+    DISTINCT group value per block, not per row)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        uniq_rates = np.array(
+            [rates_milli.get(v, default_milli) for v in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        idxs = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = uniq_rates[idxs]
+        h = b[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = rate // 1000 + (h < rate % 1000)
+        take = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        copy_i = np.arange(len(take), dtype=np.int64) - np.repeat(starts, n)
+        out = b.take(pa.array(take))
+        return out.append_column(copy_col, pa.array(copy_i))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Per-source mixing rates for the gate query: upsampled, kept-whole,
+# fractional, near-zero and dropped domains all exercised.
+MIX_RATES_MILLI: dict[str, int] = {
+    "src0": 2500,
+    "src1": 1700,
+    "src2": 1000,
+    "src3": 800,
+    "src4": 500,
+    "src5": 300,
+    "src6": 200,
+    "src7": 100,
+    "src8": 50,
+    "src9": 0,
+}
+
+
+def q_stratified_sample(sf_dir: str) -> Dataset:
+    """Domain-mixing sample of documents by source (X19): per-source
+    milli rates incl. >1000 upsampling; row hash is the hash_sample
+    kernel on doc_id so the decision is reproducible and SQL-exact."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"], rows_per_block=256)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("h", pa.array((d * 2654435761) % 1000))
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    ds = stratified_sample(ds, "source", MIX_RATES_MILLI, "h")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "source", "copy_i"]), batch_format="pyarrow"
+    )
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_RATES_MILLI.items())
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source {cases} ELSE 0 END AS rate,
+         (doc_id * 2654435761) % 1000 AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+         rate // 1000 + CASE WHEN h < rate % 1000 THEN 1 ELSE 0 END AS n
+  FROM r)
+SELECT doc_id, source, CAST(copy_i AS BIGINT) AS copy_i
+FROM c, LATERAL unnest(range(0, n)) AS t(copy_i)
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()

@@ -1714,6 +1714,16 @@ REGISTRY.update(
     }
 )
 
+# Stratified domain-mixing sampler (engine.analytics, SURVEY §2.9 X19).
+from engine.analytics import (  # noqa: E402
+    SQL_STRATIFIED_SAMPLE,
+    q_stratified_sample,
+)
+
+REGISTRY.update(
+    {"stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE)}
+)
+
 
 # HLL approximate distinct (engine.sketch): approximate by design, so
 # driver-excluded like ann_ivf; accuracy/mergeability pytest-bounded.

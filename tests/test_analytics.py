@@ -172,3 +172,49 @@ def test_pivot_undeclared_column_value_raises():
     t = pa.table({"r": ["x"], "c": ["SURPRISE"], "v": pa.array([1], pa.int64())})
     with pytest.raises(Exception, match="undeclared|SURPRISE"):
         pivot_aggregate(rd.from_arrow(t), "r", "c", "v", ["a"]).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_matches_scalar_oracle():
+    """Domain-mixing sampler vs a per-row scalar oracle: upsampling
+    (>1000 milli), keep-all (1000), fractional, zero and default-rate
+    groups; copy_i contiguity; repartition determinism."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.analytics import stratified_sample
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    groups = np.array(["up", "all", "half", "drop", "unknown"], dtype=object)[ids % 5]
+    h = (ids * 2654435761) % 1000
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "g": pa.array(groups, pa.string()),
+            "h": pa.array(h),
+        }
+    )
+    rates = {"up": 2300, "all": 1000, "half": 500, "drop": 0}
+    expect = []
+    for i in range(n):
+        r = rates.get(groups[i], 250)  # default_milli=250
+        cnt = r // 1000 + (1 if h[i] < r % 1000 else 0)
+        expect += [(int(ids[i]), groups[i], c) for c in range(cnt)]
+
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = (
+            stratified_sample(ds, "g", rates, "h", default_milli=250)
+            .to_pandas()
+            .sort_values(["id", "copy_i"])
+        )
+        got = list(zip(out.id, out.g, out.copy_i))
+        assert got == expect, parts
+    # every "up" row appears at least twice (2300 // 1000 = 2 epochs)
+    ups = [e for e in expect if e[1] == "up"]
+    per_id = {}
+    for i, _, c in ups:
+        per_id[i] = max(per_id.get(i, 0), c + 1)
+    assert all(v >= 2 for v in per_id.values()) and any(v == 3 for v in per_id.values())

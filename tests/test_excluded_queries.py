@@ -48,6 +48,7 @@ def _excluded():
         "bigram_topk",
         "token_stats_ext",
         "raster_sample",
+        "hash_sample",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
