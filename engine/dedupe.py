@@ -1224,3 +1224,179 @@ def content_digests(txt: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
         prime=np.uint64(0x100000001B3) ^ np.uint64(0xA5A5A5A5A5A5A5A4),
     )
     return d1, d2
+
+
+# ------------------------------------------------ line-level exact dedup
+
+_LINE_NO_BITS = 20  # drop keys pack as doc_id << 20 | line_no
+
+
+def _doc_lines(
+    text: pa.Array | pa.ChunkedArray, token_width: int | None
+) -> tuple[pa.Array, np.ndarray]:
+    """Split each doc into its dedup lines, fully vectorized.
+
+    ``token_width=None``: literal newline lines (``split('\\n')`` —
+    every line participates, including empties; pre-strip upstream if
+    blank lines should survive dedup). ``token_width=w``: fixed
+    w-token windows over ``\\S+`` tokens (the span-dedup shape used
+    when the corpus has no line structure; the SQL mirror groups token
+    positions by ``(p-1)//w``).
+
+    Returns ``(flat_lines, lines_per_doc)`` — one string per line,
+    concatenated in (doc, line_no) order."""
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if token_width is None:
+        parts = pc.split_pattern(text, "\n")
+        return pc.list_flatten(parts), pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    if not keep.all():  # '\s+' split edge artifacts (leading/trailing ws)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        flat = flat.filter(pa.array(keep))
+        counts = np.bincount(doc_of, minlength=len(counts)).astype(np.int64)
+    nl = -(-counts // token_width)  # ceil: trailing partial window is a line
+    doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
+    total_nl = int(nl.sum())
+    within = np.arange(total_nl, dtype=np.int64) - np.repeat(nl_start, nl)
+    line_start = np.repeat(doc_start, nl) + within * token_width
+    offsets = np.append(line_start, len(flat)).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    return pc.binary_join(lists, " "), nl
+
+
+def line_dedup(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_width: int | None = None,
+    num_partitions: int = 32,
+    max_broadcast_drops: int = 4_000_000,
+) -> Dataset:
+    """Corpus-wide line-level exact dedup (the C4 rule: a line that
+    occurs more than once in the corpus survives only at its FIRST
+    occurrence — min (doc_id, line_no) — all later occurrences are cut
+    from their documents).
+
+    Returns Dataset[id_col, n_lines, n_dropped, text_dedup] with one
+    row per input doc; text_dedup rejoins the kept lines with '\\n'
+    ('' when everything was cut).
+
+    100 TB shape, three stages:
+    1. digest scan — per-block lines + 128-bit content digests
+       (dedupe.content_digests); the shuffle payload is
+       (d1, d2, doc_id, line_no) ≈ 32 B/line, NEVER line text;
+    2. winner shuffle — one coarse keyed partition map on the digest
+       pair; each partition emits only its LOSERS (every occurrence
+       after the group min) as packed int64 drop keys
+       (doc_id << 20 | line_no; line_no bounded at 2^20, asserted);
+       drop sets are duplicate-line-scale — sparse on real corpora;
+    3. rebuild scan — drop keys broadcast once (ray.put + per-block
+       searchsorted, the contamination_flags pattern); each doc block
+       re-derives its lines LOCALLY and rejoins the kept ones. Doc
+       text never moves; only digests and drop keys do. Beyond
+       ``max_broadcast_drops`` this raises — the swap is an exploded
+       (line-row) hash ANTI join + doc-keyed reassembly shuffle
+       (Bloom is NOT valid for anti), deliberately not silently
+       engaged.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from engine.shuffle import keyed_partition_map
+
+    def digest_stage(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lines, nl = _doc_lines(b[text_col], token_width)
+        if int(nl.max(initial=0)) >= (1 << _LINE_NO_BITS):
+            raise ValueError(f"doc exceeds {1 << _LINE_NO_BITS} lines")
+        d1, d2 = content_digests(lines)
+        nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
+        line_no = np.arange(len(d1), dtype=np.int64) - np.repeat(nl_start, nl)
+        rep_ids = np.repeat(
+            ids.to_numpy(zero_copy_only=False).astype(np.int64), nl
+        )
+        return pa.table(
+            {
+                "d1": pa.array(d1),
+                "d2": pa.array(d2),
+                "doc_id_": pa.array(rep_ids),
+                "line_no": pa.array(line_no),
+            }
+        )
+
+    meta = ds.map_batches(digest_stage, batch_format="pyarrow")
+
+    def losers(df):
+        order = df.sort_values(["doc_id_", "line_no"], kind="stable")
+        first = ~order.duplicated(["d1", "d2"], keep="first")
+        out = order.loc[~first, ["doc_id_", "line_no"]]
+        return pd.DataFrame(
+            {"drop_key": (out["doc_id_"].to_numpy() << _LINE_NO_BITS)
+             | out["line_no"].to_numpy()}
+        )
+
+    drop_ds = keyed_partition_map(
+        meta,
+        ["d1", "d2"],
+        losers,
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("drop_key", pa.int64())]),
+    )
+    parts = [
+        b["drop_key"].to_numpy(zero_copy_only=False)
+        for b in drop_ds.iter_batches(batch_format="pyarrow")
+    ]
+    drops = np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+    if len(drops) > max_broadcast_drops:
+        raise ValueError(
+            f"{len(drops)} drop keys exceed max_broadcast_drops="
+            f"{max_broadcast_drops}; use the exploded hash-anti path"
+        )
+    ref = ray.put(drops)
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        dr = ray.get(ref)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        lines, nl = _doc_lines(b[text_col], token_width)
+        nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
+        line_no = np.arange(len(lines), dtype=np.int64) - np.repeat(nl_start, nl)
+        keys = (np.repeat(idv, nl) << _LINE_NO_BITS) | line_no
+        if len(dr) and len(keys):
+            pos = np.clip(np.searchsorted(dr, keys), 0, len(dr) - 1)
+            dropped = dr[pos] == keys
+        else:
+            dropped = np.zeros(len(keys), dtype=bool)
+        kept = lines.filter(pa.array(~dropped))
+        n_drop = np.bincount(
+            np.repeat(np.arange(len(nl)), nl)[dropped], minlength=len(nl)
+        ).astype(np.int64)
+        kept_nl = nl - n_drop
+        offsets = np.append(
+            np.concatenate([[0], np.cumsum(kept_nl)[:-1]]), len(kept)
+        ).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+        text_dedup = pc.binary_join(lists, "\n")
+        return pa.table(
+            {
+                id_col: ids,
+                "n_lines": pa.array(nl),
+                "n_dropped": pa.array(n_drop),
+                "text_dedup": pc.fill_null(text_dedup, ""),
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

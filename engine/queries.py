@@ -734,6 +734,45 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_candidates(ds, max_hamming=8)
 
 
+def q_line_dedup(sf_dir: str) -> Dataset:
+    """C4-style corpus-wide line dedup over documents (X20): a line
+    occurring more than once anywhere survives only at its first
+    (doc_id, line_no) occurrence; docs are rebuilt from kept lines.
+    The single-line corpus gets its lines as 3-token windows (the
+    span-dedup shape; SQL groups token positions by (p-1)//3) — the
+    newline mode is pytest-covered."""
+    from engine.dedupe import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return line_dedup(ds, token_width=3)
+
+
+SQL_LINE_DEDUP = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+lines AS (
+  SELECT doc_id, ln, string_agg(tok, ' ' ORDER BY p) AS line
+  FROM (SELECT doc_id, p, ts[p] AS tok, (p - 1) // 3 AS ln
+        FROM t, LATERAL unnest(range(1, len(ts) + 1)) AS r(p))
+  GROUP BY doc_id, ln),
+ranked AS (
+  SELECT doc_id, ln, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+  FROM lines),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY ln), '')
+           AS text_dedup
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_lines, 0) AS n_lines,
+       COALESCE(a.n_dropped, 0) AS n_dropped,
+       COALESCE(a.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # Shared HUGEINT mirror of the engine's per-token FNV-1a (dedupe.
 # _fnv1a_tokens): mod-2^64 arithmetic with the XOR done on the low
 # byte only (h is always a multiple-of-256 split: (h//256)*256 +
@@ -953,6 +992,7 @@ REGISTRY.update(
         "token_stats_ext": (q_token_stats_ext, SQL_TOKEN_STATS_EXT),
         "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+        "line_dedup_docs": (q_line_dedup, SQL_LINE_DEDUP),
         "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
         "ann_ivf": (q_ann_ivf, None),

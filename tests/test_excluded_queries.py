@@ -49,6 +49,7 @@ def _excluded():
         "token_stats_ext",
         "raster_sample",
         "hash_sample",
+        "pip_quads",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -792,3 +792,95 @@ def test_pii_scrub_planted_cases():
     assert out.text_scrubbed[3] == "digits 1555-123-45678 no"  # untouched
     assert out.text_scrubbed[7] == ""
     assert out.text_scrubbed[8] == "[EMAIL] [PHONE] [IP]"
+
+
+def _scalar_line_dedup(docs, width=None):
+    """Brute-force oracle: keep first global (doc_id, line_no)
+    occurrence of every line, rebuild docs from kept lines."""
+    seen = set()
+    out = {}
+    for d, t in sorted(docs):
+        if width is None:
+            ls = t.split("\n")
+        else:
+            toks = t.split()
+            ls = [" ".join(toks[i : i + width]) for i in range(0, len(toks), width)]
+        kept = []
+        dropped = 0
+        for line in ls:
+            if line in seen:
+                dropped += 1
+            else:
+                seen.add(line)
+                kept.append(line)
+        out[d] = (len(ls), dropped, "\n".join(kept))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_line_dedup_newline_mode_matches_scalar_oracle():
+    """C4 line dedup, literal-newline mode: cross-doc dups keep only
+    the first (doc_id, line_no) occurrence, within-doc repeats are cut,
+    a doc that is ALL dups rebuilds to '', empty docs count one empty
+    line; deterministic under repartitioning."""
+    from engine.dedupe import line_dedup
+
+    docs = [
+        (0, "keep me\ncommon line\nunique a"),
+        (1, "common line\nunique b\ncommon line"),
+        (2, "unique c"),
+        (3, ""),
+        (4, "common line"),
+    ]
+    expect = _scalar_line_dedup(docs)
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            line_dedup(rd.from_arrow(t).repartition(parts), num_partitions=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = {
+            int(r.doc_id): (int(r.n_lines), int(r.n_dropped), r.text_dedup)
+            for r in out.itertuples()
+        }
+        assert got == expect, parts
+    assert expect[4] == (1, 1, "")  # the all-dup doc rebuilds empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_line_dedup_token_window_mode_matches_scalar_oracle():
+    """Token-window mode (the no-line-structure span-dedup shape):
+    trailing partial windows are lines too; tokenization is \\S+."""
+    from engine.dedupe import line_dedup
+
+    docs = [
+        (0, "a b c a b c a b"),      # within-doc window dup + partial tail
+        (1, "a b c"),                # whole doc duplicates doc 0's window
+        (2, "  x   y  z   "),        # whitespace-soup tokenization
+        (3, "a b"),                  # duplicates doc 0's tail window
+        (4, ""),                     # no tokens: zero lines
+    ]
+    expect = _scalar_line_dedup(docs, width=3)
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    out = (
+        line_dedup(rd.from_arrow(t).repartition(2), token_width=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = {
+        int(r.doc_id): (int(r.n_lines), int(r.n_dropped), r.text_dedup)
+        for r in out.itertuples()
+    }
+    assert got == expect
+    assert got[1] == (1, 1, "") and got[3] == (1, 1, "")
