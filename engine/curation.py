@@ -1,9 +1,16 @@
 """End-to-end training-data curation pipeline — the composed workflow
 every LLM-data op in this repo exists to serve:
 
-    quality filter → language filter → exact dedup → near-dup dedup
-    → benchmark decontamination → deterministic train/val split
-    → partitioned parquet write
+    quality filter → language filter → [PII scrub] → exact dedup
+    → near-dup dedup → [line-level dedup] → benchmark decontamination
+    → deterministic train/val split → partitioned parquet write
+
+    (bracketed stages are opt-in: ``scrub_pii=True`` redacts
+    email/phone/IP before any digesting so duplicates of a doc that
+    differ only in PII dedup together; ``line_dedup=True`` (newline
+    lines) or ``line_dedup=w`` (w-token windows) applies the C4
+    corpus-wide duplicate-line cut after doc-level dedup and drops
+    docs it empties entirely)
 
 Composition and scale contracts (each stage's detail lives on its op):
 - quality / language filters are per-block, zero-shuffle;
@@ -91,6 +98,8 @@ def curate(
     min_tokens: int = 5,
     min_alpha_milli: int = 500,
     neardup_threshold: float = 0.5,
+    scrub_pii: bool = False,
+    line_dedup: bool | int = False,
     contamination_queries: tuple[str, ...] = (),
     contamination_k: int = 8,
     val_permille: int = 50,
@@ -123,6 +132,30 @@ def curate(
     filtered = ds.map_batches(qual_lang, batch_format="pyarrow").materialize()
     report["after_quality_lang"] = filtered.count()
 
+    if scrub_pii:
+        from engine.textops import pii_scrub_batch
+
+        def scrub(b: pa.Table) -> pa.Table:
+            s = pii_scrub_batch(b, text_col)
+            hits = (
+                s["n_emails"].to_numpy(zero_copy_only=False)
+                + s["n_phones"].to_numpy(zero_copy_only=False)
+                + s["n_ips"].to_numpy(zero_copy_only=False)
+            ) > 0
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    text_col: s["text_scrubbed"],
+                    "pii_hit": pa.array(hits.astype(np.int64)),
+                }
+            )
+
+        filtered = filtered.map_batches(scrub, batch_format="pyarrow").materialize()
+        report["pii_docs_scrubbed"] = int(filtered.sum("pii_hit") or 0)
+        filtered = filtered.map_batches(
+            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+        )
+
     exact_drops = _drop_ids_exact(filtered, id_col, text_col)
     report["exact_dups_dropped"] = int(len(exact_drops))
     deduped = semi_filter(filtered, exact_drops, id_col, anti=True).materialize()
@@ -130,6 +163,25 @@ def curate(
     near_drops = _drop_ids_neardup(deduped, id_col, text_col, neardup_threshold)
     report["near_dups_dropped"] = int(len(near_drops))
     deduped = semi_filter(deduped, near_drops, id_col, anti=True)
+
+    if line_dedup:
+        import pyarrow.compute as pc
+
+        from engine.dedupe import line_dedup as _line_dedup
+
+        width = None if line_dedup is True else int(line_dedup)
+        ld = _line_dedup(
+            deduped, id_col=id_col, text_col=text_col, token_width=width
+        ).materialize()
+        report["lines_dropped"] = int(ld.sum("n_dropped") or 0)
+
+        def keep_nonempty(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.not_equal(b["text_dedup"], ""))
+            return pa.table({id_col: t[id_col], text_col: t["text_dedup"]})
+
+        nonempty = ld.map_batches(keep_nonempty, batch_format="pyarrow").materialize()
+        report["emptied_docs_dropped"] = ld.count() - nonempty.count()
+        deduped = nonempty
 
     if contamination_queries:
         flags = contamination_flags(

@@ -93,3 +93,47 @@ def test_curate_is_deterministic():
     b = out2.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert rep1 == rep2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_pii_and_line_dedup_stages():
+    """Opt-in stages: PII scrub runs BEFORE digesting (two docs that
+    differ only in their email merge under exact dedup), the C4 line
+    cut removes corpus-duplicate lines, and a doc emptied by the cut
+    is dropped — each planted defect handled by exactly its stage."""
+    line_a = "the cat and the dog sat in the warm sun for hours"
+    common = "the shared common line is here today"
+    docs = [
+        (0, "please reach the team at bob@x.io for the full details"),
+        (1, "please reach the team at eve@y.org for the full details"),
+        (2, f"{line_a}\n{common}\nthis doc has its own words in it"),
+        (3, f"{common}\nanother unique line for the second doc is right here"),
+        (4, common),  # all lines are corpus dups -> emptied -> dropped
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    out, report = curate(
+        rd.from_arrow(t).repartition(2),
+        langs=("en",),
+        min_tokens=5,
+        min_alpha_milli=500,
+        neardup_threshold=0.9,
+        scrub_pii=True,
+        line_dedup=True,
+        val_permille=0,
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.doc_id) == [0, 2, 3]
+    assert report["pii_docs_scrubbed"] == 2
+    assert report["exact_dups_dropped"] == 1   # doc 1 == doc 0 after scrub
+    assert report["lines_dropped"] == 2        # common line in docs 3 and 4
+    assert report["emptied_docs_dropped"] == 1  # doc 4
+    assert report["output"] == 3
+    texts = dict(zip(df.doc_id, df.text))
+    assert "[EMAIL]" in texts[0] and "bob@x.io" not in texts[0]
+    assert texts[3] == "another unique line for the second doc is right here"
+    assert texts[2] == docs[2][1]  # first occurrence keeps its line
