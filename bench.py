@@ -123,6 +123,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "pivot_orders",
             "moment_stats_events",
             "tfidf_top_terms",
+            "repetition_signals",
+            "pii_scrub",
+            "stratified_sample",
+            "line_dedup_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()
