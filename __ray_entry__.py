@@ -147,6 +147,12 @@ _DRIVER_EXCLUDED = {
     # zone_of even-odd PIP kernel VALUE-checked twice inside the
     # flagship chain mirrors); stays SQL-exact in the excluded test
     "pip_quads",
+    # running_totals -> sessionize (the same coarse-partition ordered-
+    # scan machinery on the same table, VALUE-checked) +
+    # pack_shards_docs (a GLOBAL-order exact running sum through the
+    # same cumsum kernel shape, VALUE-checked); stays SQL-exact in the
+    # excluded test
+    "running_totals",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -794,3 +794,138 @@ FROM c, LATERAL unnest(range(0, n)) AS t(copy_i)
 
 
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+# -------------------------------------------------- sequence packing
+
+
+def pack_shards(
+    ds: Dataset,
+    order_col: str,
+    tok_col: str,
+    budget: int,
+    num_partitions: int = 32,
+    id_range: tuple[int, int] | None = None,
+) -> Dataset:
+    """Sequence packing / shard assignment (X21): the GPT-style
+    "concatenate in order, cut every ``budget`` tokens" rule at
+    document granularity — doc d goes to ``shard_id = prev // budget``
+    where ``prev`` is the total token count of every doc BEFORE it in
+    ``order_col`` order (docs may straddle a cut; that is this rule's
+    documented approximation). Adds ``shard_id`` and
+    ``offset_in_shard`` (= prev % budget).
+
+    This is a distributed GLOBAL prefix sum, two passes, no row-scale
+    shuffle:
+    1. docs partition by CONTIGUOUS ``order_col`` ranges
+       (``(v - lo) // width``); a per-batch combiner ships one
+       (range, partial_sum) row per range per block — the driver
+       prefix-sums ``num_partitions`` scalars into per-range bases;
+    2. one coarse keyed partition map co-locates each range, sorts it
+       by ``order_col`` locally, cumsums, and adds the broadcast base.
+       The shuffle payload is (order, n_tok, range) ≈ 24 B/row — never
+       text (callers count tokens upstream and prune the projection).
+
+    ``id_range=(lo, hi)``: pass the known order-column bounds (e.g.
+    from parquet column stats) to skip the min/max aggregate passes.
+    Total-order contract: ``order_col`` values must be unique ints."""
+    from engine.shuffle import keyed_partition_map
+
+    if id_range is None:
+        lo, hi = ds.min(order_col), ds.max(order_col)
+    else:
+        lo, hi = id_range
+    width = max(1, -(-(hi - lo + 1) // num_partitions))
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b[tok_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = (v - lo) // width
+        # int64-exact accumulation (bincount's float weights would cap
+        # exactness at 2^53); zero-sum ranges need no base entry
+        sums = np.zeros(num_partitions, dtype=np.int64)
+        np.add.at(sums, rng, t)
+        nz = np.flatnonzero(sums)
+        return pa.table({"rng": pa.array(nz), "s": pa.array(sums[nz])})
+
+    pp = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    per_rng = pp.groupby("rng")["s"].sum().sort_index()
+    bases = np.zeros(num_partitions + 1, dtype=np.int64)
+    np.add.at(bases, per_rng.index.to_numpy().astype(np.int64) + 1,
+              per_rng.to_numpy())
+    bases = np.cumsum(bases)  # bases[r] = tokens in all ranges < r
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_rng", pa.array((v - lo) // width))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def pack(df):
+        df = df.sort_values(order_col, kind="stable")
+        t = df[tok_col].to_numpy().astype(np.int64)
+        rng = df["_rng"].to_numpy().astype(np.int64)
+        cv = np.cumsum(t)
+        # exclusive prefix within each contiguous range run (rng is
+        # sorted because ranges are contiguous in order_col)
+        starts = np.flatnonzero(np.concatenate([[True], rng[1:] != rng[:-1]]))
+        runlen = np.diff(np.append(starts, len(rng)))
+        seg_base = np.repeat(cv[starts] - t[starts], runlen)
+        prev = bases[rng] + (cv - t - seg_base)
+        out = df.drop(columns=["_rng"]).copy()
+        out["shard_id"] = prev // budget
+        out["offset_in_shard"] = prev % budget
+        return out
+
+    schema_fields = [
+        (order_col, pa.int64()),
+        (tok_col, pa.int64()),
+        ("shard_id", pa.int64()),
+        ("offset_in_shard", pa.int64()),
+    ]
+    return keyed_partition_map(
+        tagged,
+        ["_rng"],
+        pack,
+        num_partitions=num_partitions,
+        out_schema=pa.schema(schema_fields),
+    )
+
+
+def q_pack_shards(sf_dir: str) -> Dataset:
+    """Pack documents into 512-token shards in doc_id order; token
+    counts from the vocab tokenizer (one RE2 pass, pruned projection)."""
+    import pyarrow.compute as pc
+
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+
+    def count(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(text), "[a-z0-9]+"), pa.int64()
+        )
+        return pa.table({"doc_id": b["doc_id"], "n_tok": n})
+
+    counted = ds.map_batches(count, batch_format="pyarrow")
+    return pack_shards(counted, "doc_id", "n_tok", budget=512)
+
+
+SQL_PACK_SHARDS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t)
+SELECT doc_id, n_tok,
+       CAST(prev // 512 AS BIGINT) AS shard_id,
+       CAST(prev % 512 AS BIGINT) AS offset_in_shard
+FROM c
+"""

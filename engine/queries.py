@@ -1754,14 +1754,20 @@ REGISTRY.update(
     }
 )
 
-# Stratified domain-mixing sampler (engine.analytics, SURVEY §2.9 X19).
+# Stratified domain-mixing sampler + sequence packing (engine.analytics,
+# SURVEY §2.9 X19/X21).
 from engine.analytics import (  # noqa: E402
+    SQL_PACK_SHARDS,
     SQL_STRATIFIED_SAMPLE,
+    q_pack_shards,
     q_stratified_sample,
 )
 
 REGISTRY.update(
-    {"stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE)}
+    {
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "pack_shards_docs": (q_pack_shards, SQL_PACK_SHARDS),
+    }
 )
 
 

@@ -218,3 +218,40 @@ def test_stratified_sample_matches_scalar_oracle():
     for i, _, c in ups:
         per_id[i] = max(per_id.get(i, 0), c + 1)
     assert all(v >= 2 for v in per_id.values()) and any(v == 3 for v in per_id.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_shards_matches_scalar_oracle():
+    """Sequence packing vs a scalar running-sum oracle: sparse
+    non-contiguous order ids, zero-token docs, docs straddling the
+    budget cut, repartition determinism, and the id_range fast path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.analytics import pack_shards
+
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(100_000, size=300, replace=False)).astype(np.int64)
+    toks = rng.integers(0, 40, size=300).astype(np.int64)  # zeros included
+    toks[10] = 0
+    budget = 64
+    prev = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    expect = list(zip(ids, toks, prev // budget, prev % budget))
+
+    t = pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(toks)})
+    for parts, id_range in ((1, None), (5, None), (5, (0, 99_999))):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = (
+            pack_shards(ds, "doc_id", "n_tok", budget, num_partitions=8,
+                        id_range=id_range)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = list(
+            zip(out.doc_id, out.n_tok, out.shard_id, out.offset_in_shard)
+        )
+        assert got == expect, (parts, id_range)
+    # straddle: some doc must start before a cut and spill past it
+    straddles = (prev % budget + toks > budget).sum()
+    assert straddles > 0

@@ -50,6 +50,7 @@ def _excluded():
         "raster_sample",
         "hash_sample",
         "pip_quads",
+        "running_totals",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
