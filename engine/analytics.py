@@ -717,6 +717,9 @@ def stratified_sample(
     Per-group rate lookup is dictionary-encoded (one dict probe per
     DISTINCT group value per block, not per row)."""
 
+    if default_milli < 0 or any(v < 0 for v in rates_milli.values()):
+        raise ValueError("sampling rates must be >= 0 milli")
+
     def fn(b: pa.Table) -> pa.Table:
         g = b[group_col]
         if isinstance(g, pa.ChunkedArray):

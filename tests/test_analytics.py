@@ -255,3 +255,17 @@ def test_pack_shards_matches_scalar_oracle():
     # straddle: some doc must start before a cut and spill past it
     straddles = (prev % budget + toks > budget).sum()
     assert straddles > 0
+
+
+def test_stratified_sample_rejects_negative_rates():
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from engine.analytics import stratified_sample
+
+    t = pa.table({"g": pa.array(["a"]), "h": pa.array([0], pa.int64())})
+    with _pytest.raises(ValueError):
+        stratified_sample(rd.from_arrow(t), "g", {"a": -1}, "h")
+    with _pytest.raises(ValueError):
+        stratified_sample(rd.from_arrow(t), "g", {}, "h", default_milli=-5)
