@@ -111,21 +111,37 @@ def main() -> None:
     t0 = time.time()
     ds = rd.read_parquet(path, schema=clean_read_schema(f"{path}/part-0000.parquet"))
     out = line_dedup(ds, num_partitions=64, max_broadcast_drops=8_000_000)
-    n_lines = n_dropped = 0
-    h = np.uint64(0)
-    for b in out.iter_batches(batch_format="pyarrow"):
-        n_lines += int(pc.sum(b["n_lines"]).as_py())
-        n_dropped += int(pc.sum(b["n_dropped"]).as_py())
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    # Stats reduce INSIDE map_batches (one 3-value row per block) so
+    # the driver never receives rebuilt text — the RSS number below
+    # measures the operator, not this harness.
+    def block_stats(b: pa.Table) -> pa.Table:
         from engine.shuffle import _fnv1a_bytes_vectorized
 
-        th = _fnv1a_bytes_vectorized(
-            b["text_dedup"].combine_chunks()
-            if isinstance(b["text_dedup"], pa.ChunkedArray)
-            else b["text_dedup"]
-        ).view(np.uint64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        td = b["text_dedup"]
+        if isinstance(td, pa.ChunkedArray):
+            td = td.combine_chunks()
+        th = _fnv1a_bytes_vectorized(td).view(np.uint64)
         with np.errstate(over="ignore"):
-            h ^= np.bitwise_xor.reduce(ids * np.uint64(0x9E3779B97F4A7C15) ^ th)
+            hb = np.bitwise_xor.reduce(ids * np.uint64(0x9E3779B97F4A7C15) ^ th)
+        return pa.table(
+            {
+                "nl": pa.array([int(pc.sum(b["n_lines"]).as_py() or 0)], pa.int64()),
+                "nd": pa.array([int(pc.sum(b["n_dropped"]).as_py() or 0)], pa.int64()),
+                "h": pa.array([int(np.int64(hb))], pa.int64()),
+            }
+        )
+
+    n_lines = n_dropped = 0
+    h = np.uint64(0)
+    for b in out.map_batches(block_stats, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_lines += int(pc.sum(b["nl"]).as_py() or 0)
+        n_dropped += int(pc.sum(b["nd"]).as_py() or 0)
+        for v in b["h"].to_pylist():
+            h ^= np.uint64(v & 0xFFFFFFFFFFFFFFFF)  # two's-complement fold
     wall = time.time() - t0
 
     shared_count = (n_docs + SHARED_EVERY - 1) // SHARED_EVERY  # docs 0,50,...
