@@ -153,6 +153,9 @@ _DRIVER_EXCLUDED = {
     # same cumsum kernel shape, VALUE-checked); stays SQL-exact in the
     # excluded test
     "running_totals",
+    # transcendental log has no bitwise SQL mirror (the tfidf_top_terms
+    # precedent); pytest float-identical vs a scalar Counter+log oracle
+    "lm_quality_scores",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -568,6 +568,18 @@ FROM t LEFT JOIN ta ON t.doc_id = ta.doc_id LEFT JOIN ba ON t.doc_id = ba.doc_id
 """
 
 
+def q_lm_quality(sf_dir: str):
+    """Bigram-LM quality score per doc (the perplexity-filter shape,
+    X22): distributed count training + broadcast LM + per-doc scoring
+    (textops.bigram_lm_scores). Driver-excluded: transcendental log
+    has no bitwise SQL mirror (the tfidf precedent); pytest-exact vs a
+    scalar Counter+log oracle."""
+    from engine.textops import bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return bigram_lm_scores(ds)
+
+
 def q_pii_scrub(sf_dir: str) -> Dataset:
     """PII detection + redaction (curation scrubbing stage). The
     relational testdata carries no PII, so PII-bearing text is
@@ -993,6 +1005,7 @@ REGISTRY.update(
         "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "line_dedup_docs": (q_line_dedup, SQL_LINE_DEDUP),
+        "lm_quality_scores": (q_lm_quality, None),
         "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
         "ann_ivf": (q_ann_ivf, None),

@@ -430,3 +430,128 @@ def ngram_count_partials(batch: pa.Table, n: int = 2, text_col: str = "text") ->
             "_cnt": pc.cast(vc.field("counts"), pa.int64()),
         }
     )
+
+
+def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", k_smooth: float = 1.0):
+    """Bigram language-model quality score per document (the
+    perplexity-filter shape of LLM curation, e.g. CCNet/KenLM-style
+    scoring — here an add-k bigram LM so everything is exact and
+    library-free):
+
+        score(d) = mean over d's bigrams (w1,w2) of
+                   log((c(w1,w2) + k) / (c(w1) + k*V))
+
+    Two passes, the TF-IDF broadcast shape:
+    1. TRAIN — unigram + bigram count partials per block (the
+       vocab_topk / bigram_topk combiners: the shuffle moves
+       vocabulary-sized partials, never occurrences), one coarse keyed
+       merge each; the merged tables are vocabulary-scale (Heaps' law)
+       and broadcast ONCE via ray.put as sorted FNV-hash arrays +
+       counts (hash-join swap documented for vocabularies too large to
+       broadcast).
+    2. SCORE — per block: rebuild each doc's bigram strings with the
+       same shifted-slice join, probe both count tables with
+       searchsorted, reduce per doc with bincount. Zero additional
+       shuffles; float64 ops in a fixed order so results are
+       bit-reproducible across partitionings.
+
+    Trained on the scored corpus itself (self-inclusive); pass a
+    held-out corpus's Dataset as ``train_ds`` upstream by training
+    there and scoring here if leakage matters — the operator's two
+    halves compose. Docs with < 2 tokens score 0.0 with n_bigrams 0.
+
+    Returns Dataset[id_col, n_bigrams, lm_logprob_per_bigram]."""
+    import ray
+
+    from engine.shuffle import _fnv1a_bytes_vectorized, keyed_partition_map
+
+    import pandas as pd
+
+    def merge_counts(col: str):
+        def m(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(col, sort=False)["_cnt"].sum().reset_index()
+            return pd.DataFrame({col: g[col], "cnt": g["_cnt"].astype(np.int64)})
+
+        return m
+
+    uni = keyed_partition_map(
+        ds.map_batches(token_count_partials, batch_format="pyarrow"),
+        ["token"],
+        merge_counts("token"),
+        num_partitions=16,
+        out_schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())]),
+    ).to_pandas()
+    bi = keyed_partition_map(
+        ds.map_batches(lambda b: ngram_count_partials(b, 2), batch_format="pyarrow"),
+        ["ngram"],
+        merge_counts("ngram"),
+        num_partitions=16,
+        out_schema=pa.schema([("ngram", pa.string()), ("cnt", pa.int64())]),
+    ).to_pandas()
+
+    V = len(uni)
+    uh = _fnv1a_bytes_vectorized(pa.array(uni["token"], pa.string()))
+    uo = np.argsort(uh)
+    bh = _fnv1a_bytes_vectorized(pa.array(bi["ngram"], pa.string()))
+    bo = np.argsort(bh)
+    ref = ray.put(
+        (
+            uh[uo],
+            uni["cnt"].to_numpy()[uo].astype(np.int64),
+            bh[bo],
+            bi["cnt"].to_numpy()[bo].astype(np.int64),
+            V,
+        )
+    )
+
+    def lookup(sorted_h: np.ndarray, cnts: np.ndarray, probe: np.ndarray) -> np.ndarray:
+        if len(sorted_h) == 0 or len(probe) == 0:
+            return np.zeros(len(probe), dtype=np.int64)
+        pos = np.clip(np.searchsorted(sorted_h, probe), 0, len(sorted_h) - 1)
+        hit = sorted_h[pos] == probe
+        out = np.where(hit, cnts[pos], 0)
+        return out.astype(np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        s_uh, s_uc, s_bh, s_bc, v = ray.get(ref)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = b[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = b.num_rows
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        total = len(flat)
+        n_bi = np.zeros(n, dtype=np.int64)
+        lp = np.zeros(n, dtype=np.float64)
+        if total >= 2:
+            same = doc_of[1:] == doc_of[:-1]
+            if same.any():
+                w1 = flat.slice(0, total - 1).filter(pa.array(same))
+                grams = pc.binary_join_element_wise(
+                    flat.slice(0, total - 1), flat.slice(1), " "
+                ).filter(pa.array(same))
+                d = doc_of[:-1][same]
+                c_bi = lookup(s_bh, s_bc, _fnv1a_bytes_vectorized(grams))
+                c_w1 = lookup(s_uh, s_uc, _fnv1a_bytes_vectorized(w1))
+                ll = np.log(c_bi + k_smooth) - np.log(c_w1 + k_smooth * v)
+                n_bi = np.bincount(d, minlength=n).astype(np.int64)
+                lp_sum = np.bincount(d, weights=ll, minlength=n)
+                nz = n_bi > 0
+                lp[nz] = lp_sum[nz] / n_bi[nz]
+        return pa.table(
+            {
+                id_col: ids,
+                "n_bigrams": pa.array(n_bi),
+                "lm_logprob_per_bigram": pa.array(lp),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -884,3 +884,69 @@ def test_line_dedup_token_window_mode_matches_scalar_oracle():
     }
     assert got == expect
     assert got[1] == (1, 1, "") and got[3] == (1, 1, "")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_lm_scores_match_scalar_oracle():
+    """Bigram-LM quality score vs a scalar Counter+log oracle,
+    float-identical (same fixed op order), incl. unseen-bigram
+    smoothing, <2-token docs, and repartition determinism."""
+    import collections
+    import re
+
+    from engine.textops import bigram_lm_scores
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the cat"),     # repeated bigram mass
+        (2, "a completely different doc"),  # rare bigrams
+        (3, "single"),                      # no bigrams
+        (4, ""),                            # no tokens
+        (5, "the cat sat quietly"),         # shares a prefix bigram
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+
+    def toks(s):
+        return re.findall(r"[a-z0-9]+", s.lower())
+
+    uni = collections.Counter(w for _, s in docs for w in toks(s))
+    big = collections.Counter(
+        f"{a} {b}" for _, s in docs for a, b in zip(toks(s), toks(s)[1:])
+    )
+    V = len(uni)
+    expect = {}
+    for d, s in docs:
+        ts = toks(s)
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            expect[d] = (0, 0.0)
+            continue
+        ll = np.array(
+            [
+                np.log(big[f"{a} {b}"] + 1.0) - np.log(uni[a] + 1.0 * V)
+                for a, b in pairs
+            ]
+        )
+        expect[d] = (len(pairs), float(ll.sum() / len(pairs)))
+
+    for parts in (1, 3):
+        out = (
+            bigram_lm_scores(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = {
+            int(r.doc_id): (int(r.n_bigrams), float(r.lm_logprob_per_bigram))
+            for r in out.itertuples()
+        }
+        assert got.keys() == expect.keys()
+        for d in expect:
+            assert got[d][0] == expect[d][0], d
+            np.testing.assert_array_equal(got[d][1], expect[d][1])  # bit-exact
+    # the repeated-bigram doc must score higher than the rare-bigram doc
+    assert got[1][1] > got[2][1]
