@@ -156,6 +156,9 @@ _DRIVER_EXCLUDED = {
     # transcendental log has no bitwise SQL mirror (the tfidf_top_terms
     # precedent); pytest float-identical vs a scalar Counter+log oracle
     "lm_quality_scores",
+    # k-means float geometry is approximate-by-design (the ann_ivf
+    # precedent); verdict-rule exactness + determinism pytest-checked
+    "semantic_clusters",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

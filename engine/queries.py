@@ -580,6 +580,17 @@ def q_lm_quality(sf_dir: str):
     return bigram_lm_scores(ds)
 
 
+def q_semantic_clusters(sf_dir: str):
+    """SemDeDup-style semantic clustering + within-cluster near-dup
+    verdict over embeddings (X23). Driver-excluded: k-means float
+    geometry is approximate-by-design (the ann_ivf precedent);
+    rule-exactness and determinism are pytest-checked."""
+    from engine.ann import semantic_clusters
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=256)
+    return semantic_clusters(ds, n_lists=8, threshold=0.95)
+
+
 def q_pii_scrub(sf_dir: str) -> Dataset:
     """PII detection + redaction (curation scrubbing stage). The
     relational testdata carries no PII, so PII-bearing text is
@@ -1006,6 +1017,7 @@ REGISTRY.update(
         "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
         "line_dedup_docs": (q_line_dedup, SQL_LINE_DEDUP),
         "lm_quality_scores": (q_lm_quality, None),
+        "semantic_clusters": (q_semantic_clusters, None),
         "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
         "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
         "ann_ivf": (q_ann_ivf, None),

@@ -87,6 +87,7 @@ def test_excluded_sql_queries_still_exact(ray_session, con, name):
         "geo_muni_rollup",
         "geometry_transform",
         "lm_quality_scores",
+        "semantic_clusters",
     ],
 )
 def test_excluded_rows_only_queries_run(ray_session, name):

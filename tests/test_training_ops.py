@@ -950,3 +950,73 @@ def test_bigram_lm_scores_match_scalar_oracle():
             np.testing.assert_array_equal(got[d][1], expect[d][1])  # bit-exact
     # the repeated-bigram doc must score higher than the rare-bigram doc
     assert got[1][1] > got[2][1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_clusters_verdict_and_determinism():
+    """SemDeDup-style clustering: near-identical embeddings land in one
+    cluster and the keep rule drops every non-min id of a duplicate
+    clique; well-separated vectors all survive; results identical
+    across repartitionings and match a scalar oracle of the same rule
+    given the operator's own (recall-pytest-verified) k-means kernel."""
+    from engine.ann import IvfIndex, _unit, semantic_clusters, train_sample
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = np.eye(dim)[:4]  # 4 orthogonal cluster directions
+    vecs, ids = [], []
+    i = 0
+    for c in range(4):
+        for _ in range(10):
+            # sigma=0.15: intra-cluster cos ~ 1/(1+16*sigma^2) ~ 0.74,
+            # safely below the 0.98 dup threshold yet far closer to the
+            # own-cluster centroid than to any other (cross-cluster ~0)
+            vecs.append(base[c] + rng.normal(0, 0.15, dim))
+            ids.append(i)
+            i += 1
+    # planted duplicate clique: ids 40, 41, 42 ~ copies of vector 3
+    for _ in range(3):
+        vecs.append(vecs[3] + rng.normal(0, 1e-4, dim))
+        ids.append(i)
+        i += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    results = []
+    for parts in (1, 4):
+        out = (
+            semantic_clusters(
+                rd.from_arrow(t).repartition(parts), n_lists=4, threshold=0.98,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        results.append(out)
+    assert results[0].equals(results[1])  # repartition-deterministic
+    out = results[0]
+    keep = dict(zip(out.vec_id, out.keep))
+    cl = dict(zip(out.vec_id, out.cluster_id))
+    assert out.cos_center_milli.dtype.kind == "i"
+    # the clique {3, 40, 41, 42} shares a cluster; only min id 3 kept
+    assert len({cl[3], cl[40], cl[41], cl[42]}) == 1
+    assert keep[3] and not keep[40] and not keep[41] and not keep[42]
+    # scalar oracle of the same rule, given the same centroids
+    ds = rd.from_arrow(t)
+    index = IvfIndex(train_sample(ds), n_lists=4)
+    m = _unit(np.stack([np.asarray(v) for v in vecs]))
+    assign = np.argmax(m @ index.centroids.T, axis=1)
+    expect_keep = {}
+    for j in range(len(ids)):
+        earlier = [
+            q for q in range(j) if assign[q] == assign[j]
+            and float(m[q] @ m[j]) >= 0.98
+        ]
+        expect_keep[ids[j]] = not earlier
+    assert keep == expect_keep
+    # noisy-but-distinct members of each cluster survive
+    assert sum(keep.values()) >= 40
