@@ -127,6 +127,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "pii_scrub",
             "stratified_sample",
             "line_dedup_docs",
+            "lm_quality_scores",
+            "semantic_clusters",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()
