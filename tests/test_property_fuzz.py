@@ -71,3 +71,94 @@ def test_helmert_chain_roundtrip_1mm(fi, la, h):
     assert abs(fi2[0] - fi) < 1e-8
     assert abs(la2[0] - la) < 1e-8
     assert abs(h2[0] - h) < 1e-3
+
+
+# --- round-3 session-6 text-operator kernels (pure, no Ray) ------------
+
+_words = st.lists(
+    st.text(alphabet="abcz019", min_size=1, max_size=4), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(wordlists=st.lists(_words, min_size=1, max_size=6),
+       width=st.integers(min_value=1, max_value=5))
+def test_fuzz_doc_lines_token_windows(wordlists, width):
+    """_doc_lines(token_width=w) equals the scalar splitter (str.split
+    + w-chunking) for arbitrary word soup, including empty docs and
+    trailing partial windows."""
+    import pyarrow as pa
+
+    from engine.dedupe import _doc_lines
+
+    texts = [" ".join(ws) for ws in wordlists]
+    flat, nl = _doc_lines(pa.array(texts, pa.string()), width)
+    got = flat.to_pylist()
+    exp_lines, exp_nl = [], []
+    for t in texts:
+        toks = t.split()
+        ls = [" ".join(toks[i : i + width]) for i in range(0, len(toks), width)]
+        exp_lines += ls
+        exp_nl.append(len(ls))
+    assert got == exp_lines
+    assert nl.tolist() == exp_nl
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(st.text(alphabet="abZ 9.!", max_size=40),
+                      min_size=1, max_size=6))
+def test_fuzz_repetition_signals(texts):
+    """repetition_signals_batch equals the Counter oracle on arbitrary
+    text incl. all-punctuation and whitespace-only docs."""
+    import collections
+    import re
+
+    import pyarrow as pa
+
+    from engine.textops import repetition_signals_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = repetition_signals_batch(t).to_pandas().sort_values("doc_id")
+
+    def milli(num, den):
+        return int(np.floor(1000.0 * num / max(den, 1) + 0.5))
+
+    for i, s in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        tf = collections.Counter(toks)
+        bi = collections.Counter(zip(toks, toks[1:]))
+        row = out.iloc[i]
+        assert row.n_tok_r == len(toks)
+        assert row.dup_tok_milli == milli(len(toks) - len(tf), len(toks))
+        assert row.top_tok_milli == milli(max(tf.values(), default=0), len(toks))
+        assert row.dup_bigram_milli == milli(
+            sum(bi.values()) - len(bi), sum(bi.values())
+        )
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab1 .-@x5", max_size=50),
+                      min_size=1, max_size=5))
+def test_fuzz_pii_scrub_matches_re(texts):
+    """pii_scrub_batch counts and redactions equal Python re (both RE2
+    patterns use only syntax with identical re semantics) on arbitrary
+    strings from a PII-shaped alphabet."""
+    import re
+
+    import pyarrow as pa
+
+    from engine.textops import PII_PATTERNS, pii_scrub_batch
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = pii_scrub_batch(t).to_pandas()
+    for i, s in enumerate(texts):
+        scrub = s
+        for name, pat, repl in PII_PATTERNS:
+            assert out[f"n_{name}"][i] == len(re.findall(pat, s)), (name, s)
+            scrub = re.sub(pat, repl.replace("\\", "\\\\"), scrub)
+        assert out["text_scrubbed"][i] == scrub, s
