@@ -188,6 +188,52 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Composed curation chain over a documents parquet directory:
+    quality -> language -> [PII scrub] -> exact dedup -> near-dup ->
+    [line dedup] -> decontamination -> split -> partitioned write
+    (engine.curation.curate). The ray-job deployment shape matches
+    cmd_run (--address auto attaches to a `ray start` head)."""
+    import ray
+
+    _init_ray(args)
+
+    import ray.data as rd
+
+    from engine.curation import curate
+    from engine.util import clean_read_schema
+
+    shards = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not shards:
+        print(f"no parquet shards under {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(shards, schema=clean_read_schema(shards[0]))
+    queries = ()
+    if args.contamination_file:
+        with open(args.contamination_file) as f:
+            queries = tuple(q.strip() for q in f if q.strip())
+    line_dedup = False
+    if args.line_dedup == "newline":
+        line_dedup = True
+    elif args.line_dedup:
+        line_dedup = int(args.line_dedup)
+    _, report = curate(
+        ds,
+        langs=tuple(args.langs.split(",")),
+        min_tokens=args.min_tokens,
+        min_alpha_milli=args.min_alpha_milli,
+        neardup_threshold=args.neardup_threshold,
+        scrub_pii=args.scrub_pii,
+        line_dedup=line_dedup,
+        contamination_queries=queries,
+        val_permille=args.val_permille,
+        out_dir=args.output,
+    )
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def _init_ray(args: argparse.Namespace) -> None:
     """Shared session policy for the pipeline subcommands: --address
     auto attaches to a `ray start` head (the `ray job submit`
@@ -317,6 +363,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     s.add_argument("--address", default="local", help='"local" or "auto" (attach to a ray start head)')
     s.set_defaults(fn=cmd_shp)
+
+    u = sub.add_parser("curate", help="LLM-data curation chain over documents parquet")
+    u.add_argument("--input", required=True, help="documents parquet dir (doc_id, text)")
+    u.add_argument("--output", required=True, help="output dir ({train,val} parquet)")
+    u.add_argument("--langs", default="en", help="comma-separated language allowlist")
+    u.add_argument("--min-tokens", type=int, default=5)
+    u.add_argument("--min-alpha-milli", type=int, default=500)
+    u.add_argument("--neardup-threshold", type=float, default=0.5)
+    u.add_argument("--scrub-pii", action="store_true", help="redact email/phone/IP before dedup")
+    u.add_argument("--line-dedup", default="", help='"newline" or a token width (off when empty)')
+    u.add_argument("--contamination-file", default="", help="file of benchmark queries, one per line")
+    u.add_argument("--val-permille", type=int, default=50)
+    u.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    u.add_argument("--address", default="local", help='"local" or "auto" (attach to a ray start head)')
+    u.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

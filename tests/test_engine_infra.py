@@ -316,3 +316,54 @@ def test_cli_convert_reverse_flag(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", env=env, check=True,
     ).stdout
     assert out_fwd == out_rev and out_fwd.strip()
+
+
+def test_cli_curate_end_to_end(tmp_path):
+    """`engine.cli curate` runs the full curation chain (incl. the
+    opt-in PII scrub + newline line-dedup stages) in a fresh process
+    and writes train/val parquet; the printed report is exact."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    common = "the shared common line is here today"
+    docs = [
+        (0, "please reach the team at bob@x.io for the full details"),
+        (1, "please reach the team at eve@y.org for the full details"),
+        (2, f"the cat and the dog sat in the sun\n{common}"),
+        (3, common),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([s for _, s in docs]),
+            }
+        ),
+        str(src / "part-0.parquet"),
+    )
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "engine.cli", "curate",
+            "--input", str(src), "--output", str(out),
+            "--scrub-pii", "--line-dedup", "newline",
+            "--val-permille", "0", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    report = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["input"] == 4
+    assert report["pii_docs_scrubbed"] == 2
+    assert report["exact_dups_dropped"] == 1   # doc 1 after scrub
+    assert report["lines_dropped"] == 1        # doc 3's only line
+    assert report["emptied_docs_dropped"] == 1  # doc 3
+    assert report["output"] == 2               # docs 0 and 2 survive
+    files = _glob.glob(str(out / "train" / "*"))
+    assert files
+    back = pq.read_table(files)
+    assert back.num_rows == 2
