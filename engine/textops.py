@@ -442,13 +442,14 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", k_smoot
                    log((c(w1,w2) + k) / (c(w1) + k*V))
 
     Two passes, the TF-IDF broadcast shape:
-    1. TRAIN — unigram + bigram count partials per block (the
-       vocab_topk / bigram_topk combiners: the shuffle moves
-       vocabulary-sized partials, never occurrences), one coarse keyed
-       merge each; the merged tables are vocabulary-scale (Heaps' law)
-       and broadcast ONCE via ray.put as sorted FNV-hash arrays +
-       counts (hash-join swap documented for vocabularies too large to
-       broadcast).
+    1. TRAIN — ONE read of the corpus emits both unigram and bigram
+       count partials per block (the vocab_topk / bigram_topk
+       combiners, unioned with an ``n`` order column so a SINGLE
+       coarse keyed merge carries both; the shuffle moves
+       vocabulary-sized partials, never occurrences); the merged
+       tables are vocabulary-scale (Heaps' law) and broadcast ONCE via
+       ray.put as sorted FNV-hash arrays + counts (hash-join swap
+       documented for vocabularies too large to broadcast).
     2. SCORE — per block: rebuild each doc's bigram strings with the
        same shifted-slice join, probe both count tables with
        searchsorted, reduce per doc with bincount. Zero additional
@@ -467,27 +468,48 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", k_smoot
 
     import pandas as pd
 
-    def merge_counts(col: str):
-        def m(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(col, sort=False)["_cnt"].sum().reset_index()
-            return pd.DataFrame({col: g[col], "cnt": g["_cnt"].astype(np.int64)})
+    def both_partials(b: pa.Table) -> pa.Table:
+        u = token_count_partials(b, text_col)
+        g = ngram_count_partials(b, 2, text_col)
+        return pa.table(
+            {
+                "gram": pa.concat_arrays(
+                    [u["token"].combine_chunks(), g["ngram"].combine_chunks()]
+                ),
+                "_cnt": pa.concat_arrays(
+                    [u["_cnt"].combine_chunks(), g["_cnt"].combine_chunks()]
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(u), dtype=np.int8),
+                            np.full(len(g), 2, dtype=np.int8),
+                        ]
+                    )
+                ),
+            }
+        )
 
-        return m
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["n", "gram"], sort=False)["_cnt"].sum().reset_index()
+        return pd.DataFrame(
+            {"n": g["n"], "gram": g["gram"], "cnt": g["_cnt"].astype(np.int64)}
+        )
 
-    uni = keyed_partition_map(
-        ds.map_batches(token_count_partials, batch_format="pyarrow"),
-        ["token"],
-        merge_counts("token"),
+    # An n-gram "alpha beta" can never collide with a unigram (tokens
+    # contain no spaces), but the n column keeps the contract explicit
+    # and the split below O(1).
+    counts = keyed_partition_map(
+        ds.map_batches(both_partials, batch_format="pyarrow"),
+        ["n", "gram"],
+        merge,
         num_partitions=16,
-        out_schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())]),
+        out_schema=pa.schema(
+            [("n", pa.int8()), ("gram", pa.string()), ("cnt", pa.int64())]
+        ),
     ).to_pandas()
-    bi = keyed_partition_map(
-        ds.map_batches(lambda b: ngram_count_partials(b, 2), batch_format="pyarrow"),
-        ["ngram"],
-        merge_counts("ngram"),
-        num_partitions=16,
-        out_schema=pa.schema([("ngram", pa.string()), ("cnt", pa.int64())]),
-    ).to_pandas()
+    uni = counts[counts["n"] == 1].rename(columns={"gram": "token"})
+    bi = counts[counts["n"] == 2].rename(columns={"gram": "ngram"})
 
     V = len(uni)
     uh = _fnv1a_bytes_vectorized(pa.array(uni["token"], pa.string()))
