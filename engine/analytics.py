@@ -724,6 +724,12 @@ def stratified_sample(
         g = b[group_col]
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()
+        if g.null_count:
+            # null groups take default_milli (a null dictionary index
+            # would otherwise NaN out the rate gather below)
+            import pyarrow.compute as pc
+
+            g = pc.fill_null(g, "\x00__null_group__")
         enc = g.dictionary_encode()
         uniq_rates = np.array(
             [rates_milli.get(v, default_milli) for v in enc.dictionary.to_pylist()],
@@ -844,6 +850,13 @@ def pack_shards(
         v = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         t = b[tok_col].to_numpy(zero_copy_only=False).astype(np.int64)
         rng = (v - lo) // width
+        # A wrong caller-supplied id_range must fail loudly: a negative
+        # range index would otherwise WRAP into np.add.at and silently
+        # mis-assign every downstream shard.
+        if len(rng) and (rng.min() < 0 or rng.max() >= num_partitions):
+            raise ValueError(
+                f"{order_col} values outside id_range [{lo}, {hi}]"
+            )
         # int64-exact accumulation (bincount's float weights would cap
         # exactness at 2^53); zero-sum ranges need no base entry
         sums = np.zeros(num_partitions, dtype=np.int64)

@@ -269,3 +269,50 @@ def test_stratified_sample_rejects_negative_rates():
         stratified_sample(rd.from_arrow(t), "g", {"a": -1}, "h")
     with _pytest.raises(ValueError):
         stratified_sample(rd.from_arrow(t), "g", {}, "h", default_milli=-5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_shards_rejects_wrong_id_range():
+    """A caller-supplied id_range that does not cover the data must
+    fail loudly (a negative range index would otherwise wrap and
+    silently mis-assign shards)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from engine.analytics import pack_shards
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 50, 500], pa.int64()),
+            "n_tok": pa.array([10, 10, 10], pa.int64()),
+        }
+    )
+    with _pytest.raises(Exception):
+        pack_shards(
+            rd.from_arrow(t), "doc_id", "n_tok", 16, id_range=(10, 100)
+        ).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_null_groups_take_default():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.analytics import stratified_sample
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", None, "a", None], pa.string()),
+            "h": pa.array([0, 0, 999, 999], pa.int64()),
+            "id": pa.array(np.arange(4, dtype=np.int64)),
+        }
+    )
+    out = (
+        stratified_sample(rd.from_arrow(t), "g", {"a": 1000}, "h", default_milli=500)
+        .to_pandas()
+        .sort_values("id")
+    )
+    # 'a' rows always kept; null rows keep iff h < 500 (row id 1 only)
+    assert list(out.id) == [0, 1, 2]
