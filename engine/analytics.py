@@ -841,7 +841,10 @@ def pack_shards(
     from engine.shuffle import keyed_partition_map
 
     if id_range is None:
-        lo, hi = ds.min(order_col), ds.max(order_col)
+        from ray.data.aggregate import Max, Min
+
+        mm = ds.aggregate(Min(order_col), Max(order_col))  # one pass
+        lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
     else:
         lo, hi = id_range
     width = max(1, -(-(hi - lo + 1) // num_partitions))
