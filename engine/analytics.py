@@ -837,9 +837,18 @@ def pack_shards(
 
     ``id_range=(lo, hi)``: pass the known order-column bounds (e.g.
     from parquet column stats) to skip the min/max aggregate passes.
-    Total-order contract: ``order_col`` values must be unique ints."""
+    Total-order contract: ``order_col`` values must be unique ints.
+
+    The input is MATERIALIZED once up front: pack_shards consumes it
+    two-to-three times (bounds aggregate, range partials, tag+shuffle),
+    and a lazy upstream (e.g. the tokenize-and-count map feeding
+    ``q_pack_shards``) would otherwise re-execute its expensive per-row
+    work per pass. Callers must pass the PRUNED (order, n_tok)
+    projection — ~16 B/row, object-store-resident and spillable — not
+    the full table."""
     from engine.shuffle import keyed_partition_map
 
+    ds = ds.materialize()
     if id_range is None:
         from ray.data.aggregate import Max, Min
 

@@ -8,9 +8,9 @@ every LLM-data op in this repo exists to serve:
     (bracketed stages are opt-in: ``scrub_pii=True`` redacts
     email/phone/IP before any digesting so duplicates of a doc that
     differ only in PII dedup together; ``line_dedup=True`` (newline
-    lines) or ``line_dedup=w`` (w-token windows) applies the C4
-    corpus-wide duplicate-line cut after doc-level dedup and drops
-    docs it empties entirely)
+    lines; blank lines are exempt from the cut) or ``line_dedup=w``
+    (w-token windows) applies the C4 corpus-wide duplicate-line cut
+    after doc-level dedup and drops docs it empties entirely)
 
 Composition and scale contracts (each stage's detail lives on its op):
 - quality / language filters are per-block, zero-shuffle;

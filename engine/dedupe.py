@@ -1284,7 +1284,8 @@ def line_dedup(
     """Corpus-wide line-level exact dedup (the C4 rule: a line that
     occurs more than once in the corpus survives only at its FIRST
     occurrence — min (doc_id, line_no) — all later occurrences are cut
-    from their documents).
+    from their documents). EMPTY lines are exempt: blank-line
+    paragraph separators are structure, not duplicate content.
 
     Returns Dataset[id_col, n_lines, n_dropped, text_dedup] with one
     row per input doc; text_dedup rejoins the kept lines with '\\n'
@@ -1313,25 +1314,47 @@ def line_dedup(
 
     from engine.shuffle import keyed_partition_map
 
+    def _check_ids(idv: np.ndarray) -> None:
+        # Packed drop keys are doc_id << 20 | line_no: a doc_id outside
+        # [0, 2^43) would overflow int64 and wrapped keys could collide
+        # across documents — rebuild() would then silently delete lines
+        # from innocent docs. Fail loudly instead (same policy as the
+        # line_no bound).
+        if len(idv) and (idv.min() < 0 or idv.max() >= (1 << (63 - _LINE_NO_BITS))):
+            raise ValueError(
+                f"{id_col} must be in [0, 2^{63 - _LINE_NO_BITS}) for key packing"
+            )
+
     def digest_stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_ids(idv)
         lines, nl = _doc_lines(b[text_col], token_width)
         if int(nl.max(initial=0)) >= (1 << _LINE_NO_BITS):
             raise ValueError(f"doc exceeds {1 << _LINE_NO_BITS} lines")
-        d1, d2 = content_digests(lines)
         nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
-        line_no = np.arange(len(d1), dtype=np.int64) - np.repeat(nl_start, nl)
-        rep_ids = np.repeat(
-            ids.to_numpy(zero_copy_only=False).astype(np.int64), nl
-        )
+        line_no = np.arange(len(lines), dtype=np.int64) - np.repeat(nl_start, nl)
+        rep_ids = np.repeat(idv, nl)
+        # EMPTY lines never enter dedup: they carry no content, and
+        # deduping them corpus-wide would strip the blank-line
+        # paragraph separators from every multi-paragraph doc but the
+        # globally first (they also never emit meta rows — less
+        # shuffle). Token-window mode produces no empty lines.
+        nonempty = pc.not_equal(
+            pc.binary_length(lines), 0
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        lines = lines.filter(pa.array(nonempty))
+        d1, d2 = content_digests(lines)
         return pa.table(
             {
                 "d1": pa.array(d1),
                 "d2": pa.array(d2),
-                "doc_id_": pa.array(rep_ids),
-                "line_no": pa.array(line_no),
+                "doc_id_": pa.array(rep_ids[nonempty]),
+                "line_no": pa.array(line_no[nonempty]),
             }
         )
 
@@ -1371,6 +1394,7 @@ def line_dedup(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_ids(idv)
         lines, nl = _doc_lines(b[text_col], token_width)
         nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
         line_no = np.arange(len(lines), dtype=np.int64) - np.repeat(nl_start, nl)

@@ -108,12 +108,7 @@ def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
     loop). The downstream shuffle moves vocabulary-sized partials,
     never per-occurrence rows — at corpus scale the batch vocabulary
     saturates (Heaps' law) so partial size is ~constant per block."""
-    text = batch[text_col]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
-    flat = pc.list_flatten(toks)
-    flat = flat.filter(pc.not_equal(flat, ""))  # split edge artifacts
+    flat, _, _ = _flat_tokens(batch[text_col])
     vc = pc.value_counts(flat)
     return pa.table(
         {
@@ -304,17 +299,7 @@ def repetition_signals_batch(
     ids_col = batch[id_col]
     if isinstance(ids_col, pa.ChunkedArray):
         ids_col = ids_col.combine_chunks()
-    text = batch[text_col]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    n = batch.num_rows
-    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
-    flat = pc.list_flatten(toks)
-    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
-    flat = flat.filter(pa.array(keep))
-    doc_of = doc_of[keep]
+    flat, doc_of, n = _flat_tokens(batch[text_col])
 
     n_tok = np.zeros(n, dtype=np.int64)
     n_distinct = np.zeros(n, dtype=np.int64)
@@ -364,6 +349,31 @@ def repetition_signals_batch(
     )
 
 
+def _flat_tokens(text: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray, int]:
+    """THE corpus tokenizer, single-sourced: lowercase → split on
+    ``[^a-z0-9]+`` → drop empty-string split artifacts. Equivalent to
+    SQL ``regexp_extract_all(lower(text), '[a-z0-9]+')`` (the
+    vocab_topk-proven identity every text oracle relies on) — change
+    it HERE and every operator (vocab/ngram/repetition/LM) plus their
+    SQL mirrors must move together.
+
+    Returns ``(flat_tokens, doc_of, n_docs)`` — one Arrow string per
+    token in document order, with ``doc_of[i]`` the 0-based row of
+    token i."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+    return flat, doc_of, n
+
+
 # PII patterns (RE2 — the same engine behind pyarrow.compute AND
 # DuckDB's regexp_* functions, so the oracle mirrors these strings
 # verbatim). Detection counts are taken on the ORIGINAL text; redaction
@@ -402,23 +412,14 @@ def ngram_count_partials(batch: pa.Table, n: int = 2, text_col: str = "text") ->
     in the batch. Vectorized: one flat token array for the whole
     batch, n shifted slices joined element-wise, cross-document
     windows masked out via offsets."""
-    text = batch[text_col]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
-    flat = pc.list_flatten(toks).to_pylist()
-    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    # strip the empty-string artifacts consistently with token counts
-    keep = np.array([t != "" for t in flat], dtype=bool)
-    doc_of = np.repeat(np.arange(len(counts)), counts)[keep]
-    flat = np.asarray([t for t in flat if t != ""], dtype=object)
+    flat, doc_of, _ = _flat_tokens(batch[text_col])
     total = len(flat)
     if total < n:
         return pa.table({"ngram": pa.array([], pa.string()), "_cnt": pa.array([], pa.int64())})
     window_ok = np.ones(total - n + 1, dtype=bool)
     for j in range(1, n):
         window_ok &= doc_of[j : total - n + 1 + j] == doc_of[: total - n + 1]
-    parts = [pa.array(flat[j : total - n + 1 + j], pa.string()) for j in range(n)]
+    parts = [flat.slice(j, total - n + 1) for j in range(n)]
     joined = parts[0]
     for p in parts[1:]:
         joined = pc.binary_join_element_wise(joined, p, " ")
@@ -539,17 +540,7 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", k_smoot
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        text = b[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        n = b.num_rows
-        toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
-        flat = pc.list_flatten(toks)
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
-        flat = flat.filter(pa.array(keep))
-        doc_of = doc_of[keep]
+        flat, doc_of, n = _flat_tokens(b[text_col])
         total = len(flat)
         n_bi = np.zeros(n, dtype=np.int64)
         lp = np.zeros(n, dtype=np.float64)

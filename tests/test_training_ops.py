@@ -796,7 +796,8 @@ def test_pii_scrub_planted_cases():
 
 def _scalar_line_dedup(docs, width=None):
     """Brute-force oracle: keep first global (doc_id, line_no)
-    occurrence of every line, rebuild docs from kept lines."""
+    occurrence of every NON-EMPTY line (blank lines are structure,
+    always kept), rebuild docs from kept lines."""
     seen = set()
     out = {}
     for d, t in sorted(docs):
@@ -808,7 +809,7 @@ def _scalar_line_dedup(docs, width=None):
         kept = []
         dropped = 0
         for line in ls:
-            if line in seen:
+            if line != "" and line in seen:
                 dropped += 1
             else:
                 seen.add(line)
@@ -828,9 +829,10 @@ def test_line_dedup_newline_mode_matches_scalar_oracle():
     docs = [
         (0, "keep me\ncommon line\nunique a"),
         (1, "common line\nunique b\ncommon line"),
-        (2, "unique c"),
+        (2, "para one\n\npara two"),
         (3, ""),
         (4, "common line"),
+        (5, "another\n\nblank separated"),  # 2nd doc with a blank line
     ]
     expect = _scalar_line_dedup(docs)
     t = pa.table(
@@ -851,6 +853,10 @@ def test_line_dedup_newline_mode_matches_scalar_oracle():
         }
         assert got == expect, parts
     assert expect[4] == (1, 1, "")  # the all-dup doc rebuilds empty
+    # blank paragraph separators survive in EVERY doc, not just the
+    # first one carrying a blank line
+    assert got[2][2] == "para one\n\npara two"
+    assert got[5][2] == "another\n\nblank separated"
 
 
 @pytest.mark.usefixtures("ray_session")
