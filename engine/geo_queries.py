@@ -143,12 +143,15 @@ def q_geometry_transform(sf_dir: str):
 
 
 def q_media_pipeline(sf_dir: str):
-    """Multimodal pipeline over REAL library-free media bytes: valid
-    P6 PPM images and RIFF PCM16 WAV clips -> actor-pool decode
-    (actual pixel/sample recovery, engine.multimodal.parse_ppm /
-    parse_wav) -> vectorized feature extraction. Rows-only (binary
-    path; decode exactness is pytest-verified against known
-    pixels/waveforms)."""
+    """Multimodal pipeline over REAL library-free media bytes, all
+    four spec-implemented decoders: P6 PPM + 24-bit BMP images and
+    RIFF PCM16 WAV + Sun .au clips -> per-format actor-pool decode
+    (actual pixel/sample recovery, engine.multimodal) -> vectorized
+    feature extraction -> format branches unioned -> image/audio hash
+    join on media_id. Rows-only (binary path; decode exactness is
+    pytest-verified against known pixels/waveforms and golden-byte
+    headers)."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from engine.multimodal import (
@@ -161,22 +164,32 @@ def q_media_pipeline(sf_dir: str):
     from engine.pages import sf_to_n_rows
 
     n = max(64, sf_to_n_rows(sf_dir) // 200)
-    imgs = rd.from_arrow(make_fake_media_table(n, fmt="ppm"))
-    imgs = imgs.map_batches(
-        DecodeImage,
-        fn_constructor_kwargs=dict(backend="ppm"),
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=(1, 4),
+
+    def shift_ids(off: int):
+        def f(b):
+            i = b.schema.get_field_index("media_id")
+            return b.set_column(i, "media_id", pc.add(b["media_id"], off))
+
+        return f
+
+    def decode_branch(fmt: str, cls, backend_kwargs, seed: int, off: int):
+        ds = rd.from_arrow(make_fake_media_table(n, seed=seed, fmt=fmt))
+        if off:
+            ds = ds.map_batches(shift_ids(off), batch_format="pyarrow")
+        return ds.map_batches(
+            cls,
+            fn_constructor_kwargs=backend_kwargs,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+
+    imgs = decode_branch("ppm", DecodeImage, dict(backend="ppm"), 7, 0).union(
+        decode_branch("bmp", DecodeImage, dict(backend="bmp"), 13, n)
     )
     imgs = imgs.map_batches(image_features_stage, batch_format="pyarrow")
-    auds = rd.from_arrow(make_fake_media_table(n, seed=11, fmt="wav"))
-    auds = auds.map_batches(
-        DecodeAudio,
-        fn_constructor_kwargs=dict(backend="wav"),
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=(1, 4),
+    auds = decode_branch("wav", DecodeAudio, dict(backend="wav"), 11, 0).union(
+        decode_branch("au", DecodeAudio, dict(backend="au"), 17, n)
     )
     auds = auds.map_batches(audio_features_stage, batch_format="pyarrow")
     img_sel = imgs.select_columns(["media_id", "width", "height"])
