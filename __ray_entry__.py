@@ -159,6 +159,14 @@ _DRIVER_EXCLUDED = {
     # k-means float geometry is approximate-by-design (the ann_ivf
     # precedent); verdict-rule exactness + determinism pytest-checked
     "semantic_clusters",
+    # doc_token_stats -> quality_scores (the same one-RE2-pass per-doc
+    # count kernels, VALUE-checked) + lineitem_agg / cell_rollup_sql
+    # (the identical grouped_count_sums combiner machinery,
+    # VALUE-checked on other tables) + vocab_topk (token counting
+    # VALUE-checked at corpus granularity); stays SQL-exact in the
+    # excluded test. Slot goes to left_join_f_orders (the previously
+    # un-value-checked LEFT OUTER hash-join path).
+    "doc_token_stats",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -284,6 +284,50 @@ GROUP BY c_mktsegment
 """
 
 
+def q_left_join_f_orders(sf_dir: str) -> Dataset:
+    """LEFT OUTER hash join with a live null-producing path: customers
+    against per-customer counts of 'F'-status orders (71 customers at
+    sf0.01 have none — their rows survive the join with a null count,
+    COALESCEd to 0). The right side pre-aggregates BEFORE the join
+    (combiner first: the join input is aggregate-scale, not
+    order-scale) — the outer-join analog of segment_revenue's
+    join-then-aggregate."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["o_orderstatus"], "F"))
+        return pa.table({"c_custkey": f["o_custkey"]})
+
+    counts = grouped_count_sums(
+        orders.map_batches(prep, batch_format="pyarrow"), key="c_custkey"
+    ).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "f_cnt"]), batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(cust, counts, key="c_custkey", num_buckets=16, how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+                "n_f_orders": pc.fill_null(pc.cast(b["f_cnt"], pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_LEFT_JOIN_F_ORDERS = """
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(f.cnt, 0) AS BIGINT) AS n_f_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+) f ON c_custkey = f.o_custkey
+"""
+
+
 def q_hash_sample(sf_dir: str) -> Dataset:
     """Deterministic hash-based 10% sample (A6 scale path: seeded
     random_sample is not reproducible in SQL; key-hash sampling is
@@ -438,6 +482,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_documents": (q_dedup_documents, SQL_DEDUP_DOCUMENTS),
     "customer_per_region": (q_customer_per_region, SQL_CUSTOMER_PER_REGION),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "left_join_f_orders": (q_left_join_f_orders, SQL_LEFT_JOIN_F_ORDERS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

@@ -51,6 +51,7 @@ def _excluded():
         "hash_sample",
         "pip_quads",
         "running_totals",
+        "doc_token_stats",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

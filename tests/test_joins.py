@@ -194,3 +194,66 @@ def test_bloom_semi_filter_string_keys_and_empty_build():
     empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.string())}))
     w0 = bloom_build(empty, "k", 1 << 20)
     assert bloom_semi_filter(probe, w0, "k", 1 << 20).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_outer_modes_match_pandas():
+    """left / right / full outer hash_join vs a pandas merge oracle:
+    unmatched keys on both sides produce null-padded rows, values above
+    2^53 survive (the acero-vs-pandas int64 contract), and inner stays
+    consistent with the outer modes' matched subsets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.joins import hash_join
+
+    big = (1 << 60) + 7  # above 2^53: float round-trips would corrupt
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 5, 7], pa.int64()),
+            "lv": pa.array([10, 20, 30, 50, big], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([2, 3, 4, 7, 9], pa.int64()),
+            "rv": pa.array([200, 300, 400, big + 1, 900], pa.int64()),
+        }
+    )
+    lp, rp = left.to_pandas(), right.to_pandas()
+    for how, p_how in (("left", "left"), ("right", "right"), ("outer", "outer"), ("inner", "inner")):
+        got = (
+            hash_join(
+                rd.from_arrow(left).repartition(2),
+                rd.from_arrow(right).repartition(3),
+                key="k",
+                num_buckets=4,
+                how=how,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        exp = lp.merge(rp, on="k", how=p_how).sort_values("k").reset_index(drop=True)
+        assert len(got) == len(exp), how
+        for c in ("k", "lv", "rv"):
+            g, e = got[c].to_numpy(), exp[c].to_numpy()
+            # pandas promotes nullable merges to float; compare as
+            # nullable Int64 to keep the >2^53 values exact
+            ge = pd.array(got[c], dtype="Int64")
+            ee = pd.array(exp[c].astype("Int64") if exp[c].dtype.kind == "i" else exp[c], dtype="Int64")
+            assert (ge.isna() == ee.isna()).all(), (how, c)
+            assert (ge.dropna() == ee.dropna()).all(), (how, c)
+    # big ints survive exactly through the outer path — read via Arrow
+    # (pandas converts int64-with-nulls to float64, corrupting >2^53
+    # in the TEST, not the engine)
+    full = pa.concat_tables(
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), key="k", num_buckets=4, how="outer"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    row7 = full.filter(pa.compute.equal(full["k"], 7))
+    assert row7["lv"][0].as_py() == big
+    assert row7["rv"][0].as_py() == big + 1
