@@ -1424,3 +1424,123 @@ def line_dedup(
         )
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ------------------------------------------- incremental exact dedup
+
+INDEX_SCHEMA = pa.schema(
+    [("d1", pa.int64()), ("d2", pa.int64()), ("keep_id", pa.int64())]
+)
+
+
+def exact_dedup_index(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_partitions: int = 32,
+) -> Dataset:
+    from engine.shuffle import keyed_partition_map
+
+    """Persistable exact-dedup INDEX: one (d1, d2, keep_id) row per
+    distinct content (keep_id = min id holding that content). This is
+    the state an append-only ingest keeps between batches — write it
+    with write_parquet, read it back for the next increment. Shuffle
+    carries 24 B digests + the id, never text."""
+
+    def digest(b: pa.Table) -> pa.Table:
+        d1, d2 = content_digests(b[text_col])
+        return pa.table(
+            {"d1": pa.array(d1), "d2": pa.array(d2), "keep_id": b[id_col]}
+        )
+
+    def keepers(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["d1", "d2"], sort=False, as_index=False)["keep_id"].min()
+
+    return keyed_partition_map(
+        ds.map_batches(digest, batch_format="pyarrow"),
+        ["d1", "d2"],
+        keepers,
+        num_partitions=num_partitions,
+        out_schema=INDEX_SCHEMA,
+    )
+
+
+def incremental_exact_dedup(
+    new_ds: Dataset,
+    index: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Exact-dedup a NEW batch against an EXISTING corpus index without
+    touching the old corpus (the resumable append-only ingest shape: a
+    100 TB corpus's index is digest-scale and already partitioned; each
+    increment shuffles only the new batch's digests plus the index).
+
+    Verdict per new doc: ``keep`` iff its content is absent from the
+    index AND it is the min-id holder within the new batch;
+    ``dup_of`` = the content's keeper (the index's keep_id when
+    present, else the min new id; itself when kept). The updated index
+    for the NEXT increment is ``index ∪ exact_dedup_index(kept new
+    docs)`` — both digest-scale.
+
+    One co-location shuffle: new digests (24 B + id) union the tagged
+    index rows, coarse-keyed on the digest pair. Same 128-bit-digest
+    collision caveat as dedup_documents (version-stable FNV pair).
+
+    Returns Dataset[id_col, keep(bool), dup_of(int64)]."""
+    from engine.shuffle import keyed_partition_map
+
+    def digest(b: pa.Table) -> pa.Table:
+        d1, d2 = content_digests(b[text_col])
+        return pa.table(
+            {
+                "d1": pa.array(d1),
+                "d2": pa.array(d2),
+                "rid": b[id_col],
+                "is_idx": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            }
+        )
+
+    tagged_new = new_ds.map_batches(digest, batch_format="pyarrow")
+
+    def tag_index(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "d1": b["d1"],
+                "d2": b["d2"],
+                "rid": b["keep_id"],
+                "is_idx": pa.array(np.ones(b.num_rows, dtype=bool)),
+            }
+        )
+
+    both = tagged_new.union(index.map_batches(tag_index, batch_format="pyarrow"))
+
+    _SENT = np.int64(1) << np.int64(62)  # > any id (line_dedup bounds ids < 2^43)
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        # C-speed: per-digest index/new minima via masked-sentinel
+        # groupby transforms (no per-group Python).
+        rid = df["rid"].to_numpy().astype(np.int64)
+        is_idx = df["is_idx"].to_numpy().astype(bool)
+        work = df.assign(
+            _i=np.where(is_idx, rid, _SENT), _n=np.where(~is_idx, rid, _SENT)
+        )
+        g = work.groupby(["d1", "d2"], sort=False)
+        im = g["_i"].transform("min").to_numpy()
+        nm = g["_n"].transform("min").to_numpy()
+        has_idx = im < _SENT
+        new_rows = ~is_idx
+        keep = new_rows & ~has_idx & (rid == nm)
+        dup_of = np.where(has_idx, im, nm).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: rid[new_rows], "keep": keep[new_rows], "dup_of": dup_of[new_rows]}
+        )
+
+    return keyed_partition_map(
+        both,
+        ["d1", "d2"],
+        verdict,
+        num_partitions=num_partitions,
+        out_schema=pa.schema(
+            [(id_col, pa.int64()), ("keep", pa.bool_()), ("dup_of", pa.int64())]
+        ),
+    )

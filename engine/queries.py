@@ -794,6 +794,69 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_lsh_pairs(ds)
 
 
+def q_incremental_dedup(sf_dir: str) -> Dataset:
+    """Incremental exact dedup (X24, the resumable append-only ingest
+    shape): an index built from the existing corpus, then a NEW batch
+    deduped against it without touching old text. The corpus has no
+    natural exact dups, so the new batch is synthesized from documents
+    by arithmetic on BOTH sides (the pii_scrub precedent): +10000 ids
+    re-carry old text (cross-batch dups), +20000 a second copy of a
+    subset (dups of both index and batch), +30000/'fresh' unique
+    newcomers, +40000/+50000 a ' novel' pair (within-batch-only dup —
+    keeper is the smaller new id, not an index id)."""
+    from engine.dedupe import exact_dedup_index, incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    index = exact_dedup_index(docs)
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        txt = b["text"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        iv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        m3 = pa.array(iv % 3 == 0)
+        parts.append(
+            pa.table({"doc_id": pc.add(ids.filter(m3), 10000), "text": txt.filter(m3)})
+        )
+        m9 = pa.array(iv % 9 == 0)
+        parts.append(
+            pa.table({"doc_id": pc.add(ids.filter(m9), 20000), "text": txt.filter(m9)})
+        )
+        m1 = pa.array(iv % 3 == 1)
+        fresh = pc.binary_join_element_wise(txt.filter(m1), " fresh", "")
+        parts.append(pa.table({"doc_id": pc.add(ids.filter(m1), 30000), "text": fresh}))
+        m2 = pa.array(iv % 3 == 2)
+        novel = pc.binary_join_element_wise(txt.filter(m2), " novel", "")
+        parts.append(pa.table({"doc_id": pc.add(ids.filter(m2), 40000), "text": novel}))
+        parts.append(pa.table({"doc_id": pc.add(ids.filter(m2), 50000), "text": novel}))
+        return pa.concat_tables(parts)
+
+    new = docs.map_batches(make_new, batch_format="pyarrow")
+    return incremental_exact_dedup(new, index)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH newb AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 9 = 0
+  UNION ALL SELECT doc_id + 30000, text || ' fresh' FROM documents WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id + 40000, text || ' novel' FROM documents WHERE doc_id % 3 = 2
+  UNION ALL SELECT doc_id + 50000, text || ' novel' FROM documents WHERE doc_id % 3 = 2),
+idx AS (SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY text),
+r AS (SELECT n.doc_id, n.text,
+        CAST(MIN(n.doc_id) OVER (PARTITION BY n.text) AS BIGINT) AS min_new
+      FROM newb n)
+SELECT r.doc_id,
+       (i.keep_id IS NULL AND r.doc_id = r.min_new) AS keep,
+       CAST(COALESCE(i.keep_id, r.min_new) AS BIGINT) AS dup_of
+FROM r LEFT JOIN idx i ON r.text = i.text
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     from engine.dedupe import simhash_candidates
 
@@ -1069,6 +1132,7 @@ REGISTRY.update(
         # Exact value oracle (round-3): the whole simhash pipeline is
         # SQL-expressible with the HUGEINT token-hash mirror.
         "simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
+        "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
         # LSH recall vs the exact cosine threshold is deterministic on
         # this corpus: multi-table random-hyperplane buckets find every
         # >=0.8 pair (planted dups at cos ~0.99997; random 128-dim pairs

@@ -52,6 +52,7 @@ def _excluded():
         "pip_quads",
         "running_totals",
         "doc_token_stats",
+        "dedup_documents",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

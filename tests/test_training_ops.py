@@ -1129,3 +1129,74 @@ def test_bmp_au_decode_stages():
     w0 = np.asarray(out.waveform.iloc[0])[:64]
     s0, _ = parse_au(ta["payload"][0].as_py())
     np.testing.assert_array_equal(w0[: min(64, len(s0))], s0[:64])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_exact_dedup_matches_scalar_oracle(tmp_path):
+    """Append-only ingest: a new batch deduped against a PERSISTED
+    index (parquet round-trip) without touching old text. Covers: dup
+    of index, dup within new only (keeper = min new id, not an index
+    id), unique newcomer, dup of BOTH index and new, and a second
+    increment against the index built from the first."""
+    import pyarrow.parquet as pq
+
+    from engine.dedupe import exact_dedup_index, incremental_exact_dedup
+
+    old = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma", "alpha"]),
+        }
+    )
+    index = exact_dedup_index(rd.from_arrow(old).repartition(2), num_partitions=4)
+    idx_df = index.to_pandas()
+    assert len(idx_df) == 3  # alpha (keeper 0), beta, gamma
+    # persistence round-trip: the index is state between increments
+    pq.write_table(pa.Table.from_pandas(idx_df), str(tmp_path / "index.parquet"))
+    index2 = rd.read_parquet(str(tmp_path / "index.parquet"))
+
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array(["alpha", "delta", "delta", "epsilon", "beta"]),
+        }
+    )
+    v = (
+        incremental_exact_dedup(
+            rd.from_arrow(new).repartition(3), index2, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {int(r.doc_id): (bool(r.keep), int(r.dup_of)) for r in v.itertuples()}
+    assert got == {
+        10: (False, 0),   # dup of index keeper 0 (alpha)
+        11: (True, 11),   # first 'delta' in the corpus
+        12: (False, 11),  # within-new dup: keeper is the new id 11
+        13: (True, 13),   # unique newcomer
+        14: (False, 1),   # dup of index keeper 1 (beta)
+    }
+    # second increment: index union the kept new docs' index
+    kept = new.filter(pa.array([got[int(i)][0] for i in new["doc_id"].to_pylist()]))
+    idx_next = pa.concat_tables(
+        [
+            pa.Table.from_pandas(idx_df, preserve_index=False),
+            exact_dedup_index(rd.from_arrow(kept), num_partitions=2)
+            .to_pandas()
+            .pipe(pa.Table.from_pandas, preserve_index=False),
+        ]
+    )
+    new2 = pa.table(
+        {
+            "doc_id": pa.array([20, 21], pa.int64()),
+            "text": pa.array(["delta", "zeta"]),
+        }
+    )
+    v2 = (
+        incremental_exact_dedup(rd.from_arrow(new2), rd.from_arrow(idx_next))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got2 = {int(r.doc_id): (bool(r.keep), int(r.dup_of)) for r in v2.itertuples()}
+    assert got2 == {20: (False, 11), 21: (True, 21)}
