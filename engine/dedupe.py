@@ -1437,13 +1437,12 @@ def exact_dedup_index(
     ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     num_partitions: int = 32,
 ) -> Dataset:
-    from engine.shuffle import keyed_partition_map
-
     """Persistable exact-dedup INDEX: one (d1, d2, keep_id) row per
     distinct content (keep_id = min id holding that content). This is
     the state an append-only ingest keeps between batches — write it
     with write_parquet, read it back for the next increment. Shuffle
     carries 24 B digests + the id, never text."""
+    from engine.shuffle import keyed_partition_map
 
     def digest(b: pa.Table) -> pa.Table:
         d1, d2 = content_digests(b[text_col])
@@ -1520,6 +1519,8 @@ def incremental_exact_dedup(
         # C-speed: per-digest index/new minima via masked-sentinel
         # groupby transforms (no per-group Python).
         rid = df["rid"].to_numpy().astype(np.int64)
+        if len(rid) and rid.max() >= _SENT:
+            raise ValueError("ids must be < 2^62 (sentinel bound)")
         is_idx = df["is_idx"].to_numpy().astype(bool)
         work = df.assign(
             _i=np.where(is_idx, rid, _SENT), _n=np.where(~is_idx, rid, _SENT)

@@ -303,9 +303,9 @@ def frame_sample_stage(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
 
 def make_fake_media_table(n: int, seed: int = 7, fmt: str = "raw") -> pa.Table:
     """Deterministic media corpus. ``fmt``: "raw" = arbitrary bytes
-    (fake-decode plumbing tests), "ppm" = VALID binary P6 images of
-    varying sizes, "wav" = VALID RIFF PCM16 sine clips — the real
-    decoders run end-to-end on the latter two."""
+    (fake-decode plumbing tests); "ppm" / "bmp" = VALID images of
+    varying sizes; "wav" / "au" = VALID PCM16 sine clips — the real
+    decoders run end-to-end on all four non-raw formats."""
     rng = np.random.default_rng(seed)
     if fmt in ("ppm", "bmp"):
         enc = encode_ppm if fmt == "ppm" else encode_bmp

@@ -239,13 +239,24 @@ def test_hash_join_outer_modes_match_pandas():
         exp = lp.merge(rp, on="k", how=p_how).sort_values("k").reset_index(drop=True)
         assert len(got) == len(exp), how
         for c in ("k", "lv", "rv"):
-            g, e = got[c].to_numpy(), exp[c].to_numpy()
-            # pandas promotes nullable merges to float; compare as
-            # nullable Int64 to keep the >2^53 values exact
+            # row structure + null pattern via pandas (values pass
+            # through float64 here, so this is NOT the exactness check)
             ge = pd.array(got[c], dtype="Int64")
             ee = pd.array(exp[c].astype("Int64") if exp[c].dtype.kind == "i" else exp[c], dtype="Int64")
             assert (ge.isna() == ee.isna()).all(), (how, c)
             assert (ge.dropna() == ee.dropna()).all(), (how, c)
+        # >2^53 exactness PER MODE must be read at the Arrow level —
+        # pandas' int64-with-nulls -> float64 conversion rounds both
+        # sides identically and would mask a sub-ulp(2^60) corruption
+        tbl = pa.concat_tables(
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), key="k",
+                num_buckets=4, how=how,
+            ).iter_batches(batch_format="pyarrow")
+        )
+        row7 = tbl.filter(pa.compute.equal(tbl["k"], 7))
+        assert row7["lv"][0].as_py() == big, how
+        assert row7["rv"][0].as_py() == big + 1, how
     # big ints survive exactly through the outer path — read via Arrow
     # (pandas converts int64-with-nulls to float64, corrupting >2^53
     # in the TEST, not the engine)

@@ -1099,8 +1099,6 @@ def test_bmp_au_decode_stages():
     native size; AU waveforms match the encoded samples."""
     from engine.multimodal import (
         DecodeAudio,
-        encode_au,
-        encode_bmp,
         make_fake_media_table,
         parse_bmp,
     )
