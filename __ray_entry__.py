@@ -174,6 +174,11 @@ _DRIVER_EXCLUDED = {
     # curation's exact stage (pytest planted dups); stays SQL-exact in
     # the excluded test
     "dedup_documents",
+    # corpus_diff_docs: the same digest-index machinery as
+    # incremental_dedup (VALUE-checked in-window) applied to two
+    # snapshot indexes; its FULL-OUTER summary stays SQL-exact in the
+    # excluded test (the bigram_topk precedent)
+    "corpus_diff_docs",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

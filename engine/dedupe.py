@@ -1545,3 +1545,70 @@ def incremental_exact_dedup(
             [(id_col, pa.int64()), ("keep", pa.bool_()), ("dup_of", pa.int64())]
         ),
     )
+
+
+def corpus_diff(index_a: Dataset, index_b: Dataset, num_partitions: int = 32) -> Dataset:
+    """Content-level diff of two corpus snapshots given their
+    exact-dedup indexes (dataset versioning: what changed between
+    crawl N and crawl N+1). Per distinct content: status `added`
+    (only in B), `removed` (only in A) or `common`, with each side's
+    keeper id (-1 when absent). Works purely on the digest-scale
+    indexes — neither corpus's text is read, the one shuffle moves
+    (digest, id) rows. Summarize downstream with a combiner groupby.
+
+    Returns Dataset[status, id_a, id_b]."""
+    from engine.shuffle import keyed_partition_map
+
+    _SENT = np.int64(1) << np.int64(62)
+
+    def tag(side_a: bool):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "d1": b["d1"],
+                    "d2": b["d2"],
+                    "rid": b["keep_id"],
+                    "is_a": pa.array(np.full(b.num_rows, side_a)),
+                }
+            )
+
+        return f
+
+    both = index_a.map_batches(tag(True), batch_format="pyarrow").union(
+        index_b.map_batches(tag(False), batch_format="pyarrow")
+    )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        rid = df["rid"].to_numpy().astype(np.int64)
+        if len(rid) and rid.max() >= _SENT:
+            raise ValueError("ids must be < 2^62 (sentinel bound)")
+        is_a = df["is_a"].to_numpy().astype(bool)
+        work = df.assign(
+            _a=np.where(is_a, rid, _SENT), _b=np.where(~is_a, rid, _SENT)
+        )
+        g = work.groupby(["d1", "d2"], sort=False)
+        ia = g["_a"].transform("min").to_numpy()
+        ib = g["_b"].transform("min").to_numpy()
+        # one output row per digest: keep the group's first occurrence
+        first = ~work.duplicated(["d1", "d2"], keep="first").to_numpy()
+        ia, ib = ia[first], ib[first]
+        status = np.where(
+            ia < _SENT, np.where(ib < _SENT, "common", "removed"), "added"
+        )
+        return pd.DataFrame(
+            {
+                "status": status,
+                "id_a": np.where(ia < _SENT, ia, -1).astype(np.int64),
+                "id_b": np.where(ib < _SENT, ib, -1).astype(np.int64),
+            }
+        )
+
+    return keyed_partition_map(
+        both,
+        ["d1", "d2"],
+        diff,
+        num_partitions=num_partitions,
+        out_schema=pa.schema(
+            [("status", pa.string()), ("id_a", pa.int64()), ("id_b", pa.int64())]
+        ),
+    )

@@ -857,6 +857,70 @@ FROM r LEFT JOIN idx i ON r.text = i.text
 """
 
 
+def q_corpus_diff(sf_dir: str) -> Dataset:
+    """Content-level snapshot diff (X25): documents vs a synthesized
+    next crawl (every 5th doc dropped, ids %5==1 rewritten, a batch of
+    new docs appended) → per-status counts. Runs on the digest-scale
+    indexes only (X24's state); both snapshots derive from the same
+    parquet on both sides."""
+    from engine.dedupe import corpus_diff, exact_dedup_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+
+    def make_b(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        txt = b["text"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        iv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = pa.array(iv % 5 != 0)
+        k_ids = ids.filter(kept)
+        k_txt = txt.filter(kept)
+        k_iv = iv[iv % 5 != 0]
+        mod = pa.array(k_iv % 5 == 1)
+        k_txt = pc.if_else(
+            mod, pc.binary_join_element_wise(k_txt, " v2", ""), k_txt
+        )
+        m2 = pa.array(iv % 5 == 2)
+        extra = pa.table(
+            {
+                "doc_id": pc.add(ids.filter(m2), 60000),
+                "text": pc.binary_join_element_wise(txt.filter(m2), " extra", ""),
+            }
+        )
+        return pa.concat_tables(
+            [pa.table({"doc_id": k_ids, "text": k_txt}), extra]
+        )
+
+    index_a = exact_dedup_index(docs)
+    index_b = exact_dedup_index(docs.map_batches(make_b, batch_format="pyarrow"))
+    d = corpus_diff(index_a, index_b)
+    agg = grouped_count_sums(d.select_columns(["status"]), key="status")
+    return agg.map_batches(
+        lambda b: b.rename_columns(["status", "n"]), batch_format="pyarrow"
+    )
+
+
+SQL_CORPUS_DIFF = """
+WITH a AS (SELECT text, MIN(doc_id) AS id FROM documents GROUP BY text),
+bsrc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 60000, text || ' extra' FROM documents WHERE doc_id % 5 = 2),
+b AS (SELECT text, MIN(doc_id) AS id FROM bsrc GROUP BY text)
+SELECT CASE WHEN a.id IS NULL THEN 'added'
+            WHEN b.id IS NULL THEN 'removed'
+            ELSE 'common' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM a FULL OUTER JOIN b ON a.text = b.text
+GROUP BY 1
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     from engine.dedupe import simhash_candidates
 
@@ -1133,6 +1197,7 @@ REGISTRY.update(
         # SQL-expressible with the HUGEINT token-hash mirror.
         "simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
         "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+        "corpus_diff_docs": (q_corpus_diff, SQL_CORPUS_DIFF),
         # LSH recall vs the exact cosine threshold is deterministic on
         # this corpus: multi-table random-hyperplane buckets find every
         # >=0.8 pair (planted dups at cos ~0.99997; random 128-dim pairs

@@ -53,6 +53,7 @@ def _excluded():
         "running_totals",
         "doc_token_stats",
         "dedup_documents",
+        "corpus_diff_docs",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -1198,3 +1198,41 @@ def test_incremental_exact_dedup_matches_scalar_oracle(tmp_path):
     )
     got2 = {int(r.doc_id): (bool(r.keep), int(r.dup_of)) for r in v2.itertuples()}
     assert got2 == {20: (False, 11), 21: (True, 21)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_diff_statuses_and_keepers():
+    """Snapshot diff on digest indexes: added/removed/common statuses
+    with each side's keeper id (-1 when absent); duplicate content
+    within a snapshot resolves to its min id before diffing."""
+    from engine.dedupe import corpus_diff, exact_dedup_index
+
+    a = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma", "alpha"]),
+        }
+    )
+    b = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["beta", "delta", "beta"]),
+        }
+    )
+    d = (
+        corpus_diff(
+            exact_dedup_index(rd.from_arrow(a), num_partitions=4),
+            exact_dedup_index(rd.from_arrow(b), num_partitions=4),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["status", "id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = {(r.status, int(r.id_a), int(r.id_b)) for r in d.itertuples()}
+    assert got == {
+        ("removed", 0, -1),   # alpha: min id 0 (dup 3 collapsed)
+        ("removed", 2, -1),   # gamma
+        ("common", 1, 10),    # beta: keepers on both sides
+        ("added", -1, 11),    # delta
+    }
