@@ -192,11 +192,51 @@ def q_media_pipeline(sf_dir: str):
         decode_branch("au", DecodeAudio, dict(backend="au"), 17, n)
     )
     auds = auds.map_batches(audio_features_stage, batch_format="pyarrow")
+
+    # Video branch: REAL Y4M luma decode -> one row per sampled frame
+    # -> per-media exact-int rollup (frame count + mean-luma milli).
+    from engine.multimodal import DecodeVideo
+
+    vids = rd.from_arrow(make_fake_media_table(2 * n, seed=19, fmt="y4m"))
+    frames = vids.map_batches(
+        DecodeVideo,
+        fn_constructor_kwargs=dict(backend="y4m", every_ms=200, out_hw=(8, 8)),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+    def frame_partials(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b["media_id"].to_numpy(zero_copy_only=False)
+        fr = b["frame"]
+        if hasattr(fr, "combine_chunks"):
+            fr = fr.combine_chunks()
+        mat = fr.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, -1)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "luma_sum": pa.array(mat.sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    vid_agg = grouped_count_sums(
+        frames.map_batches(frame_partials, batch_format="pyarrow"),
+        key="media_id",
+        sum_cols=("luma_sum",),
+    ).map_batches(
+        lambda b: b.rename_columns(["media_id", "n_frames", "sum_luma"]),
+        batch_format="pyarrow",
+    )
+
     img_sel = imgs.select_columns(["media_id", "width", "height"])
     aud_sel = auds.select_columns(["media_id", "rms_milli", "zero_crossings"])
     from engine.joins import hash_join
 
-    return hash_join(img_sel, aud_sel, key="media_id", num_buckets=4, how="inner")
+    ia = hash_join(img_sel, aud_sel, key="media_id", num_buckets=4, how="inner")
+    return hash_join(ia, vid_agg, key="media_id", num_buckets=4, how="inner")
 
 
 GEO_REGISTRY.update(

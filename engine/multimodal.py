@@ -304,9 +304,29 @@ def frame_sample_stage(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
 def make_fake_media_table(n: int, seed: int = 7, fmt: str = "raw") -> pa.Table:
     """Deterministic media corpus. ``fmt``: "raw" = arbitrary bytes
     (fake-decode plumbing tests); "ppm" / "bmp" = VALID images of
-    varying sizes; "wav" / "au" = VALID PCM16 sine clips — the real
-    decoders run end-to-end on all four non-raw formats."""
+    varying sizes; "wav" / "au" = VALID PCM16 sine clips; "y4m" =
+    VALID YUV4MPEG2 C420 clips — the real decoders run end-to-end on
+    every non-raw format."""
     rng = np.random.default_rng(seed)
+    if fmt == "y4m":
+        payloads = []
+        for _ in range(n):
+            nf = int(rng.integers(4, 10))
+            h, w = int(rng.integers(3, 9)) * 2, int(rng.integers(3, 9)) * 2
+            payloads.append(
+                encode_y4m(rng.integers(0, 256, (nf, h, w), dtype=np.uint8), (10, 1))
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(np.arange(n, dtype=np.int64)),
+                "url": pa.array([f"https://media.example/{i}.y4m" for i in range(n)]),
+                "media_type": pa.array(["video"] * n),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(np.full(n, -1, dtype=np.int32)),
+                "height": pa.array(np.full(n, -1, dtype=np.int32)),
+                "duration_ms": pa.array(rng.integers(1000, 10000, n).astype(np.int32)),
+            }
+        )
     if fmt in ("ppm", "bmp"):
         enc = encode_ppm if fmt == "ppm" else encode_bmp
         payloads = []
@@ -400,3 +420,136 @@ def audio_features_stage(batch: pa.Table) -> pa.Table:
     return batch.append_column(
         "rms_milli", pa.array(np.floor(rms * 1000 + 0.5).astype(np.int64))
     ).append_column("zero_crossings", pa.array(zc.astype(np.int64)))
+
+
+def parse_y4m(b: bytes) -> tuple[np.ndarray, int, int]:
+    """YUV4MPEG2 (C420 family, 8-bit) -> (luma frames (n, h, w) uint8,
+    fps_num, fps_den). Per the mjpegtools spec: one 'YUV4MPEG2'
+    parameter line (W/H/F tags, C420* chroma), then per frame a
+    'FRAME...' line followed by raw Y (w*h), U and V (w*h/4) planes.
+    Only the luma plane is returned (the feature substrate); chroma is
+    skipped by offset."""
+    nl = b.index(b"\n")
+    tags = b[:nl].split(b" ")
+    if tags[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    num, den = 30, 1
+    chroma = b"420"
+    for t in tags[1:]:
+        if t[:1] == b"W":
+            w = int(t[1:])
+        elif t[:1] == b"H":
+            h = int(t[1:])
+        elif t[:1] == b"F":
+            num, den = (int(x) for x in t[1:].split(b":"))
+        elif t[:1] == b"C":
+            chroma = t[1:]
+    if w is None or h is None:
+        raise ValueError("missing W/H header tags")
+    if not chroma.startswith(b"420"):
+        raise ValueError(f"only C420 chroma supported (got {chroma!r})")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fe = b.index(b"\n", pos)
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fe + 1
+        frames.append(np.frombuffer(b, np.uint8, count=ysz, offset=pos).reshape(h, w))
+        pos += ysz + 2 * csz
+    return (
+        np.stack(frames) if frames else np.zeros((0, h, w), dtype=np.uint8),
+        num,
+        den,
+    )
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1)) -> bytes:
+    """(n, h, w) uint8 luma -> YUV4MPEG2 C420 bytes (chroma planes
+    written as neutral 128 — luma round-trips bit-exact)."""
+    n, h, w = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420\n".encode()]
+    grey = np.full((h // 2) * (w // 2) * 2, 128, dtype=np.uint8).tobytes()
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+        out.append(grey)
+    return b"".join(out)
+
+
+class DecodeVideo:
+    """Actor-pool stage: video payload -> one row PER SAMPLED FRAME
+    (media_id, frame_ts_ms, pixels) — the explode shape a frame
+    pipeline feeds into image stages. ``backend="y4m"`` REALLY decodes
+    YUV4MPEG2 luma planes (parse_y4m) and samples the frame nearest
+    each every_ms tick; ``backend="fake"`` emits digest-seeded frames
+    with the same schema; ``backend="real"`` (compressed codecs —
+    H.264/VP9/...) raises: no video library in this container."""
+
+    def __init__(
+        self,
+        backend: str = "fake",
+        every_ms: int = 1000,
+        out_hw: tuple[int, int] = (8, 8),
+    ):
+        if backend == "real":
+            raise NotImplementedError(
+                "compressed video decode (H.264/VP9) not available in this "
+                "environment; install pyav/opencv and implement _decode_real()"
+            )
+        if backend not in ("fake", "y4m"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self.every_ms = every_ms
+        self.out_hw = out_hw
+
+    def _nn(self, fr: np.ndarray) -> np.ndarray:
+        h, w = self.out_hw
+        ih, iw = fr.shape
+        return fr[(np.arange(h) * ih // h)[:, None], (np.arange(w) * iw // w)[None, :]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, w = self.out_hw
+        ids_out, ts_out, pix = [], [], []
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if self.backend == "y4m":
+                frames, num, den = parse_y4m(payload)
+                if len(frames) == 0:
+                    continue
+                total_ms = int(len(frames) * 1000 * den / num)
+                ts = np.arange(0, max(total_ms, 1), self.every_ms, dtype=np.int64)
+                idx = np.minimum(
+                    (ts * num) // (1000 * den), len(frames) - 1
+                ).astype(np.int64)
+                for t, i in zip(ts, idx):
+                    ids_out.append(mid)
+                    ts_out.append(int(t))
+                    pix.append(self._nn(frames[i]))
+            else:
+                digest = hashlib.sha256(payload).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+                n_fr = max(int(dur) // self.every_ms, 1)
+                for k in range(n_fr):
+                    ids_out.append(mid)
+                    ts_out.append(k * self.every_ms)
+                    pix.append(rng.integers(0, 256, (h, w), dtype=np.uint8))
+        flat = (
+            np.stack(pix).reshape(len(pix), -1)
+            if pix
+            else np.zeros((0, h * w), dtype=np.uint8)
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(np.asarray(ids_out, dtype=np.int64)),
+                "frame_ts_ms": pa.array(np.asarray(ts_out, dtype=np.int64)),
+                "frame": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat.ravel(), pa.uint8()), h * w
+                ),
+            }
+        )

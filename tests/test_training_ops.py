@@ -1236,3 +1236,75 @@ def test_corpus_diff_statuses_and_keepers():
         ("common", 1, 10),    # beta: keepers on both sides
         ("added", -1, 11),    # delta
     }
+
+
+def test_y4m_codec_exact():
+    """YUV4MPEG2 encode/parse: header tags, FRAME markers, bit-exact
+    luma round-trip, fps carried, chroma-format rejection."""
+    from engine.multimodal import encode_y4m, parse_y4m
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (3, 4, 6), dtype=np.uint8)
+    b = encode_y4m(frames, (25, 1))
+    head = b[: b.index(b"\n")].decode()
+    assert head.startswith("YUV4MPEG2") and "W6" in head and "H4" in head and "F25:1" in head
+    assert b.count(b"FRAME\n") == 3
+    back, num, den = parse_y4m(b)
+    assert (num, den) == (25, 1)
+    np.testing.assert_array_equal(back, frames)
+    with pytest.raises(ValueError):
+        parse_y4m(b"RIFF" + b[4:])
+    with pytest.raises(ValueError):
+        parse_y4m(b.replace(b"C420", b"C444", 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_video_y4m_samples_real_frames():
+    """DecodeVideo(y4m) explodes one row per every_ms tick with the
+    REAL frame nearest that timestamp (verified against parse_y4m +
+    hand-picked indices); the fake backend keeps the same schema."""
+    from engine.multimodal import DecodeVideo, encode_y4m, parse_y4m
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (8, 8, 8), dtype=np.uint8)  # 8 fr @10fps
+    payload = encode_y4m(frames, (10, 1))
+    t = pa.table(
+        {
+            "media_id": pa.array([42], pa.int64()),
+            "payload": pa.array([payload], pa.binary()),
+            "duration_ms": pa.array([800], pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            DecodeVideo,
+            fn_constructor_kwargs={"backend": "y4m", "every_ms": 250, "out_hw": (8, 8)},
+            concurrency=1,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("frame_ts_ms")
+    )
+    # 8 frames @10fps = 800ms; ticks at 0,250,500,750 -> frames 0,2,5,7
+    assert list(out.frame_ts_ms) == [0, 250, 500, 750]
+    dec, _, _ = parse_y4m(payload)
+    for ts, fi in ((0, 0), (250, 2), (500, 5), (750, 7)):
+        got = np.asarray(out.loc[out.frame_ts_ms == ts, "frame"].iloc[0]).reshape(8, 8)
+        np.testing.assert_array_equal(got, dec[fi])
+    # fake backend: same schema, rows follow duration_ms
+    from engine.multimodal import make_fake_media_table
+
+    fake = make_fake_media_table(3, fmt="raw")
+    out2 = (
+        rd.from_arrow(fake)
+        .map_batches(
+            DecodeVideo,
+            fn_constructor_kwargs={"backend": "fake", "every_ms": 1000},
+            concurrency=1,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    assert set(out2.columns) == {"media_id", "frame_ts_ms", "frame"}
+    assert len(out2) > 0
