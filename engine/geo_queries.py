@@ -143,14 +143,15 @@ def q_geometry_transform(sf_dir: str):
 
 
 def q_media_pipeline(sf_dir: str):
-    """Multimodal pipeline over REAL library-free media bytes, all
-    four spec-implemented decoders: P6 PPM + 24-bit BMP images and
-    RIFF PCM16 WAV + Sun .au clips -> per-format actor-pool decode
-    (actual pixel/sample recovery, engine.multimodal) -> vectorized
-    feature extraction -> format branches unioned -> image/audio hash
-    join on media_id. Rows-only (binary path; decode exactness is
-    pytest-verified against known pixels/waveforms and golden-byte
-    headers)."""
+    """Tri-modal pipeline over REAL library-free media bytes, all five
+    spec-implemented decoders: mixed PPM+BMP images and mixed WAV+AU
+    clips each through ONE auto-sniffing actor pool (magic-byte format
+    detection — the reference's layout-autodetect idiom; a real mixed
+    corpus needs no pre-split by format), plus Y4M video decoded to
+    timestamped frames and rolled up per media. Image ⋈ audio ⋈ video
+    hash joins on media_id. Rows-only (binary path; decode exactness
+    is pytest-verified against known pixels/waveforms/frames and
+    golden-byte headers)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -172,24 +173,31 @@ def q_media_pipeline(sf_dir: str):
 
         return f
 
-    def decode_branch(fmt: str, cls, backend_kwargs, seed: int, off: int):
-        ds = rd.from_arrow(make_fake_media_table(n, seed=seed, fmt=fmt))
-        if off:
-            ds = ds.map_batches(shift_ids(off), batch_format="pyarrow")
-        return ds.map_batches(
-            cls,
-            fn_constructor_kwargs=backend_kwargs,
-            batch_format="pyarrow",
-            batch_size=64,
-            concurrency=(1, 4),
+    def mixed_corpus(fmt_a: str, fmt_b: str, seed_a: int, seed_b: int):
+        # One UNION corpus per modality; the auto backend sniffs the
+        # format per payload (magic bytes), so ONE actor pool decodes
+        # the mixed stream (and a real mixed-format corpus needs no
+        # pre-split by format).
+        a = make_fake_media_table(n, seed=seed_a, fmt=fmt_a)
+        b = make_fake_media_table(n, seed=seed_b, fmt=fmt_b)
+        return rd.from_arrow(a).union(
+            rd.from_arrow(b).map_batches(shift_ids(n), batch_format="pyarrow")
         )
 
-    imgs = decode_branch("ppm", DecodeImage, dict(backend="ppm"), 7, 0).union(
-        decode_branch("bmp", DecodeImage, dict(backend="bmp"), 13, n)
+    imgs = mixed_corpus("ppm", "bmp", 7, 13).map_batches(
+        DecodeImage,
+        fn_constructor_kwargs=dict(backend="auto"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
     )
     imgs = imgs.map_batches(image_features_stage, batch_format="pyarrow")
-    auds = decode_branch("wav", DecodeAudio, dict(backend="wav"), 11, 0).union(
-        decode_branch("au", DecodeAudio, dict(backend="au"), 17, n)
+    auds = mixed_corpus("wav", "au", 11, 17).map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs=dict(backend="auto"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
     )
     auds = auds.map_batches(audio_features_stage, batch_format="pyarrow")
 
@@ -202,8 +210,8 @@ def q_media_pipeline(sf_dir: str):
         DecodeVideo,
         fn_constructor_kwargs=dict(backend="y4m", every_ms=200, out_hw=(8, 8)),
         batch_format="pyarrow",
-        batch_size=64,
-        concurrency=(1, 4),
+        batch_size=32,
+        concurrency=(1, 8),
     )
 
     def frame_partials(b):

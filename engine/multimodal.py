@@ -187,7 +187,7 @@ class DecodeImage:
                 "compressed image decode (JPEG/PNG) not available in this "
                 "environment; install Pillow/opencv and implement _decode_real()"
             )
-        if backend not in ("fake", "ppm", "bmp"):
+        if backend not in ("fake", "ppm", "bmp", "auto"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.out_hw = out_hw
@@ -207,6 +207,16 @@ class DecodeImage:
     def _decode_bmp(self, payload: bytes) -> np.ndarray:
         return self._nn_resize(parse_bmp(payload))
 
+    def _decode_auto(self, payload: bytes) -> np.ndarray:
+        # Magic-byte format sniffing (the reference's layout-autodetect
+        # idiom applied to media): one actor pool serves a mixed-format
+        # corpus instead of one pool per format.
+        if payload[:2] == b"P6":
+            return self._decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return self._decode_bmp(payload)
+        raise ValueError("unrecognized image payload (not P6 PPM or BMP)")
+
     def _nn_resize(self, pix: np.ndarray) -> np.ndarray:
         h, w = self.out_hw
         ih, iw = pix.shape[:2]
@@ -220,6 +230,7 @@ class DecodeImage:
         decode = {
             "ppm": self._decode_ppm,
             "bmp": self._decode_bmp,
+            "auto": self._decode_auto,
             "fake": self._decode_fake,
         }[self.backend]
         pix = np.stack([decode(p) for p in payloads])  # (n, h, w, 3)
@@ -380,7 +391,7 @@ class DecodeAudio:
                 "compressed audio decode (MP3/OGG/FLAC) not available in this "
                 "environment; install soundfile/librosa and implement _decode_real()"
             )
-        if backend not in ("fake", "wav", "au"):
+        if backend not in ("fake", "wav", "au", "auto"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.n_samples = n_samples
@@ -390,8 +401,13 @@ class DecodeAudio:
         n = len(payloads)
         wav = np.empty((n, self.n_samples), dtype=np.float32)
         for i, p in enumerate(payloads):
-            if self.backend in ("wav", "au"):
-                s, _rate = parse_wav(p) if self.backend == "wav" else parse_au(p)
+            if self.backend in ("wav", "au", "auto"):
+                if self.backend == "auto":
+                    # magic-byte sniff: RIFF/WAVE vs Sun .snd
+                    parse = parse_wav if p[:4] == b"RIFF" else parse_au
+                else:
+                    parse = parse_wav if self.backend == "wav" else parse_au
+                s, _rate = parse(p)
                 # truncate / zero-pad to the fixed sample-window column
                 k = min(len(s), self.n_samples)
                 wav[i, :k] = s[:k]

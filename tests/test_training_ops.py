@@ -1308,3 +1308,63 @@ def test_decode_video_y4m_samples_real_frames():
     )
     assert set(out2.columns) == {"media_id", "frame_ts_ms", "frame"}
     assert len(out2) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_auto_backend_sniffs_formats():
+    """backend='auto' decodes a MIXED-format stream with one actor
+    pool per modality, sniffing payload magic bytes: PPM+BMP pixels
+    and WAV+AU samples recover exactly as the per-format backends."""
+    from engine.multimodal import (
+        DecodeAudio,
+        encode_au,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([encode_ppm(pix[0]), encode_bmp(pix[1])], pa.binary()),
+            "width": pa.array([-1, -1], pa.int32()),
+            "height": pa.array([-1, -1], pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"backend": "auto", "out_hw": (8, 8)},
+            concurrency=1,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    for i in range(2):
+        got = np.asarray(out.pixels.iloc[i]).reshape(8, 8, 3)
+        np.testing.assert_array_equal(got, pix[i])  # native size: NN is identity
+
+    s = np.array([0.0, 0.25, -0.25, 0.5], dtype=np.float32)
+    ta = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([encode_wav(s, 16000), encode_au(s, 16000)], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(ta)
+        .map_batches(
+            DecodeAudio,
+            fn_constructor_kwargs={"backend": "auto", "n_samples": 4},
+            concurrency=1,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(out.waveform.iloc[i]), s)
