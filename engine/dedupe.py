@@ -1583,15 +1583,17 @@ def corpus_diff(index_a: Dataset, index_b: Dataset, num_partitions: int = 32) ->
         if len(rid) and rid.max() >= _SENT:
             raise ValueError("ids must be < 2^62 (sentinel bound)")
         is_a = df["is_a"].to_numpy().astype(bool)
+        # one groupby agg pass: output is per-GROUP (unlike
+        # incremental_exact_dedup, which needs per-row verdicts and so
+        # uses transforms)
         work = df.assign(
             _a=np.where(is_a, rid, _SENT), _b=np.where(~is_a, rid, _SENT)
         )
-        g = work.groupby(["d1", "d2"], sort=False)
-        ia = g["_a"].transform("min").to_numpy()
-        ib = g["_b"].transform("min").to_numpy()
-        # one output row per digest: keep the group's first occurrence
-        first = ~work.duplicated(["d1", "d2"], keep="first").to_numpy()
-        ia, ib = ia[first], ib[first]
+        g = work.groupby(["d1", "d2"], sort=False, as_index=False).agg(
+            _a=("_a", "min"), _b=("_b", "min")
+        )
+        ia = g["_a"].to_numpy()
+        ib = g["_b"].to_numpy()
         status = np.where(
             ia < _SENT, np.where(ib < _SENT, "common", "removed"), "added"
         )

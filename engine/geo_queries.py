@@ -202,7 +202,7 @@ def q_media_pipeline(sf_dir: str):
     auds = auds.map_batches(audio_features_stage, batch_format="pyarrow")
 
     # Video branch: REAL Y4M luma decode -> one row per sampled frame
-    # -> per-media exact-int rollup (frame count + mean-luma milli).
+    # -> per-media exact-int rollup (sampled-frame count + luma sums).
     from engine.multimodal import DecodeVideo
 
     vids = rd.from_arrow(make_fake_media_table(2 * n, seed=19, fmt="y4m"))

@@ -158,6 +158,16 @@ def encode_au(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b".snd" + struct.pack(">IIIII", 24, len(pcm), 3, rate, 1) + pcm
 
 
+def _nn_resize(fr: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbour gather to ``out_hw`` for (h, w) or (h, w, c)
+    arrays — the one shared resize kernel (index = arange(out)*in//out)."""
+    h, w = out_hw
+    ih, iw = fr.shape[:2]
+    ri = (np.arange(h) * ih // h)[:, None]
+    ci = (np.arange(w) * iw // w)[None, :]
+    return fr[ri, ci]
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -218,11 +228,7 @@ class DecodeImage:
         raise ValueError("unrecognized image payload (not P6 PPM or BMP)")
 
     def _nn_resize(self, pix: np.ndarray) -> np.ndarray:
-        h, w = self.out_hw
-        ih, iw = pix.shape[:2]
-        ri = (np.arange(h) * ih // h)[:, None]
-        ci = (np.arange(w) * iw // w)[None, :]
-        return pix[ri, ci, :]
+        return _nn_resize(pix, self.out_hw)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -321,12 +327,14 @@ def make_fake_media_table(n: int, seed: int = 7, fmt: str = "raw") -> pa.Table:
     rng = np.random.default_rng(seed)
     if fmt == "y4m":
         payloads = []
+        durs = []
         for _ in range(n):
             nf = int(rng.integers(4, 10))
             h, w = int(rng.integers(3, 9)) * 2, int(rng.integers(3, 9)) * 2
             payloads.append(
                 encode_y4m(rng.integers(0, 256, (nf, h, w), dtype=np.uint8), (10, 1))
             )
+            durs.append(nf * 100)  # 10 fps: metadata MATCHES the payload
         return pa.table(
             {
                 "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -335,7 +343,7 @@ def make_fake_media_table(n: int, seed: int = 7, fmt: str = "raw") -> pa.Table:
                 "payload": pa.array(payloads, pa.binary()),
                 "width": pa.array(np.full(n, -1, dtype=np.int32)),
                 "height": pa.array(np.full(n, -1, dtype=np.int32)),
-                "duration_ms": pa.array(rng.integers(1000, 10000, n).astype(np.int32)),
+                "duration_ms": pa.array(np.asarray(durs, dtype=np.int32)),
             }
         )
     if fmt in ("ppm", "bmp"):
@@ -403,8 +411,16 @@ class DecodeAudio:
         for i, p in enumerate(payloads):
             if self.backend in ("wav", "au", "auto"):
                 if self.backend == "auto":
-                    # magic-byte sniff: RIFF/WAVE vs Sun .snd
-                    parse = parse_wav if p[:4] == b"RIFF" else parse_au
+                    # magic-byte sniff: RIFF/WAVE vs Sun .snd (both
+                    # checked, like DecodeImage._decode_auto)
+                    if p[:4] == b"RIFF":
+                        parse = parse_wav
+                    elif p[:4] == b".snd":
+                        parse = parse_au
+                    else:
+                        raise ValueError(
+                            "unrecognized audio payload (not RIFF/WAVE or .snd)"
+                        )
                 else:
                     parse = parse_wav if self.backend == "wav" else parse_au
                 s, _rate = parse(p)
@@ -499,8 +515,9 @@ class DecodeVideo:
     """Actor-pool stage: video payload -> one row PER SAMPLED FRAME
     (media_id, frame_ts_ms, pixels) — the explode shape a frame
     pipeline feeds into image stages. ``backend="y4m"`` REALLY decodes
-    YUV4MPEG2 luma planes (parse_y4m) and samples the frame nearest
-    each every_ms tick; ``backend="fake"`` emits digest-seeded frames
+    YUV4MPEG2 luma planes (parse_y4m) and samples the frame DISPLAYED
+    AT each every_ms tick (floor of tick x fps — the frame on screen
+    at that instant); ``backend="fake"`` emits digest-seeded frames
     with the same schema; ``backend="real"`` (compressed codecs —
     H.264/VP9/...) raises: no video library in this container."""
 
@@ -522,9 +539,7 @@ class DecodeVideo:
         self.out_hw = out_hw
 
     def _nn(self, fr: np.ndarray) -> np.ndarray:
-        h, w = self.out_hw
-        ih, iw = fr.shape
-        return fr[(np.arange(h) * ih // h)[:, None], (np.arange(w) * iw // w)[None, :]]
+        return _nn_resize(fr, self.out_hw)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         h, w = self.out_hw
