@@ -162,3 +162,61 @@ def test_fuzz_pii_scrub_matches_re(texts):
             assert out[f"n_{name}"][i] == len(re.findall(pat, s)), (name, s)
             scrub = re.sub(pat, repl.replace("\\", "\\\\"), scrub)
         assert out["text_scrubbed"][i] == scrub, s
+
+
+# --- media codec round-trips (pure, no Ray) ----------------------------
+
+_dims = st.integers(min_value=1, max_value=12)
+
+
+@settings(max_examples=100, deadline=None)
+@given(h=_dims, w=_dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_fuzz_ppm_bmp_roundtrip(h, w, seed):
+    """encode->parse is the identity for arbitrary pixel grids in both
+    image codecs (BMP exercises every row-padding residue via w)."""
+    from engine.multimodal import encode_bmp, encode_ppm, parse_bmp, parse_ppm
+
+    pix = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(parse_ppm(encode_ppm(pix)), pix)
+    np.testing.assert_array_equal(parse_bmp(encode_bmp(pix)), pix)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_fuzz_wav_au_roundtrip(n, seed, rate):
+    """encode->parse is the identity for i2-representable samples in
+    both audio codecs, including empty clips."""
+    from engine.multimodal import encode_au, encode_wav, parse_au, parse_wav
+
+    raw = np.random.default_rng(seed).integers(-32768, 32768, n)
+    s = (raw / 32768.0).astype(np.float32)
+    back, r = parse_wav(encode_wav(s, rate))
+    assert r == rate
+    np.testing.assert_array_equal(back, s)
+    back, r = parse_au(encode_au(s, rate))
+    assert r == rate
+    np.testing.assert_array_equal(back, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=6),
+    h=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_fuzz_y4m_roundtrip(n, h, w, seed):
+    """encode->parse recovers luma bit-exact for arbitrary frame
+    stacks incl. zero frames (even plane dims per C420)."""
+    from engine.multimodal import encode_y4m, parse_y4m
+
+    frames = np.random.default_rng(seed).integers(
+        0, 256, (n, 2 * h, 2 * w), dtype=np.uint8
+    )
+    back, num, den = parse_y4m(encode_y4m(frames, (10, 1)))
+    assert (num, den) == (10, 1)
+    np.testing.assert_array_equal(back, frames)
