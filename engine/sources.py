@@ -71,3 +71,81 @@ def jsonl_to_parquet(
 
         ds = ds.map_batches(cast, batch_format="pyarrow")
     ds.write_parquet(out_dir)
+
+
+# --- columnar interchange formats: ORC and Arrow IPC (S7) --------------
+#
+# Unlike the row formats above, both are COLUMNAR: `columns=` prunes at
+# the read (pyarrow reads only those streams), so they are legitimate
+# analytical sources, not just ingest shapes. Ray Data has no built-in
+# reader/writer for either; reads follow the shapefile pattern (one
+# parse task per file — both formats are file-framed), writes follow
+# the write_shapefile_partitions pattern (one numbered file per block,
+# the resumable layout).
+
+
+def read_orc(paths: Sequence[str], columns: Sequence[str] | None = None) -> Dataset:
+    """Dataset over ORC files: one read task per file, columns pruned
+    AT the read (ORC stripes are columnar)."""
+    import pyarrow.orc as orc
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [
+            orc.read_table(row["path"], columns=list(columns) if columns else None)
+            for row in batch.to_pylist()
+        ]
+        return pa.concat_tables(tables, promote_options="default")
+
+    items = [{"path": str(p)} for p in paths]
+    return rd.from_items(items).map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_orc(ds: Dataset, out_dir: str) -> list[str]:
+    """One part-{i:05d}.orc per block under ``out_dir``. Blocks stream
+    through the driver one at a time (the shapefile-sink contract:
+    upstream stays distributed, writing is I/O-bound)."""
+    import os
+
+    import pyarrow.orc as orc
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for i, b in enumerate(ds.iter_batches(batch_size=None, batch_format="pyarrow")):
+        p = os.path.join(out_dir, f"part-{i:05d}.orc")
+        orc.write_table(b, p)
+        written.append(p)
+    return written
+
+
+def read_ipc(paths: Sequence[str], columns: Sequence[str] | None = None) -> Dataset:
+    """Dataset over Arrow IPC files (Feather v2 container): one read
+    task per file; ``columns`` selects record-batch fields zero-copy."""
+    import pyarrow.ipc as ipc
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for row in batch.to_pylist():
+            t = ipc.open_file(row["path"]).read_all()
+            if columns is not None:
+                t = t.select(list(columns))
+            tables.append(t)
+        return pa.concat_tables(tables, promote_options="default")
+
+    items = [{"path": str(p)} for p in paths]
+    return rd.from_items(items).map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_ipc(ds: Dataset, out_dir: str) -> list[str]:
+    """One part-{i:05d}.arrow IPC file per block under ``out_dir``."""
+    import os
+
+    import pyarrow.ipc as ipc
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for i, b in enumerate(ds.iter_batches(batch_size=None, batch_format="pyarrow")):
+        p = os.path.join(out_dir, f"part-{i:05d}.arrow")
+        with ipc.new_file(p, b.schema) as w:
+            w.write_table(b)
+        written.append(p)
+    return written

@@ -92,3 +92,42 @@ def test_jsonl_to_parquet_ingest(ray_session, docs_table, tmp_path):
     # pruned read off the converted parquet
     just_ids = pq.read_table(out, columns=["doc_id"])
     assert just_ids.num_rows == docs_table.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orc_and_ipc_roundtrip_with_pruned_reads(tmp_path):
+    """ORC and Arrow-IPC sinks write one file per block; the readers
+    recover the exact table (values AND dtypes, incl. >2^53 ints) and
+    prune columns at the read."""
+    import pyarrow.parquet as pq
+
+    from engine.sources import read_ipc, read_orc, write_ipc, write_orc
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    big = src.set_column(
+        0, "doc_id", pa.array(src["doc_id"].to_numpy() + (1 << 60), pa.int64())
+    )
+    ds = rd.from_arrow(big).repartition(3)
+
+    for name, write, read in (
+        ("orc", write_orc, read_orc),
+        ("ipc", write_ipc, read_ipc),
+    ):
+        out = tmp_path / name
+        files = write(ds, str(out))
+        assert len(files) == 3 and all(name in f or f.endswith(".arrow") for f in files)
+        back = (
+            read(files)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = big.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert back.equals(exp), name
+        # pruned read: only the requested columns come back
+        pruned = read(files, columns=["doc_id"]).to_pandas()
+        assert list(pruned.columns) == ["doc_id"]
+        assert sorted(pruned.doc_id) == sorted(exp.doc_id), name
