@@ -129,6 +129,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "line_dedup_docs",
             "lm_quality_scores",
             "semantic_clusters",
+            "pack_shards_docs",
+            "left_join_f_orders",
+            "incremental_dedup",
+            "corpus_diff_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()
