@@ -76,76 +76,82 @@ def jsonl_to_parquet(
 # --- columnar interchange formats: ORC and Arrow IPC (S7) --------------
 #
 # Unlike the row formats above, both are COLUMNAR: `columns=` prunes at
-# the read (pyarrow reads only those streams), so they are legitimate
+# the read (ORC reads only those streams; IPC memory-maps the file so
+# unselected column buffers are never paged in), so they are legitimate
 # analytical sources, not just ingest shapes. Ray Data has no built-in
 # reader/writer for either; reads follow the shapefile pattern (one
 # parse task per file — both formats are file-framed), writes follow
 # the write_shapefile_partitions pattern (one numbered file per block,
-# the resumable layout).
+# the resumable layout). Readers/sinks share the two helpers below.
 
 
-def read_orc(paths: Sequence[str], columns: Sequence[str] | None = None) -> Dataset:
-    """Dataset over ORC files: one read task per file, columns pruned
-    AT the read (ORC stripes are columnar)."""
-    import pyarrow.orc as orc
+def _read_file_framed(paths: str | Sequence[str], parse_one) -> Dataset:
+    if isinstance(paths, str):
+        paths = [paths]
 
     def parse(batch: pa.Table) -> pa.Table:
-        tables = [
-            orc.read_table(row["path"], columns=list(columns) if columns else None)
-            for row in batch.to_pylist()
-        ]
+        tables = [parse_one(row["path"]) for row in batch.to_pylist()]
         return pa.concat_tables(tables, promote_options="default")
 
     items = [{"path": str(p)} for p in paths]
     return rd.from_items(items).map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def _write_blocks(ds: Dataset, out_dir: str, ext: str, write_one) -> list[str]:
+    """One part-{i:05d}.{ext} per block. Blocks stream through the
+    driver one at a time (the shapefile-sink contract: upstream stays
+    distributed, writing is I/O-bound)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for i, b in enumerate(ds.iter_batches(batch_size=None, batch_format="pyarrow")):
+        p = os.path.join(out_dir, f"part-{i:05d}.{ext}")
+        write_one(b, p)
+        written.append(p)
+    return written
+
+
+def read_orc(paths: str | Sequence[str], columns: Sequence[str] | None = None) -> Dataset:
+    """Dataset over ORC files: one read task per file, columns pruned
+    AT the read (pyarrow reads only the selected stripes' streams)."""
+    import pyarrow.orc as orc
+
+    cols = list(columns) if columns is not None else None
+    return _read_file_framed(paths, lambda p: orc.read_table(p, columns=cols))
 
 
 def write_orc(ds: Dataset, out_dir: str) -> list[str]:
-    """One part-{i:05d}.orc per block under ``out_dir``. Blocks stream
-    through the driver one at a time (the shapefile-sink contract:
-    upstream stays distributed, writing is I/O-bound)."""
-    import os
-
     import pyarrow.orc as orc
 
-    os.makedirs(out_dir, exist_ok=True)
-    written = []
-    for i, b in enumerate(ds.iter_batches(batch_size=None, batch_format="pyarrow")):
-        p = os.path.join(out_dir, f"part-{i:05d}.orc")
-        orc.write_table(b, p)
-        written.append(p)
-    return written
+    return _write_blocks(ds, out_dir, "orc", orc.write_table)
 
 
-def read_ipc(paths: Sequence[str], columns: Sequence[str] | None = None) -> Dataset:
+def read_ipc(paths: str | Sequence[str], columns: Sequence[str] | None = None) -> Dataset:
     """Dataset over Arrow IPC files (Feather v2 container): one read
-    task per file; ``columns`` selects record-batch fields zero-copy."""
+    task per file. The file is MEMORY-MAPPED, so with ``columns`` the
+    unselected columns' buffers are never paged in — a true pruned
+    read, not a post-read projection."""
     import pyarrow.ipc as ipc
 
-    def parse(batch: pa.Table) -> pa.Table:
-        tables = []
-        for row in batch.to_pylist():
-            t = ipc.open_file(row["path"]).read_all()
-            if columns is not None:
-                t = t.select(list(columns))
-            tables.append(t)
-        return pa.concat_tables(tables, promote_options="default")
+    def one(p: str) -> pa.Table:
+        # No explicit close: the returned table's buffers hold a
+        # reference to the map, which pyarrow keeps alive until the
+        # buffers are released (closing it early would invalidate
+        # zero-copy views).
+        t = ipc.open_file(pa.memory_map(p)).read_all()
+        if columns is not None:
+            t = t.select(list(columns))
+        return t
 
-    items = [{"path": str(p)} for p in paths]
-    return rd.from_items(items).map_batches(parse, batch_format="pyarrow", batch_size=1)
+    return _read_file_framed(paths, one)
 
 
 def write_ipc(ds: Dataset, out_dir: str) -> list[str]:
-    """One part-{i:05d}.arrow IPC file per block under ``out_dir``."""
-    import os
-
     import pyarrow.ipc as ipc
 
-    os.makedirs(out_dir, exist_ok=True)
-    written = []
-    for i, b in enumerate(ds.iter_batches(batch_size=None, batch_format="pyarrow")):
-        p = os.path.join(out_dir, f"part-{i:05d}.arrow")
+    def one(b: pa.Table, p: str) -> None:
         with ipc.new_file(p, b.schema) as w:
             w.write_table(b)
-        written.append(p)
-    return written
+
+    return _write_blocks(ds, out_dir, "arrow", one)

@@ -104,7 +104,7 @@ def test_orc_and_ipc_roundtrip_with_pruned_reads(tmp_path):
     from engine.sources import read_ipc, read_orc, write_ipc, write_orc
 
     src = pq.read_table(
-        "/root/testdata/sf0.001/documents.parquet",
+        f"{SF}/documents.parquet",
         columns=["doc_id", "text", "lang"],
     )
     big = src.set_column(
@@ -112,13 +112,13 @@ def test_orc_and_ipc_roundtrip_with_pruned_reads(tmp_path):
     )
     ds = rd.from_arrow(big).repartition(3)
 
-    for name, write, read in (
-        ("orc", write_orc, read_orc),
-        ("ipc", write_ipc, read_ipc),
+    for name, ext, write, read in (
+        ("orc", ".orc", write_orc, read_orc),
+        ("ipc", ".arrow", write_ipc, read_ipc),
     ):
         out = tmp_path / name
         files = write(ds, str(out))
-        assert len(files) == 3 and all(name in f or f.endswith(".arrow") for f in files)
+        assert len(files) == 3 and all(f.endswith(ext) for f in files), files
         back = (
             read(files)
             .to_pandas()
@@ -131,3 +131,9 @@ def test_orc_and_ipc_roundtrip_with_pruned_reads(tmp_path):
         pruned = read(files, columns=["doc_id"]).to_pandas()
         assert list(pruned.columns) == ["doc_id"]
         assert sorted(pruned.doc_id) == sorted(exp.doc_id), name
+        # a bare str path works (sibling-reader contract, not per-char)
+        one = read(files[0]).to_pandas()
+        assert len(one) > 0 and set(one.columns) == {"doc_id", "text", "lang"}
+        # columns=[] is an explicit empty projection on BOTH readers
+        empty = read(files[0], columns=[])
+        assert empty.to_pandas().shape[1] == 0, name
