@@ -13,32 +13,95 @@ every LLM-data op in this repo exists to serve:
     after doc-level dedup and drops docs it empties entirely)
 
 Composition and scale contracts (each stage's detail lives on its op):
-- quality / language filters are per-block, zero-shuffle;
+- quality / language / PII are ONE fused per-block stage, zero-shuffle;
+- the corpus is never ``.materialize()``-d into the object store:
+  multi-pass inputs (the dedup stages re-scan the filtered corpus,
+  the report/split/write each consume the final rows) are
+  CHECKPOINTED to parquet under ``cache_dir`` (streaming write, one
+  file per block, disk-resident — the engine/checkpoint.py layout
+  philosophy) and re-read with pruned columns per pass. Object-store
+  residency is bounded by in-flight blocks, not corpus size;
+- per-stage report counts come from PER-BLOCK METRIC PARTIALS: each
+  map task writes one tiny JSON partial (filename = digest of the
+  block's id bytes, so task retries overwrite instead of
+  double-counting) into ``cache_dir/_metrics_*``; the driver sums
+  partials after the stage's write completes. No ``ds.count()``
+  pass, no extra pipeline execution per counter;
 - exact dedup ships 24 B digests through its shuffle, never text, and
   the verdict returns as a DROP-ID set (duplicate-scale, sparse on
-  real corpora) anti-filtered where the blocks live — broadcast under
-  ``max_broadcast_drop_ids``, exact hash-join anti above it (a Bloom
-  filter is NOT usable for anti: false positives would drop clean
-  docs);
+  real corpora) anti-filtered where the blocks live — broadcast via
+  ``semi_filter`` (a Bloom filter is NOT usable for anti: false
+  positives would drop clean docs);
 - near-dup dedup is the full minhash → LSH → semi-filtered exact
   verify → connected-components verdict (engine.dedupe), reduced to
-  the same sparse drop-id shape;
+  the same sparse drop-id shape; both drop sets merge into ONE
+  anti-filter pass;
 - decontamination is a broadcast n-gram probe, zero-shuffle;
 - the split is a deterministic content-id hash (resumable,
   repartition-stable);
-- the write is one file per block per split directory (resumable).
+- the final rows are checkpointed ONCE with split labels; the
+  returned Dataset and the optional ``out_dir`` train/val writes all
+  read from that checkpoint instead of re-executing the chain.
 
-The report counts come from streaming aggregations and drop-set
-sizes; the driver never holds corpus rows.
+The driver never holds corpus rows — only sparse drop-id sets and
+summed metric partials.
+
+NOTE: ``cache_dir`` (default: a fresh tempdir under /tmp) must be on
+storage visible to all workers (shared FS / object store URI on a
+real cluster — the same assumption every parquet sink here makes).
+The returned Dataset reads lazily from it; delete it only after
+consuming the result.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
 
 import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
 from engine.textops import contamination_flags, langid_batch, quality_batch
+
+
+def _write_partial(mdir: str, ids: pa.ChunkedArray | pa.Array, payload: dict) -> None:
+    """One metric-partial JSON per (stage, block). The filename is a
+    digest of the block's id bytes + row count, so a retried task
+    overwrites its own partial (idempotent) instead of double-counting.
+    Unique ids guarantee distinct blocks get distinct names."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    idv = ids.to_numpy(zero_copy_only=False)
+    key = hashlib.blake2b(
+        idv.tobytes() + str(len(idv)).encode(), digest_size=12
+    ).hexdigest()
+    tmp = os.path.join(mdir, f".{key}.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(mdir, f"{key}.json"))
+
+
+def _sum_partials(mdir: str) -> dict[str, int]:
+    tot: dict[str, int] = {}
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            for k, v in json.load(f).items():
+                tot[k] = tot.get(k, 0) + int(v)
+    return tot
+
+
+def _read_cache(path: str, columns: list[str] | None = None) -> Dataset:
+    """Pruned, metadata-free re-read of a parquet checkpoint."""
+    import ray.data as rd
+
+    from engine.util import clean_read_schema
+
+    return rd.read_parquet(path, columns=columns, schema=clean_read_schema(path, columns))
 
 
 def _drop_ids_exact(ds: Dataset, id_col: str, text_col: str) -> np.ndarray:
@@ -89,6 +152,20 @@ def _drop_ids_neardup(ds: Dataset, id_col: str, text_col: str, threshold: float)
     return np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
 
 
+def _empty_result(id_col: str, text_col: str) -> Dataset:
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                text_col: pa.array([], pa.string()),
+                "split": pa.array([], pa.string()),
+            }
+        )
+    )
+
+
 def curate(
     ds: Dataset,
     *,
@@ -104,65 +181,94 @@ def curate(
     contamination_k: int = 8,
     val_permille: int = 50,
     out_dir: str | None = None,
+    cache_dir: str | None = None,
 ) -> tuple[Dataset, dict]:
     """Run the full curation chain; returns (curated dataset with a
     ``split`` column, per-stage report dict). When ``out_dir`` is
     given, also writes ``{out_dir}/train`` and ``{out_dir}/val``
-    parquet directories (one file per block)."""
+    parquet directories. The returned Dataset is a lazy read of the
+    final checkpoint under ``cache_dir`` — consuming it re-reads
+    parquet, never re-executes the chain."""
     from engine.joins import semi_filter
 
-    report: dict[str, int] = {"input": ds.count()}
+    cache = cache_dir or tempfile.mkdtemp(prefix="curate-", dir="/tmp")
+    report: dict[str, int] = {}
 
-    def qual_lang(b: pa.Table) -> pa.Table:
-        b = quality_batch(b, text_col)
-        b = langid_batch(b, text_col)
-        ok_tokens = pa.array(
-            b["n_tokens"].to_numpy(zero_copy_only=False) >= min_tokens
-        )
-        ok_alpha = pa.array(
-            b["alpha_ratio_milli"].to_numpy(zero_copy_only=False) >= min_alpha_milli
-        )
-        lang_pred = np.asarray(b["lang_pred"].to_pylist(), dtype=object)
-        ok_lang = pa.array(np.isin(lang_pred, np.asarray(langs, dtype=object)))
-        import pyarrow.compute as pc
-
-        keep = pc.and_(pc.and_(ok_tokens, ok_alpha), ok_lang)
-        return b.filter(keep).select([id_col, text_col])
-
-    filtered = ds.map_batches(qual_lang, batch_format="pyarrow").materialize()
-    report["after_quality_lang"] = filtered.count()
-
+    # --- stage 1 (FUSED, one pass): quality + language [+ PII scrub] ---
+    m1 = os.path.join(cache, "_metrics_filter")
+    os.makedirs(m1, exist_ok=True)
     if scrub_pii:
         from engine.textops import pii_scrub_batch
 
-        def scrub(b: pa.Table) -> pa.Table:
-            s = pii_scrub_batch(b, text_col)
+    def qual_lang_scrub(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_in = b.num_rows
+        in_ids = b[id_col]
+        q = quality_batch(b, text_col)
+        q = langid_batch(q, text_col)
+        ok_tokens = pa.array(
+            q["n_tokens"].to_numpy(zero_copy_only=False) >= min_tokens
+        )
+        ok_alpha = pa.array(
+            q["alpha_ratio_milli"].to_numpy(zero_copy_only=False) >= min_alpha_milli
+        )
+        lang_pred = np.asarray(q["lang_pred"].to_pylist(), dtype=object)
+        ok_lang = pa.array(np.isin(lang_pred, np.asarray(langs, dtype=object)))
+        keep = pc.and_(pc.and_(ok_tokens, ok_alpha), ok_lang)
+        kept = q.filter(keep).select([id_col, text_col])
+        payload = {"input": n_in, "after_quality_lang": kept.num_rows}
+        if scrub_pii:
+            s = pii_scrub_batch(kept, text_col)
             hits = (
                 s["n_emails"].to_numpy(zero_copy_only=False)
                 + s["n_phones"].to_numpy(zero_copy_only=False)
                 + s["n_ips"].to_numpy(zero_copy_only=False)
             ) > 0
-            return pa.table(
-                {
-                    id_col: b[id_col],
-                    text_col: s["text_scrubbed"],
-                    "pii_hit": pa.array(hits.astype(np.int64)),
-                }
-            )
+            payload["pii_docs_scrubbed"] = int(hits.sum())
+            kept = pa.table({id_col: kept[id_col], text_col: s["text_scrubbed"]})
+        _write_partial(m1, in_ids, payload)
+        return kept
 
-        filtered = filtered.map_batches(scrub, batch_format="pyarrow").materialize()
-        report["pii_docs_scrubbed"] = int(filtered.sum("pii_hit") or 0)
-        filtered = filtered.map_batches(
-            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
-        )
+    fdir = os.path.join(cache, "filtered")
+    ds.map_batches(qual_lang_scrub, batch_format="pyarrow").write_parquet(fdir)
+    s1 = _sum_partials(m1)
+    report["input"] = s1.get("input", 0)
+    report["after_quality_lang"] = s1.get("after_quality_lang", 0)
+    if scrub_pii:
+        report["pii_docs_scrubbed"] = s1.get("pii_docs_scrubbed", 0)
 
-    exact_drops = _drop_ids_exact(filtered, id_col, text_col)
+    def _finish_empty() -> tuple[Dataset, dict]:
+        for k in (
+            "exact_dups_dropped",
+            "near_dups_dropped",
+            "contaminated_dropped",
+            "output",
+            "val_rows",
+        ):
+            report.setdefault(k, 0)
+        if line_dedup:
+            report.setdefault("lines_dropped", 0)
+            report.setdefault("emptied_docs_dropped", 0)
+        return _empty_result(id_col, text_col), report
+
+    if report["after_quality_lang"] == 0:
+        return _finish_empty()
+
+    # --- stages 2+3: exact + near-dup drop-id sets, ONE anti-filter ---
+    exact_drops = _drop_ids_exact(_read_cache(fdir, [id_col, text_col]), id_col, text_col)
     report["exact_dups_dropped"] = int(len(exact_drops))
-    deduped = semi_filter(filtered, exact_drops, id_col, anti=True).materialize()
-
-    near_drops = _drop_ids_neardup(deduped, id_col, text_col, neardup_threshold)
+    near_drops = _drop_ids_neardup(
+        semi_filter(_read_cache(fdir, [id_col, text_col]), exact_drops, id_col, anti=True),
+        id_col,
+        text_col,
+        neardup_threshold,
+    )
     report["near_dups_dropped"] = int(len(near_drops))
-    deduped = semi_filter(deduped, near_drops, id_col, anti=True)
+    all_drops = np.sort(np.concatenate([exact_drops, near_drops]))
+    deduped = semi_filter(
+        _read_cache(fdir, [id_col, text_col]), all_drops, id_col, anti=True
+    )
 
     if line_dedup:
         import pyarrow.compute as pc
@@ -170,18 +276,59 @@ def curate(
         from engine.dedupe import line_dedup as _line_dedup
 
         width = None if line_dedup is True else int(line_dedup)
-        ld = _line_dedup(
-            deduped, id_col=id_col, text_col=text_col, token_width=width
-        ).materialize()
-        report["lines_dropped"] = int(ld.sum("n_dropped") or 0)
+        ld = _line_dedup(deduped, id_col=id_col, text_col=text_col, token_width=width)
+
+        # Checkpoint the rebuilt docs once (multi-pass input: counters
+        # + onward flow), tagging emptied docs so the counter pass
+        # reads two int columns, never text.
+        def tag(b: pa.Table) -> pa.Table:
+            empty = pc.cast(
+                pc.equal(pc.binary_length(b["text_dedup"]), 0), pa.int64()
+            )
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "text_dedup": b["text_dedup"],
+                    "n_dropped": b["n_dropped"],
+                    "is_empty": empty,
+                }
+            )
+
+        lddir = os.path.join(cache, "line_dedup")
+        ld.map_batches(tag, batch_format="pyarrow").write_parquet(lddir)
+        m_ld = os.path.join(cache, "_metrics_line")
+        os.makedirs(m_ld, exist_ok=True)
+
+        def ld_counts(b: pa.Table) -> pa.Table:
+            _write_partial(
+                m_ld,
+                b[id_col],
+                {
+                    "lines_dropped": int(
+                        b["n_dropped"].to_numpy(zero_copy_only=False).sum()
+                    ),
+                    "emptied_docs_dropped": int(
+                        b["is_empty"].to_numpy(zero_copy_only=False).sum()
+                    ),
+                },
+            )
+            return pa.table({id_col: b[id_col]})
+
+        # Pruned counter pass: ids + two int columns, no text bytes.
+        _read_cache(lddir, [id_col, "n_dropped", "is_empty"]).map_batches(
+            ld_counts, batch_format="pyarrow"
+        ).count()
+        sld = _sum_partials(m_ld)
+        report["lines_dropped"] = sld.get("lines_dropped", 0)
+        report["emptied_docs_dropped"] = sld.get("emptied_docs_dropped", 0)
 
         def keep_nonempty(b: pa.Table) -> pa.Table:
             t = b.filter(pc.not_equal(b["text_dedup"], ""))
             return pa.table({id_col: t[id_col], text_col: t["text_dedup"]})
 
-        nonempty = ld.map_batches(keep_nonempty, batch_format="pyarrow").materialize()
-        report["emptied_docs_dropped"] = ld.count() - nonempty.count()
-        deduped = nonempty
+        deduped = _read_cache(lddir, [id_col, "text_dedup"]).map_batches(
+            keep_nonempty, batch_format="pyarrow"
+        )
 
     if contamination_queries:
         flags = contamination_flags(
@@ -198,26 +345,36 @@ def curate(
     else:
         report["contaminated_dropped"] = 0
 
+    # --- final: split label + ONE checkpoint; counters as partials ---
+    m_out = os.path.join(cache, "_metrics_out")
+    os.makedirs(m_out, exist_ok=True)
+
     def split(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = (ids * 2654435761 + 97) % 1000
         s = np.where(h < val_permille, "val", "train")
+        _write_partial(
+            m_out,
+            b[id_col],
+            {"output": b.num_rows, "val_rows": int((h < val_permille).sum())},
+        )
         return b.append_column("split", pa.array(s, pa.string()))
 
-    out = deduped.map_batches(split, batch_format="pyarrow").materialize()
-    report["output"] = out.count()
-    report["val_rows"] = int(
-        sum(
-            int((np.asarray(b["split"].to_pylist(), dtype=object) == "val").sum())
-            for b in out.iter_batches(batch_format="pyarrow")
-        )
-    )
+    findir = os.path.join(cache, "final")
+    deduped.map_batches(split, batch_format="pyarrow").write_parquet(findir)
+    so = _sum_partials(m_out)
+    report["output"] = so.get("output", 0)
+    report["val_rows"] = so.get("val_rows", 0)
+    if report["output"] == 0:
+        return _finish_empty()
+
+    out = _read_cache(findir)
     if out_dir is not None:
+        import pyarrow.compute as pc
+
         for name in ("train", "val"):
-            part = out.map_batches(
-                lambda b, nm=name: b.filter(
-                    pa.array(np.asarray(b["split"].to_pylist(), dtype=object) == nm)
-                ),
+            part = _read_cache(findir).map_batches(
+                lambda b, nm=name: b.filter(pc.equal(b["split"], nm)),
                 batch_format="pyarrow",
             )
             part.write_parquet(f"{out_dir}/{name}")

@@ -246,11 +246,17 @@ def jaccard_similarity_join(
     threshold: tuple[int, int] = (1, 2),
     num_partitions: int = 64,
     max_df: int | None = None,
+    method: str = "inverted",
 ) -> Dataset:
     """Exact n-gram (word k-shingle) Jaccard similarity self-join: all
     pairs with |A∩B| / |A∪B| >= num/den, via a distributed inverted
     index on shingle hash — no LSH approximation, and no text through
     any shuffle (only (id, shingle-hash, size) rows move).
+
+    ``method="prefix"`` routes to jaccard_similarity_join_prefix (the
+    fully-exact scale path: prefix filtering removes both the df^2
+    hot-bucket risk and the max_df lower-bound caveat; identical
+    output values).
 
     Stage 1 co-groups by shingle hash and emits per-partition PARTIAL
     intersection counts per candidate pair (docs sharing >= 1
@@ -270,6 +276,17 @@ def jaccard_similarity_join(
     """
     from engine.shuffle import keyed_partition_map
 
+    if method == "prefix":
+        return jaccard_similarity_join_prefix(
+            ds,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            num_partitions=num_partitions,
+        )
+    if method != "inverted":
+        raise ValueError(f"unknown method {method!r}")
     num, den = threshold
     rows = ds.map_batches(
         shingle_set_rows,
@@ -351,6 +368,253 @@ def jaccard_similarity_join(
         partials, ["id_a"], sum_filter, num_partitions=16, out_schema=out_schema
     )
 
+
+_CAND_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("na", pa.int64()),
+        ("nb", pa.int64()),
+    ]
+)
+
+
+def _shingle_df_broadcast(rows: Dataset, num_partitions: int = 64,
+                          max_broadcast_df: int = 4_000_000):
+    """Global shingle document frequencies as a broadcast ref of
+    (sorted shingle hashes, df) for df >= 2 ONLY — a shingle absent
+    from the map has df == 1 by construction, so the full global order
+    (df, s) is derivable from this duplicate-vocab-scale map. Combiner
+    shape: per-block unique-counts pre-aggregate, one coarse shuffle of
+    (s, partial) int64 rows, then a bounded driver collect (the same
+    broadcast policy as line_dedup's drop keys: beyond
+    ``max_broadcast_df`` this RAISES — the documented swap is a
+    hash-partitioned df join against the prefix stage, deliberately
+    not silently engaged)."""
+    import ray
+
+    from engine.shuffle import keyed_partition_map
+
+    def pre(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"s": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    partials = rows.map_batches(pre, batch_format="pyarrow")
+    df_schema = pa.schema([("s", pa.int64()), ("c", pa.int64())])
+
+    def sum_df(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s", sort=False)["c"].sum().reset_index()
+        return g.loc[g["c"] >= 2]
+
+    dfs = keyed_partition_map(
+        partials, ["s"], sum_df, num_partitions=num_partitions, out_schema=df_schema
+    )
+    parts_s, parts_c = [], []
+    for b in dfs.iter_batches(batch_format="pyarrow"):
+        parts_s.append(b["s"].to_numpy(zero_copy_only=False))
+        parts_c.append(b["c"].to_numpy(zero_copy_only=False))
+    s_all = np.concatenate(parts_s) if parts_s else np.zeros(0, dtype=np.int64)
+    c_all = np.concatenate(parts_c) if parts_c else np.zeros(0, dtype=np.int64)
+    if len(s_all) > max_broadcast_df:
+        raise ValueError(
+            f"{len(s_all)} shared shingles exceed max_broadcast_df="
+            f"{max_broadcast_df}; use the hash-partitioned df-join variant"
+        )
+    order = np.argsort(s_all)
+    return ray.put((s_all[order], c_all[order]))
+
+
+def _prefix_len(n: np.ndarray, num: int, den: int) -> np.ndarray:
+    """All-Pairs/PPJoin prefix length for Jaccard >= num/den:
+    |A| - ceil(t*|A|) + 1, in exact integers."""
+    return n - (num * n + den - 1) // den + 1
+
+
+def jaccard_similarity_join_prefix(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    num_partitions: int = 64,
+    max_broadcast_df: int = 4_000_000,
+) -> Dataset:
+    """Exact Jaccard self-join via PREFIX FILTERING (Bayardo et al.
+    'Scaling Up All Pairs Similarity Search', WWW'07; Xiao et al.
+    PPJoin) — the fully-exact scale path with NO df cap and NO df^2
+    blowup on ultra-common shingles.
+
+    Principle: order every doc's distinct shingles by the global
+    rarest-first total order (df, s); if J(A,B) >= t then the
+    (|A| - ceil(t|A|) + 1)-prefixes of A and B must share a shingle.
+    Ultra-common shingles sort LAST, so they land in prefixes only
+    when a doc has nothing rarer — candidate buckets stay df-small
+    exactly where the inverted-index variant exploded.
+
+    Stages (text never enters a shuffle until the endpoint-filtered
+    verify):
+      1. df pass — per-block shingle counts, one (s, partial) int64
+         shuffle, df>=2 map broadcast once (``ray.put``);
+      2. prefix pass — re-shingle per block, per-doc lexsort by
+         (df, s), emit only prefix (id, s, n) rows;
+      3. candidates — co-group prefix rows by s; per-bucket pairs with
+         the integer length filter (den*min(na,nb) >= num*max(na,nb)),
+         deduped globally (candidate-scale);
+      4. verify — verify_pairs_jaccard_distributed(emit_stats) on the
+         endpoint-semi-filtered corpus gives exact intersections with
+         the rational threshold; na/nb merge back from the candidate
+         rows (both sides candidate-scale, one co-partitioned merge).
+
+    Returns Dataset[id_a, id_b, inter, na, nb] — identical values to
+    jaccard_similarity_join(max_df=None) (pytest brute-force checked,
+    including an uncapped ultra-common-shingle corpus).
+    """
+    import ray
+
+    from engine.shuffle import keyed_partition_map
+
+    num, den = threshold
+    src = ds.select_columns([id_col, text_col])
+    rows = src.map_batches(
+        shingle_set_rows,
+        batch_format="pyarrow",
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, shingle_k=shingle_k),
+    )
+    ref = _shingle_df_broadcast(rows, num_partitions, max_broadcast_df)
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        t = shingle_set_rows(b, id_col, text_col, shingle_k)
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s_map, df_map = ray.get(ref)
+        if len(s_map):
+            pos = np.clip(np.searchsorted(s_map, s), 0, len(s_map) - 1)
+            dfv = np.where(s_map[pos] == s, df_map[pos], 1)
+        else:
+            dfv = np.ones(len(s), dtype=np.int64)
+        # shingle_set_rows emits each doc's rows contiguously.
+        change = np.concatenate([[True], ids[1:] != ids[:-1]])
+        seg = np.cumsum(change) - 1
+        counts = np.bincount(seg)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        order = np.lexsort((s, dfv, seg))  # per doc: rarest-first, s tiebreak
+        rank = np.arange(len(s), dtype=np.int64) - np.repeat(starts, counts)
+        p = _prefix_len(counts.astype(np.int64), num, den)
+        keep = rank < p[seg[order]]
+        idx = order[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx]),
+                "s": pa.array(s[idx]),
+                "n": pa.array(n[idx]),
+            }
+        )
+
+    prefix = src.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def prefix_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df, bounds = _bucket_runs(df, ["s"], id_col)
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype=np.int64) for f in _CAND_SCHEMA}
+        )
+        if df.empty:
+            return empty
+        ids = df[id_col].to_numpy()
+        ns = df["n"].to_numpy()
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for st, e in zip(bounds[:-1], bounds[1:]):
+            ia, ib = np.triu_indices(e - st, k=1)
+            out_a.append(ids[st:e][ia])
+            out_b.append(ids[st:e][ib])
+            out_na.append(ns[st:e][ia])
+            out_nb.append(ns[st:e][ib])
+        a = np.concatenate(out_a).astype(np.int64)
+        bb = np.concatenate(out_b).astype(np.int64)
+        na = np.concatenate(out_na).astype(np.int64)
+        nb = np.concatenate(out_nb).astype(np.int64)
+        # Integer length filter: J >= t forces min >= t*max.
+        ok = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+        g = pd.DataFrame(
+            {"id_a": a[ok], "id_b": bb[ok], "na": na[ok], "nb": nb[ok]}
+        ).drop_duplicates(["id_a", "id_b"])
+        return g
+
+    cand = keyed_partition_map(
+        prefix, ["s"], prefix_pairs, num_partitions, out_schema=_CAND_SCHEMA
+    )
+    # Global pair dedup (a pair can surface from several shared prefix
+    # shingles across partitions); candidate-scale, object-store-side.
+    cand = keyed_partition_map(
+        cand,
+        ["id_a"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        num_partitions=16,
+        out_schema=_CAND_SCHEMA,
+    ).materialize()
+
+    stats = verify_pairs_jaccard_distributed(
+        src,
+        cand.select_columns(["id_a", "id_b"]),
+        id_col,
+        text_col,
+        shingle_k=shingle_k,
+        num_partitions=num_partitions,
+        rational_threshold=(num, den),
+        emit_stats=True,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("inter", pa.int64()),
+            ("na", pa.int64()),
+            ("nb", pa.int64()),
+        ]
+    )
+
+    def stats_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "inter": b["inter"],
+                "na": pa.nulls(n, pa.int64()),
+                "nb": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def cand_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "inter": pa.nulls(n, pa.int64()),
+                "na": b["na"],
+                "nb": b["nb"],
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df["inter"].notna()
+        s = df.loc[hit, ["id_a", "id_b", "inter"]]
+        c = df.loc[~hit, ["id_a", "id_b", "na", "nb"]]
+        m = s.merge(c, on=["id_a", "id_b"])
+        # Null padding makes pandas float64; counts are far below 2^53.
+        return m[["id_a", "id_b", "inter", "na", "nb"]].astype(np.int64)
+
+    both = stats.map_batches(stats_rows, batch_format="pyarrow").union(
+        cand.map_batches(cand_rows, batch_format="pyarrow")
+    )
+    return keyed_partition_map(
+        both, ["id_a"], merge, num_partitions=16, out_schema=out_schema
+    )
 
 
 def _bucket_runs(df: pd.DataFrame, bucket_cols: list[str], id_col: str):
@@ -956,11 +1220,19 @@ def verify_pairs_jaccard_distributed(
     shingle_k: int = 3,
     num_partitions: int = 32,
     max_broadcast_endpoints: int = 4_000_000,
+    rational_threshold: tuple[int, int] | None = None,
+    emit_stats: bool = False,
 ) -> Dataset:
     """Exact-Jaccard verification of LSH candidate pairs with NO
     driver-side pair materialization: the driver never sees a pair
     (only the bounded distinct-endpoint id set when it is small enough
     to broadcast).
+
+    ``rational_threshold=(num, den)`` applies the keep rule in exact
+    cross-multiplied integers (``den*inter >= num*union``, no float
+    compare) — the prefix-filtered Jaccard join's verify path.
+    ``emit_stats=True`` returns Dataset[id_a, id_b, inter] (exact
+    intersection sizes) instead of the bare pair columns.
 
     Shape (pair dedup + semi-filter + two co-grouped int64 shuffles):
       0. pairs are globally deduped (distinct_pairs — the per-pair
@@ -1115,32 +1387,38 @@ def verify_pairs_jaccard_distributed(
         out_schema=PAIR_SCHEMA.append(pa.field("h", pa.int64())),
     )
 
+    stats_schema = PAIR_SCHEMA.append(pa.field("inter", pa.int64()))
+    out_cols = ["id_a", "id_b"] + (["inter"] if emit_stats else [])
+
     def jaccard_partition(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
-            )
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
         tot = df.groupby(["id_a", "id_b"], sort=False).size()
         dup = df.duplicated(subset=["id_a", "id_b", "h"], keep=False)
         inter = (
             df.loc[dup].groupby(["id_a", "id_b"], sort=False).size() // 2
         ).reindex(tot.index, fill_value=0)
         union = tot - inter
-        jacc = inter / union
-        keep = jacc[jacc >= threshold].reset_index()
-        return pd.DataFrame(
-            {
-                "id_a": keep["id_a"].to_numpy().astype(np.int64),
-                "id_b": keep["id_b"].to_numpy().astype(np.int64),
-            }
-        )
+        if rational_threshold is not None:
+            num, den = rational_threshold
+            mask = den * inter >= num * union
+        else:
+            mask = inter / union >= threshold
+        keep = inter[mask].reset_index(name="inter")
+        out = {
+            "id_a": keep["id_a"].to_numpy().astype(np.int64),
+            "id_b": keep["id_b"].to_numpy().astype(np.int64),
+        }
+        if emit_stats:
+            out["inter"] = keep["inter"].to_numpy().astype(np.int64)
+        return pd.DataFrame(out)
 
     return keyed_partition_map(
         exploded,
         ["id_a", "id_b"],
         jaccard_partition,
         num_partitions=num_partitions,
-        out_schema=PAIR_SCHEMA,
+        out_schema=stats_schema if emit_stats else PAIR_SCHEMA,
     )
 
 

@@ -1718,13 +1718,15 @@ REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, _sql_minhash_dedup
 
 def q_jaccard_join(sf_dir: str):
     """Standalone exact n-gram Jaccard similarity self-join (the
-    brief's 'n-gram Jaccard' dedup method as a first-class operator):
-    distributed inverted index on shingle hash, integer-form threshold
-    — no LSH stage, no approximation."""
+    brief's 'n-gram Jaccard' dedup method as a first-class operator).
+    Runs the PREFIX-FILTERED scale path (global rarest-first order,
+    prefix index, endpoint-filtered verify — no df cap, no df^2 hot
+    bucket); the inverted-index variant stays value-checked in pytest
+    against the same brute-force oracle."""
     from engine.dedupe import jaccard_similarity_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
-    return jaccard_similarity_join(ds)
+    return jaccard_similarity_join(ds, method="prefix")
 
 
 def _sql_jaccard_join(threshold_num: int = 1, threshold_den: int = 2) -> str:

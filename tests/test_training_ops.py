@@ -600,6 +600,82 @@ def test_jaccard_join_empty_and_tiny_docs():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_jaccard_prefix_equals_inverted_and_bruteforce():
+    """Prefix-filtered exact join == inverted-index exact join ==
+    O(n^2) scalar jaccard, full (inter, na, nb) values — on the
+    standard planted-dup corpus and across repartitioning."""
+    t = _doc_table()
+    cols = ["id_a", "id_b", "inter", "na", "nb"]
+    exact = (
+        dedupe.jaccard_similarity_join(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)[cols]
+    )
+    pref = (
+        dedupe.jaccard_similarity_join(rd.from_arrow(t).repartition(5), method="prefix")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)[cols]
+    )
+    assert pref.equals(exact)
+    texts = t["text"].to_pylist()
+    expect = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if dedupe.jaccard(texts[i], texts[j]) >= 0.5
+    }
+    assert set(zip(pref.id_a, pref.id_b)) == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_prefix_uncapped_ultra_common_shingles():
+    """The prefix path is fully exact with NO df cap on a corpus where
+    one boilerplate shingle run appears in EVERY doc (the inverted
+    index's df^2 hot bucket): results == brute force, and the planted
+    boilerplate pair is found. Also: sub-k and empty docs behave."""
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(200)]
+    boiler = "all rights reserved contact us today"
+    texts = [
+        boiler + " " + " ".join(rng.choice(vocab, 30)) for _ in range(40)
+    ]
+    texts.append(texts[7])  # exact dup (shares everything)
+    texts += ["", "alpha beta", "alpha beta"]  # empty + sub-k twins
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    got = (
+        dedupe.jaccard_similarity_join(
+            rd.from_arrow(t).repartition(3), method="prefix", threshold=(2, 5)
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            sa = set(dedupe._shingle_hashes(texts[i], 3).tolist())
+            sb = set(dedupe._shingle_hashes(texts[j], 3).tolist())
+            if not sa or not sb:
+                continue  # zero-shingle docs never pair in the join
+            inter = len(sa & sb)
+            if 5 * inter >= 2 * len(sa | sb):
+                expect[(i, j)] = (inter, len(sa), len(sb))
+    assert {
+        (a, b): (i, na, nb)
+        for a, b, i, na, nb in zip(got.id_a, got.id_b, got.inter, got.na, got.nb)
+    } == expect
+    assert (7, 40) in expect  # the planted exact dup survived
+    assert (41 + 1, 41 + 2) in expect  # sub-k token-hash twins pair
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_vocab_topk_matches_python_oracle():
     """Exact heavy-hitters vocabulary: combiner partials + coarse
     keyed merge + pruned top-k == a scalar Counter, including the

@@ -129,6 +129,27 @@ def main() -> None:
     from engine.curation import curate
     from engine.util import clean_read_schema
 
+    # Object-store peak sampler: used = cluster - available (plasma
+    # allocation is tracked as a resource). Evidence that the chain
+    # STREAMS: peak should stay far below corpus size now that curate()
+    # checkpoints multi-pass inputs to parquet instead of materialize().
+    import threading
+
+    total_store = float(ray.cluster_resources().get("object_store_memory", 0))
+    peak = {"used": 0.0}
+    stop = threading.Event()
+
+    def _sample() -> None:
+        while not stop.is_set():
+            avail = float(
+                ray.available_resources().get("object_store_memory", total_store)
+            )
+            peak["used"] = max(peak["used"], total_store - avail)
+            stop.wait(0.2)
+
+    sampler = threading.Thread(target=_sample, daemon=True)
+    sampler.start()
+
     t0 = time.time()
     ds = rd.read_parquet(path, schema=clean_read_schema(f"{path}/part-0000.parquet"))
     out, report = curate(
@@ -143,6 +164,13 @@ def main() -> None:
         val_permille=50,
     )
     wall = time.time() - t0
+    stop.set()
+    sampler.join(timeout=2)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
 
     def cnt(m: int) -> int:
         return len(range(m, n_docs, 1000))
@@ -175,6 +203,8 @@ def main() -> None:
                 "exact": not mismatches,
                 "mismatches": {k: list(v) for k, v in mismatches.items()},
                 "driver_peak_rss_gb": round(rss_gb, 2),
+                "corpus_parquet_gb": round(corpus_bytes / (1 << 30), 3),
+                "object_store_peak_gb": round(peak["used"] / (1 << 30), 3),
             }
         )
     )
