@@ -94,6 +94,17 @@ def entry() -> Any:
 #                        flagship chain runs the same composition,
 #                        VALUE-checked end-to-end)
 _DRIVER_EXCLUDED = {
+    # geo_enriched_full -> geo_enriched (the SAME enrichment chain,
+    # now VALUE-checked in-window via quantized mirror columns —
+    # µdeg/cm/0.1 mm ints, the geo_pipeline_sql precedent); the
+    # full-precision variant stays rows-only in the excluded test
+    "geo_enriched_full",
+    # media_features -> media_pipeline (the SAME decoders + actor
+    # pools, now VALUE-checked in-window: native-size checksums vs a
+    # DuckDB byte-arithmetic re-implementation of all five container
+    # formats); the resize/rms/frame-sample feature stages stay
+    # rows-only in the excluded test + pytest-exact decode checks
+    "media_features",
     "sample_lineitem",
     "minhash_dedup",
     "doc_quality",
@@ -200,7 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out: dict[str, Callable[[str], Any]] = {}
     for name in _GEO_FIRST:
-        out[name] = GEO_REGISTRY[name]
+        # geo_enriched graduated to a REGISTRY SQL-value entry (r4);
+        # media_pipeline still lives in GEO_REGISTRY.
+        out[name] = REGISTRY[name][0] if name in REGISTRY else GEO_REGISTRY[name]
     for name, (fn, sql) in REGISTRY.items():
         if sql is not None and name not in _DRIVER_EXCLUDED:
             out[name] = fn

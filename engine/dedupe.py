@@ -1154,15 +1154,34 @@ def candidate_docs(
     Endpoint sets up to ``max_broadcast_endpoints`` ids (~32 MB of
     int64 at the default) are broadcast via joins.semi_filter (ray.put
     once, vectorized searchsorted per batch — the filter runs where
-    the doc blocks already live, zero text movement). Larger endpoint
-    sets fall back to a bucketed hash-join semi: the text still
-    shuffles once, but only after the filter's distinct-endpoint side
-    is itself distributed. ``pairs`` should be materialized by the
+    the doc blocks already live, zero text movement). ``2*n_pairs`` is
+    only a cheap UPPER bound on the endpoint count — clustered dups
+    blow it up quadratically (a 1000-doc exact-dup group is ~500k
+    pairs but 1000 endpoints), so when it exceeds the cap the DISTINCT
+    endpoint set is counted distributedly first and broadcast if it
+    fits. Only a genuinely huge endpoint set falls back to a bucketed
+    hash-join semi: the text still shuffles once, but only after the
+    filter's distinct-endpoint side is itself distributed; that join's
+    output is MATERIALIZED before returning — its union+sort subplan
+    nested inside the verify's own union+sort DAG deadlocked Ray's
+    (2.49) streaming resource manager at the 1M-doc soak scale (no
+    outputs, 0 CPU), and the candidate text is endpoint-scale so the
+    break point is bounded. ``pairs`` should be materialized by the
     caller if it is also consumed elsewhere."""
     n_pairs = pairs.count()
     src = ds.select_columns([id_col, text_col])
+
+    def _broadcast_from(batches) -> Dataset:
+        parts = [p for p in batches]
+        ep_ids = (
+            np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+        )
+        from engine.joins import semi_filter
+
+        return semi_filter(src, ep_ids, id_col)
+
     if 2 * n_pairs <= max_broadcast_endpoints:
-        parts = [
+        return _broadcast_from(
             np.unique(
                 np.concatenate(
                     [
@@ -1172,13 +1191,7 @@ def candidate_docs(
                 )
             )
             for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-        ep_ids = (
-            np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
         )
-        from engine.joins import semi_filter
-
-        return semi_filter(src, ep_ids, id_col)
     from engine.joins import hash_join
     from engine.shuffle import keyed_partition_map
 
@@ -1199,6 +1212,11 @@ def candidate_docs(
         lambda df: df.drop_duplicates([id_col]),
         out_schema=pa.schema([(id_col, pa.int64())]),
     ).materialize()
+    if eps.count() <= max_broadcast_endpoints:
+        return _broadcast_from(
+            b[id_col].to_numpy(zero_copy_only=False)
+            for b in eps.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
     # Bloom PREFILTER before the text shuffle: the endpoint bitset
     # broadcasts in constant memory (<= 16 MiB) even when the exact id
     # set cannot, so only candidate text (+ ~1% false positives, which
@@ -1208,7 +1226,9 @@ def candidate_docs(
     m_bits = bloom_bits_size(2 * n_pairs)
     words = bloom_build(eps, id_col, m_bits)
     src = bloom_semi_filter(src, words, id_col, m_bits)
-    return hash_join(src, eps, key=id_col, how="inner")
+    # Materialize = DAG break (see docstring): candidate-scale text,
+    # object-store resident (spills under a cap), never driver-side.
+    return hash_join(src, eps, key=id_col, how="inner").materialize()
 
 
 def verify_pairs_jaccard_distributed(

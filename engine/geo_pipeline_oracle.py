@@ -298,9 +298,14 @@ def _sql_muni_edges() -> str:
     return ",\n  ".join(rows)
 
 
-def _sql_geo_pipeline(final: str | None = None) -> str:
+def _sql_geo_pipeline(final: str | None = None, corpus: str | None = None) -> str:
     """Full-chain mirror; ``final`` overrides the tail SELECT (it sees
-    the ``aftq`` row set and the ``lab`` PIP labels)."""
+    the ``aftq`` row set and the ``lab`` PIP labels). ``corpus``
+    overrides the orders-derived text generation with any WITH-chain
+    ending in a CTE ``txt(page_id, text, ...)`` — the extraction →
+    normalize → project → geoid → cell → AFT → PIP chain from ``ex``
+    onward is corpus-agnostic (q_geo_enriched runs it over the
+    synthetic pages parquet read directly by DuckDB)."""
     from engine.extract import PAT_D48, PAT_D96, PAT_DEC, PAT_DMS
 
     # ---- corpus generation (mirror of _build_texts) ----------------
@@ -485,13 +490,13 @@ SELECT a.page_id, CAST(a.sys AS INTEGER) AS system,
 FROM aftq a LEFT JOIN lab l ON a.page_id = l.iid
 """
 
+    corpus_part = (
+        corpus
+        if corpus is not None
+        else gsrc + gchain + gen48 + gtfrag + gen96 + txt
+    )
     return (
-        gsrc
-        + gchain
-        + gen48
-        + gtfrag
-        + gen96
-        + txt
+        corpus_part
         + ex
         + b2src
         + b2chain
@@ -516,6 +521,92 @@ FROM aftq a LEFT JOIN lab l ON a.page_id = l.iid
         + pip
         + final
     )
+
+
+def _quantize_enriched(b: pa.Table) -> pa.Table:
+    """geo_enriched at driver-gate VALUE strength: the geo_pipeline_sql
+    precedent applied to the full enrichment table — µdeg coordinates,
+    cm projected metres, 0.1 mm geoid/H_orth ints (margins proven in
+    the component queries), exact string/int/bool columns verbatim."""
+
+    def q(col: str, scale: float) -> pa.Array:
+        v = _np(b, col)
+        return pa.array(np.floor(v * scale + 0.5).astype(np.int64))
+
+    return pa.table(
+        {
+            "url": b["url"],
+            "lang": b["lang"],
+            "system": pa.array(_np(b, "system").astype(np.int32), pa.int32()),
+            "fi_udeg": q("fi", 1e6),
+            "la_udeg": q("la", 1e6),
+            "x48_cm": q("x_d48", 1e2),
+            "y48_cm": q("y_d48", 1e2),
+            "x96_cm": q("x_d96", 1e2),
+            "y96_cm": q("y_d96", 1e2),
+            "xaft_cm": q("x_d96_aft", 1e2),
+            "yaft_cm": q("y_d96_aft", 1e2),
+            "n_dmm": q("geoid_n", 1e4),
+            "horth_dmm": q("H_orth", 1e4),
+            "geoid_in_bounds": b["geoid_in_bounds"],
+            "aft_found": b["aft_found"],
+            "cell": b["cell"],
+            "muni_id": b["muni_id"],
+        }
+    )
+
+
+def q_geo_enriched(sf_dir: str) -> Dataset:
+    """Full flagship enrichment over the synthetic pages corpus,
+    quantized for the SQL-value gate (VERDICT-r3 #4: flips
+    geo_enriched from rows-only to value-checked; the full-precision
+    variant stays as geo_enriched_full, pytest-covered)."""
+    from engine.pages import pages_parquet, sf_to_n_rows
+    from engine.pipeline import enrich_pages
+
+    enr = enrich_pages(pages_parquet(sf_to_n_rows(sf_dir)))
+    return enr.map_batches(_quantize_enriched, batch_format="pyarrow")
+
+
+def _sql_geo_enriched(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB mirror of q_geo_enriched: read the SAME cached pages
+    parquet (deterministic synthetic corpus, FIXTURES.md §A — both
+    engines consume identical bytes; the Ray query materializes the
+    cache before the oracle runs per the driver's query-then-oracle
+    order), run the corpus-agnostic chain from ``ex`` onward, and
+    re-join url/lang from the source. The path is pinned to the
+    driver's correctness sf (0.01) — the contract runs oracles there
+    only."""
+    import os
+
+    from engine.pages import SEED, sf_to_n_rows
+
+    n = sf_to_n_rows(sf_dir)
+    path = os.path.join(f"/tmp/geokit_pages/n{n}_s{SEED}", "part-*.parquet")
+    corpus = f"""
+WITH txt AS MATERIALIZED (
+ SELECT url AS page_id, lang, text
+ FROM read_parquet('{path}'))"""
+    final = """
+SELECT a.page_id AS url, t.lang, CAST(a.sys AS INTEGER) AS system,
+  CAST(FLOOR(a.fi * 1e6 + 0.5e0) AS BIGINT) AS fi_udeg,
+  CAST(FLOOR(a.la * 1e6 + 0.5e0) AS BIGINT) AS la_udeg,
+  CAST(FLOOR(a.x48 * 1e2 + 0.5e0) AS BIGINT) AS x48_cm,
+  CAST(FLOOR(a.y48 * 1e2 + 0.5e0) AS BIGINT) AS y48_cm,
+  CAST(FLOOR(a.x96 * 1e2 + 0.5e0) AS BIGINT) AS x96_cm,
+  CAST(FLOOR(a.y96 * 1e2 + 0.5e0) AS BIGINT) AS y96_cm,
+  CAST(FLOOR(a.xaft * 1e2 + 0.5e0) AS BIGINT) AS xaft_cm,
+  CAST(FLOOR(a.yaft * 1e2 + 0.5e0) AS BIGINT) AS yaft_cm,
+  CAST(FLOOR(a.gn * 1e4 + 0.5e0) AS BIGINT) AS n_dmm,
+  CAST(FLOOR((0.0e0 - a.gn) * 1e4 + 0.5e0) AS BIGINT) AS horth_dmm,
+  a.gin AS geoid_in_bounds,
+  a.in_cov AS aft_found,
+  a.cellid AS cell,
+  CAST(COALESCE(l.mid, -1) AS INTEGER) AS muni_id
+FROM aftq a LEFT JOIN lab l ON a.page_id = l.iid
+JOIN txt t ON t.page_id = a.page_id
+"""
+    return _sql_geo_pipeline(final=final, corpus=corpus)
 
 
 def _sql_geo_muni_rollup() -> str:

@@ -26,7 +26,12 @@ def _pages(sf_dir: str) -> str:
 
 def q_geo_enriched(sf_dir: str) -> Dataset:
     """Full flagship enrichment: extract -> project (both grids) ->
-    geoid -> AFT -> cell -> PIP -> kNN."""
+    geoid -> AFT -> cell -> PIP -> kNN. Registered as
+    ``geo_enriched_full`` (full-precision floats, rows-only): the
+    in-window ``geo_enriched`` gate entry is the quantized SQL-value
+    variant (engine/geo_pipeline_oracle.q_geo_enriched) over the same
+    chain — this one keeps the full-precision contract for library
+    consumers and pytest."""
     ds = enrich_pages(_pages(sf_dir))
     return ds.select_columns(
         [
@@ -69,7 +74,7 @@ def q_geo_cell_day(sf_dir: str) -> Dataset:
 
 GEO_REGISTRY = {
     "geo_cell_day": q_geo_cell_day,
-    "geo_enriched": q_geo_enriched,
+    "geo_enriched_full": q_geo_enriched,
     "geo_cell_rollup": q_geo_cell_rollup,
     "geo_densest_cells": q_geo_densest_cells,
     "geo_muni_rollup": q_geo_muni_rollup,
@@ -250,6 +255,10 @@ def q_media_pipeline(sf_dir: str):
 GEO_REGISTRY.update(
     {
         "geometry_transform": q_geometry_transform,
-        "media_pipeline": q_media_pipeline,
+        # The feature-stage variant (resize/rms/zcr/frame-sample
+        # rollup) of the tri-modal pipeline; the in-window
+        # media_pipeline gate entry is the SQL-value checksum variant
+        # (engine/media_oracle.py).
+        "media_features": q_media_pipeline,
     }
 )

@@ -584,3 +584,133 @@ class DecodeVideo:
                 ),
             }
         )
+
+
+# ------------------------- exact-int checksum stages (driver gate) --
+#
+# Native-size decode -> order-invariant integer aggregates per media.
+# These give the binary decoders a DRIVER-GATE VALUE check: a DuckDB
+# mirror recomputes the same aggregates from the same payload bytes by
+# pure byte arithmetic (hex-string explosion — engine/media_oracle.py),
+# so a wrong header parse, row-padding slip, endianness or plane-offset
+# bug mismatches the gate. Sums are order-invariant, so BGR order,
+# bottom-up rows and zero padding need no re-indexing on the SQL side.
+
+
+class ImageChecksum:
+    """Actor-pool stage: auto-sniffed NATIVE-size image decode ->
+    (media_id, width, height, pix_sum). pix_sum = exact int64 sum of
+    all RGB bytes (order-invariant under BGR/bottom-up layouts)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, sums = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if payload[:2] == b"P6":
+                pix = parse_ppm(payload)
+            elif payload[:2] == b"BM":
+                pix = parse_bmp(payload)
+            else:
+                raise ValueError("unrecognized image payload")
+            ids.append(mid)
+            hs.append(pix.shape[0])
+            ws.append(pix.shape[1])
+            sums.append(int(pix.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+class AudioChecksum:
+    """Actor-pool stage: auto-sniffed PCM16 decode -> (media_id,
+    sample_rate, n_samples, samp_sum). samp_sum = exact int64 sum of
+    the SIGNED int16 samples (the float waveform times 32768 is exact:
+    every int16/2^15 is representable, accumulated in float64)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rates, ns, sums = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if payload[:4] == b"RIFF":
+                samples, rate = parse_wav(payload)
+            elif payload[:4] == b".snd":
+                samples, rate = parse_au(payload)
+            else:
+                raise ValueError("unrecognized audio payload")
+            ids.append(mid)
+            rates.append(int(rate))
+            ns.append(len(samples))
+            sums.append(int((samples.astype(np.float64) * 32768.0).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "samp_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+class VideoChecksum:
+    """Actor-pool stage: full Y4M luma decode -> (media_id, vid_w,
+    vid_h, n_frames, y_sum). y_sum = exact int64 sum over every luma
+    plane of every frame."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, nf, sums = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames, _num, _den = parse_y4m(payload)
+            ids.append(mid)
+            nf.append(len(frames))
+            hs.append(frames.shape[1] if len(frames) else 0)
+            ws.append(frames.shape[2] if len(frames) else 0)
+            sums.append(int(frames.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "vid_w": pa.array(ws, pa.int64()),
+                "vid_h": pa.array(hs, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "y_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def media_corpus_parquet(n: int) -> dict[str, str]:
+    """Persist (once, cached) the tri-modal driver-gate corpus so BOTH
+    engines read identical bytes: mixed PPM+BMP images (ids 0..2n-1),
+    mixed WAV+AU audio, Y4M video — the exact tables q_media_pipeline
+    has always built (seeds 7/13, 11/17, 19)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/geokit_media/n{n}"
+    done = os.path.join(root, "_DONE")
+    paths = {m: os.path.join(root, f"{m}.parquet") for m in ("images", "audio", "video")}
+    if os.path.exists(done):
+        return paths
+    os.makedirs(root, exist_ok=True)
+
+    def mixed(fmt_a: str, fmt_b: str, seed_a: int, seed_b: int) -> pa.Table:
+        a = make_fake_media_table(n, seed=seed_a, fmt=fmt_a)
+        b = make_fake_media_table(n, seed=seed_b, fmt=fmt_b)
+        i = b.schema.get_field_index("media_id")
+        b = b.set_column(i, "media_id", pc.add(b["media_id"], n))
+        return pa.concat_tables([a, b])
+
+    pq.write_table(mixed("ppm", "bmp", 7, 13), paths["images"])
+    pq.write_table(mixed("wav", "au", 11, 17), paths["audio"])
+    pq.write_table(make_fake_media_table(2 * n, seed=19, fmt="y4m"), paths["video"])
+    open(done, "w").write("ok")
+    return paths

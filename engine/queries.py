@@ -1772,8 +1772,10 @@ REGISTRY.update(_SQL_ORACLES2)
 # prepare -> spatial stages over an orders-derived coordinate-text
 # corpus, mirrored completely in DuckDB (engine/geo_pipeline_oracle.py).
 from engine.geo_pipeline_oracle import (  # noqa: E402
+    _sql_geo_enriched,
     _sql_geo_muni_rollup,
     _sql_geo_pipeline,
+    q_geo_enriched,
     q_geo_muni_rollup_sql,
     q_geo_pipeline_sql,
 )
@@ -1782,6 +1784,22 @@ REGISTRY.update({"geo_pipeline_sql": (q_geo_pipeline_sql, _sql_geo_pipeline())})
 REGISTRY.update(
     {"geo_muni_rollup_sql": (q_geo_muni_rollup_sql, _sql_geo_muni_rollup())}
 )
+# Round 4 (VERDICT-r3 #4): the enrichment TABLE itself at SQL-value
+# strength — quantized mirror columns over the pages corpus, the
+# DuckDB side reading the same cached parquet and running the
+# corpus-agnostic chain mirror.
+REGISTRY.update({"geo_enriched": (q_geo_enriched, _sql_geo_enriched())})
+
+# Round 4 (VERDICT-r3 #6): the tri-modal media pipeline at SQL-value
+# strength — native-size decode checksums vs a DuckDB byte-arithmetic
+# re-implementation of all five container formats
+# (engine/media_oracle.py).
+from engine.media_oracle import (  # noqa: E402
+    _sql_media_pipeline,
+    q_media_pipeline,
+)
+
+REGISTRY.update({"media_pipeline": (q_media_pipeline, _sql_media_pipeline())})
 
 
 # -------------------------------------- non-equi joins (as-of / range)

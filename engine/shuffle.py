@@ -137,6 +137,7 @@ def grouped_count_sums(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     num_partitions: int = 64,
+    salts: int | str = 1,
 ) -> Dataset:
     """count + sums + means + mins/maxs per key tuple with per-batch
     combining and a partition-wise vectorized final merge.
@@ -150,11 +151,30 @@ def grouped_count_sums(
     merged with one C-speed pandas groupby — per-group Python overhead
     is paid P times, not n_keys times.
 
+    ``salts`` — hot-key (Zipfian) protection for the final merge. A
+    hot key contributes one partial row PER BLOCK, all landing in one
+    merge partition (at 100 TB: ~1M blocks -> ~1M rows serialized on
+    one reducer). ``salts=S > 1`` inserts a salted PRE-MERGE: partial
+    rows get ``_salt = row % S`` and are first merged per (key tuple,
+    salt) — the hot key's per-block partials spread over S partitions
+    and the final merge sees at most S rows per key. All merged stats
+    are associative+commutative (counts/sums/mins/maxs; means derive
+    from sums), so results are bit-identical (pytest: 50%-hot-key
+    corpus, salted == unsalted == oracle). ``salts="auto"`` runs the
+    SURVEY-§4 probe — sampled_key_histogram + choose_salts — and
+    salts only when the sampled top-key share warrants it; note the
+    probe RE-EXECUTES ``ds``'s lineage for the sample, so use "auto"
+    on cheap-lineage inputs (direct reads) and pass an explicit S
+    inside expensive pipelines.
+
     Output columns: ``keys..., cnt, sum_<c>..., mean_<c>...,
     min_<c>..., max_<c>...``.
     """
     keys = [key] if isinstance(key, str) else list(key)
     sum_all = tuple(dict.fromkeys(tuple(sum_cols) + tuple(mean_cols)))
+    if salts == "auto":
+        hist = sampled_key_histogram(ds, keys[0])
+        salts = choose_salts(hist, int(hist.cnt.sum()) if len(hist) else 0)
     partials = ds.map_batches(
         _combine_batch,
         batch_format="pyarrow",
@@ -164,6 +184,31 @@ def grouped_count_sums(
     )
 
     import pandas as pd
+
+    if int(salts) > 1:
+        s = int(salts)
+
+        def add_salt(b: pa.Table) -> pa.Table:
+            salt = (np.arange(b.num_rows, dtype=np.int64) % s).astype(np.int32)
+            return b.append_column("_salt", pa.array(salt))
+
+        def pre_merge(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(keys + ["_salt"], sort=False, dropna=False)
+            agg: dict[str, tuple] = {"_cnt": ("_cnt", "sum")}
+            for c in sum_all:
+                agg[f"_sum_{c}"] = (f"_sum_{c}", "sum")
+            for c in min_cols:
+                agg[f"_min_{c}"] = (f"_min_{c}", "min")
+            for c in max_cols:
+                agg[f"_max_{c}"] = (f"_max_{c}", "max")
+            return g.agg(**agg).reset_index()
+
+        partials = keyed_partition_map(
+            partials.map_batches(add_salt, batch_format="pyarrow"),
+            keys + ["_salt"],
+            pre_merge,
+            num_partitions,
+        ).map_batches(lambda b: b.drop_columns(["_salt"]), batch_format="pyarrow")
 
     def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, dropna=False)

@@ -193,6 +193,50 @@ def test_salted_groupby_count_matches_plain():
     assert (got.values == exp.values).all()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_count_sums_salted_matches_unsalted_on_hot_key():
+    """Hot-key salting (VERDICT-r3 #3): one key holding 50% of all
+    rows — salted pre-merge (fixed S and "auto" via the sampled
+    histogram) returns IDENTICAL counts/int-sums to the unsalted path
+    and the pandas oracle; float means agree to relative 1e-12 (the
+    pre-merge reorders float partial addition)."""
+    from engine.shuffle import choose_salts, grouped_count_sums, sampled_key_histogram
+
+    rng = np.random.default_rng(5)
+    n = 100_000
+    hot = np.zeros(n // 2, dtype=np.int64)  # key 0 = 50% of rows
+    cold = rng.integers(1, 2_000, n - n // 2, dtype=np.int64)
+    keys = np.concatenate([hot, cold])
+    vals = rng.integers(0, 10_000, n, dtype=np.int64)
+    fvals = rng.normal(size=n)
+    t = pa.table(
+        {"cell": pa.array(keys), "v": pa.array(vals), "f": pa.array(fvals)}
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    kw = dict(key="cell", sum_cols=("v",), mean_cols=("f",), min_cols=("v",), max_cols=("v",))
+    plain = grouped_count_sums(ds, **kw).to_pandas().sort_values("cell").reset_index(drop=True)
+    for s in (8, "auto"):
+        salted = (
+            grouped_count_sums(ds, **kw, salts=s)
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        for c in ("cell", "cnt", "sum_v", "min_v", "max_v"):
+            assert (salted[c].to_numpy() == plain[c].to_numpy()).all(), (s, c)
+        np.testing.assert_allclose(
+            salted["mean_f"].to_numpy(), plain["mean_f"].to_numpy(), rtol=1e-12
+        )
+    # pandas oracle for the exact-int columns
+    df = t.to_pandas()
+    exp = df.groupby("cell")["v"].agg(["count", "sum", "min", "max"]).reset_index()
+    assert (plain["cnt"].to_numpy() == exp["count"].to_numpy()).all()
+    assert (plain["sum_v"].to_numpy() == exp["sum"].to_numpy()).all()
+    # the probe itself picks S > 1 on this distribution
+    hist = sampled_key_histogram(ds, "cell", fraction=0.01)
+    assert choose_salts(hist, int(hist.cnt.sum())) > 1
+
+
 def test_checkpoint_stale_manifest_rerun(tmp_path, ray_session):
     """A manifest whose src_files no longer match the current shard
     group is stale — the partition must re-run, not be skipped."""

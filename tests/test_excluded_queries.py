@@ -87,6 +87,8 @@ def test_excluded_sql_queries_still_exact(ray_session, con, name):
         "geo_densest_cells",
         "geo_cell_day",
         "geo_cell_rollup",
+        "geo_enriched_full",
+        "media_features",
         "geo_muni_rollup",
         "geometry_transform",
         "lm_quality_scores",

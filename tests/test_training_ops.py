@@ -440,6 +440,32 @@ def test_candidate_docs_semi_filter_bounds_text_movement():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_candidate_docs_clustered_pairs_rescue_broadcast():
+    """A clustered dup group makes 2*n_pairs quadratic while the
+    endpoint SET stays linear (the 1M-soak deadlock trigger): with
+    2*n_pairs over the cap but distinct endpoints under it,
+    candidate_docs must take the distinct-count rescue back to the
+    broadcast path and return exactly the endpoint docs."""
+    texts = [f"doc number {i} words {' '.join(['tok'+str(j) for j in range(8)])}" for i in range(200)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    # one 30-doc clique: 435 pairs, 30 endpoints
+    ia, ib = np.triu_indices(30, k=1)
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array(ia.astype(np.int64)), "id_b": pa.array(ib.astype(np.int64))})
+    )
+    # cap: 2*435=870 > 100 >= 30 endpoints -> rescue path
+    out = dedupe.candidate_docs(
+        rd.from_arrow(t), pairs, "doc_id", "text", max_broadcast_endpoints=100
+    )
+    assert sorted(out.to_pandas().doc_id) == list(range(30))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_verify_hash_join_semi_path_equivalent():
     """Forcing the huge-endpoint-set hash-join semi path yields the
     same verified pairs as the broadcast path."""
