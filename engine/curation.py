@@ -95,13 +95,45 @@ def _sum_partials(mdir: str) -> dict[str, int]:
     return tot
 
 
+# Checkpoint block/file sizing: many TINY blocks through the dedup
+# shuffles trip keyed_partition_map's documented inline-object limit
+# (block_bytes / num_partitions < ~100 KB parks the whole shuffle
+# payload on the driver; at 1M docs a 192-file checkpoint starved the
+# verify's union for 20+ min with the executor thread pinned). Write
+# checkpoints in >=64k-row files and cap re-read block counts so test-
+# scale corpora keep MB-scale blocks; production 128 MB blocks are
+# immune either way.
+_CHECKPOINT_ROWS_PER_FILE = 65_536
+
+
+def _write_cache(ds: Dataset, path: str) -> None:
+    ds.write_parquet(path, min_rows_per_file=_CHECKPOINT_ROWS_PER_FILE)
+
+
 def _read_cache(path: str, columns: list[str] | None = None) -> Dataset:
-    """Pruned, metadata-free re-read of a parquet checkpoint."""
+    """Pruned, metadata-free re-read of a parquet checkpoint, block
+    count capped to keep blocks MB-scale (see sizing note above)."""
+    import glob
+
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from engine.util import clean_read_schema
 
-    return rd.read_parquet(path, columns=columns, schema=clean_read_schema(path, columns))
+    kwargs: dict = {}
+    try:
+        n_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+        kwargs["override_num_blocks"] = max(
+            1, min(256, -(-n_rows // (_CHECKPOINT_ROWS_PER_FILE // 2)))
+        )
+    except Exception:  # noqa: BLE001 — odd layouts: let Ray decide
+        pass
+    return rd.read_parquet(
+        path, columns=columns, schema=clean_read_schema(path, columns), **kwargs
+    )
 
 
 def _drop_ids_exact(ds: Dataset, id_col: str, text_col: str) -> np.ndarray:
@@ -231,7 +263,7 @@ def curate(
         return kept
 
     fdir = os.path.join(cache, "filtered")
-    ds.map_batches(qual_lang_scrub, batch_format="pyarrow").write_parquet(fdir)
+    _write_cache(ds.map_batches(qual_lang_scrub, batch_format="pyarrow"), fdir)
     s1 = _sum_partials(m1)
     report["input"] = s1.get("input", 0)
     report["after_quality_lang"] = s1.get("after_quality_lang", 0)
@@ -295,7 +327,7 @@ def curate(
             )
 
         lddir = os.path.join(cache, "line_dedup")
-        ld.map_batches(tag, batch_format="pyarrow").write_parquet(lddir)
+        _write_cache(ld.map_batches(tag, batch_format="pyarrow"), lddir)
         m_ld = os.path.join(cache, "_metrics_line")
         os.makedirs(m_ld, exist_ok=True)
 
@@ -361,7 +393,7 @@ def curate(
         return b.append_column("split", pa.array(s, pa.string()))
 
     findir = os.path.join(cache, "final")
-    deduped.map_batches(split, batch_format="pyarrow").write_parquet(findir)
+    _write_cache(deduped.map_batches(split, batch_format="pyarrow"), findir)
     so = _sum_partials(m_out)
     report["output"] = so.get("output", 0)
     report["val_rows"] = so.get("val_rows", 0)

@@ -1399,8 +1399,16 @@ def verify_pairs_jaccard_distributed(
             }
         )
 
+    # DAG break before the co-group: streaming a Union straight into
+    # the sort wedged Ray 2.49's executor under an object-store cap
+    # (operator dump: doc_rows/endpoints output-backpressured, the
+    # Union forwarding 0 of its ready blocks, scheduler thread pinned
+    # — observed at the 1M-doc curation soak). Cost is bounded: the
+    # union is endpoint/pair-scale and the downstream sort would
+    # materialize the same bytes anyway; spills under a cap.
+    both_sides = docs.union(ep).materialize()
     exploded = keyed_partition_map(
-        docs.union(ep),
+        both_sides,
         ["node"],
         explode_partition,
         num_partitions=num_partitions,

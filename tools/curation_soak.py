@@ -10,13 +10,24 @@ Residue plan (m = doc_id % 1000):
   m=2 two tokens             -> min_tokens drop
   m=3 digit soup             -> alpha-ratio drop
   m=4 carries an email       -> scrubbed, survives
-  m=5 identical COMMON_A     -> exact-dup drop (all but min id)
-  m=6 COMMON_B + 1-token edit-> near-dup drop (all but min id)
+  m=5 exact-dup CLIQUES of ~10 (identical within id//10000 blocks)
+       -> exact-dup drop (all but the min id of each clique)
+  m=6 near-dup TWINS (ids 2000p+6 / 2000p+1006 share per-pair words,
+       one trailing token differs) -> near-dup drop (one per pair)
   m=7 contains the bench 8-gram -> decontamination drop
   m=8 shared first line + unique second -> one line cut per doc
        after the first (doc survives; ~33% token overlap stays far
        below the 0.5 near-dup threshold)
   else unique good English.
+
+Dup groups are deliberately BOUNDED (cliques of ~10, twins of 2): the
+LSH exact-verify stage is Θ(Σ_cliques |C|²·shingles) by construction —
+an earlier variant planting a single 1000-doc near-identical clique
+spent its wall clock verifying ~500k true pairs, which measures the
+quadratic, not the pipeline (mega-cliques of IDENTICAL docs are
+collapsed by the exact-dedup stage before minhash ever runs — the
+curate() order — and truly near-identical mega-cliques are a
+documented quadratic of all verify-exact LSH designs).
 
 Usage:  python -m tools.curation_soak [n_docs] [cap_gb]
 Prints one JSON line; raises if ANY counter misses its expectation.
@@ -35,7 +46,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SEED = 7171
+SEED = 7276  # bumped: residue plan v6 (rotated marker interleave, no shared prefix)
 VOCAB = 5000
 WORDS = 30
 BENCH = "the quick brown fox jumps over the lazy dog"
@@ -47,6 +58,39 @@ COMMON_B = "it is a fine day to walk in the park and read a long book " + " ".jo
 )
 COMMON_LINE = "the shared sentinel line is in every marked document here"
 MARKERS = "the and of to a in is it that for"
+
+
+_M = MARKERS.split()
+
+
+def _eng(rot: int, body: list[str]) -> str:
+    """English-marker INTERLEAVE: the 10 langid marker words, rotated
+    by ``rot``, woven between the first 10 body words. A fixed shared
+    'MARKERS ' prefix on every English doc gave all ~n docs the same 8
+    fixed-hash shingles — each minhash band then grows ONE bucket of
+    ~n*(8/38)^4 docs, i.e. chance-pair count QUADRATIC in corpus size
+    (~30M pairs at 1M docs; measured 320M exploded verify rows).
+    Interleaving puts a body word in every 3-shingle, so docs with
+    different bodies share no shingles at all."""
+    m = _M[rot % 10 :] + _M[: rot % 10]
+    toks: list[str] = []
+    for k, w in enumerate(body):
+        toks.append(w)
+        if k < 10:
+            toks.append(m[k])
+    return " ".join(toks)
+
+
+def _alpha(n: int) -> str:
+    """Non-negative int -> pure-alphabetic token piece (digits would
+    drag planted docs under the alpha-ratio threshold)."""
+    s = ""
+    n = int(n)
+    while True:
+        s += chr(97 + n % 26)
+        n //= 26
+        if n == 0:
+            return s
 
 
 def _texts(ids: np.ndarray, rng: np.random.Generator) -> list[str]:
@@ -66,6 +110,7 @@ def _texts(ids: np.ndarray, rng: np.random.Generator) -> list[str]:
     for row, i in enumerate(ids):
         m = i % 1000
         uniq = " ".join(words[idx[row]][:15])
+        uniq_list = list(words[idx[row]][:15])
         if m == 1:
             out.append(f"der hund und die katze ist nicht mit der maus {i} zu hause heute")
         elif m == 2:
@@ -73,17 +118,31 @@ def _texts(ids: np.ndarray, rng: np.random.Generator) -> list[str]:
         elif m == 3:
             out.append(f"the {i} " + " ".join(str(9000 + j) for j in range(20)))
         elif m == 4:
-            out.append(f"{MARKERS} contact u{i}@host{i % 7}.net about {uniq}")
+            # Email kept as ONE intact body token (PII regex target).
+            out.append(_eng(i, [f"u{i}@host{i % 7}.net", "contact"] + uniq_list + ["about"]))
         elif m == 5:
-            out.append(COMMON_A)
+            # Identical within an id//10000 block (rot keyed on the
+            # BLOCK); block words unique by construction (namespaced
+            # pure-alpha tokens), so exact-dedup KEEPERS share no
+            # shingles and never merge in the near-dup stage.
+            b = i // 10_000
+            bw = [f"blk{_alpha(b)}w{_alpha(j)}" for j in range(25)]
+            out.append(_eng(b, bw + ["same", "exact", "text", "here"]))
         elif m == 6:
-            out.append(COMMON_B.replace("book", f"tome{i}"))
+            # Twins share rot (keyed on the PAIR) and all pair words,
+            # differing in one trailing token -> J ~ 0.95.
+            p = i // 2000
+            pw = [f"pair{_alpha(p)}w{_alpha(j)}" for j in range(30)]
+            edit = "editzero" if (i // 1000) % 2 == 0 else "editone"
+            out.append(_eng(p, pw + [edit]))
         elif m == 7:
-            out.append(f"{MARKERS} intro {BENCH} trailing {uniq}")
+            # BENCH appended VERBATIM (decontamination needs the
+            # contiguous 8-gram); shared within this sparse class only.
+            out.append(_eng(i, uniq_list + ["intro"]) + " " + BENCH)
         elif m == 8:
-            out.append(f"{COMMON_LINE}\n{MARKERS} tail {uniq}")
+            out.append(f"{COMMON_LINE}\n" + _eng(i, uniq_list))
         else:
-            out.append(f"{MARKERS} " + " ".join(words[idx[row]]))
+            out.append(_eng(i, list(words[idx[row]])))
     return out
 
 
@@ -175,17 +234,22 @@ def main() -> None:
     def cnt(m: int) -> int:
         return len(range(m, n_docs, 1000))
 
+    # Bounded dup groups: exact cliques = distinct id//10000 blocks
+    # among m=5 ids; near-dup groups = distinct pair indices id//2000
+    # among m=6 ids (a lone unpaired doc keeps itself).
+    exact_groups = len({i // 10_000 for i in range(5, n_docs, 1000)})
+    near_groups = len({i // 2000 for i in range(6, n_docs, 1000)})
     expect = {
         "input": n_docs,
         "after_quality_lang": n_docs - cnt(1) - cnt(2) - cnt(3),
         "pii_docs_scrubbed": cnt(4),
-        "exact_dups_dropped": cnt(5) - 1,
-        "near_dups_dropped": cnt(6) - 1,
+        "exact_dups_dropped": cnt(5) - exact_groups,
+        "near_dups_dropped": cnt(6) - near_groups,
         "lines_dropped": cnt(8) - 1,
         "emptied_docs_dropped": 0,
         "contaminated_dropped": cnt(7),
-        "output": n_docs - cnt(1) - cnt(2) - cnt(3) - (cnt(5) - 1)
-        - (cnt(6) - 1) - cnt(7),
+        "output": n_docs - cnt(1) - cnt(2) - cnt(3) - (cnt(5) - exact_groups)
+        - (cnt(6) - near_groups) - cnt(7),
     }
     mismatches = {
         k: (report.get(k), v) for k, v in expect.items() if report.get(k) != v
