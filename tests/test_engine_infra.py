@@ -291,6 +291,51 @@ def test_knn_k_exceeds_control_points():
     assert np.array_equal(ri, bi)
 
 
+def test_bucket_grid_knn_exact_vs_brute_skewed():
+    """BucketGridKnn (CSR bucket grid, the large-m J4 path) returns
+    exactly brute_knn's answers on a density-skewed control table,
+    for in-grid, boundary-overhang and far-outside queries alike —
+    and the m-chunked brute_knn merge equals the one-shot path."""
+    import numpy as np
+
+    from geokit.knn import BucketGridKnn, PaddedGridKnn, brute_knn, build_knn_index
+
+    rng = np.random.default_rng(77)
+    m = 30_000
+    cx = rng.uniform(0.0, 10_000.0, m)
+    cy = rng.uniform(0.0, 6_000.0, m)
+    dense = rng.random(m) < 0.6  # one city disk holds 60% of points
+    kk = int(dense.sum())
+    ang = rng.uniform(0, 2 * np.pi, kk)
+    rad = 300.0 * np.sqrt(rng.random(kk))
+    cx[dense] = 7_000.0 + rad * np.cos(ang)
+    cy[dense] = 2_000.0 + rad * np.sin(ang)
+
+    n = 2_000
+    px = rng.uniform(-1_500.0, 11_500.0, n)  # ~25% outside the bbox
+    py = rng.uniform(-1_000.0, 7_000.0, n)
+
+    bi, bd = brute_knn(px, py, cx, cy, k=4)  # m-chunked merge path
+    bi1, _ = brute_knn(px[:64], py[:64], cx, cy, k=4, chunk=64)
+    assert np.array_equal(bi[:64], bi1)
+
+    idx = BucketGridKnn(cx, cy, k=4)
+    gi, gd = idx.query(px, py)
+    assert np.array_equal(gi, bi)
+    assert np.allclose(gd, bd)
+    gi2, _ = idx.query(px, py)  # cached second pass identical
+    assert np.array_equal(gi2, gi)
+
+    # PaddedGridKnn's bucketed build path (m > threshold) agrees too.
+    pidx = PaddedGridKnn(cx, cy, k=4, bucketed_build_threshold=1_000, ncells=4_096)
+    pi, _ = pidx.query(px, py)
+    assert np.array_equal(pi, bi)
+
+    # Factory dispatch by small-side size.
+    assert isinstance(build_knn_index(cx, cy, 4, padded_max=m - 1), BucketGridKnn)
+    assert isinstance(build_knn_index(cx, cy, 4, padded_max=m), PaddedGridKnn)
+
+
 def test_raster_sampler_border_band():
     """Points inside the raster extent but outside the pixel-center
     hull sample the nearest edge pixel, not 0 (review finding)."""
