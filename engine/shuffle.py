@@ -235,6 +235,46 @@ def grouped_count_sums(
     return keyed_partition_map(partials, keys, merge_partition, num_partitions)
 
 
+def _own_object_ndarrays(df):
+    """Give every ndarray held in an object column its own buffer.
+
+    Ray 2.49 data-corruption guard: when a partition_fn emits
+    list-of-ndarray columns whose elements are contiguous VIEWS of one
+    base (the natural ``arr[s:s+l]`` slicing idiom),
+    ``ArrowVariableShapedTensorArray.from_numpy`` takes a zero-copy
+    path that ships ``raveled[-1].base`` and reads it from OFFSET 0.
+    If pandas consolidated two float64 source columns into one 2-D
+    block, both emitted list columns collapse to that same base and
+    silently serialize the block's first rows — e.g. ``ys`` becoming a
+    copy of ``xs`` (reproduced ~1-in-20 runs on the shapefile
+    reassemble pipeline; the trigger is pandas' nondeterministic block
+    consolidation). Owning copies force from_numpy's safe concatenate
+    path. Probed directly in
+    tests/test_engine_infra.py::test_keyed_partition_map_owns_ndarray_view_columns."""
+    import pandas as pd
+
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = df[c].to_numpy()
+            if any(isinstance(v, np.ndarray) and v.base is not None for v in vals):
+                df[c] = pd.Series(
+                    [
+                        v.copy()
+                        if isinstance(v, np.ndarray) and v.base is not None
+                        else v
+                        for v in vals
+                    ],
+                    index=df.index,
+                    dtype=object,
+                )
+    return df
+
+
+# Test-visible alias (the guard is an implementation detail of
+# keyed_partition_map; the test probes it against Ray's from_numpy).
+_own_object_ndarrays_for_tests = _own_object_ndarrays
+
+
 def keyed_partition_map(
     ds: Dataset,
     keys: Sequence[str],
@@ -288,7 +328,7 @@ def keyed_partition_map(
 
     def run(df):
         out = partition_fn(df.drop(columns=["_pkey"]))
-        return out
+        return _own_object_ndarrays(out)
 
     res = tagged.groupby("_pkey").map_groups(run, batch_format="pandas")
     if out_schema is not None:

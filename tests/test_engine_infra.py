@@ -352,6 +352,74 @@ def test_raster_sampler_border_band():
     assert near[1] == 0.0  # genuinely outside the extent
 
 
+def test_keyed_partition_map_owns_ndarray_view_columns(ray_session):
+    """Ray 2.49 corruption guard: a partition_fn emitting list columns
+    as contiguous ndarray VIEWS of one shared base (here a consolidated
+    2-D block, pandas' natural layout for same-dtype columns) trips
+    ArrowVariableShapedTensorArray.from_numpy's zero-copy path, which
+    ships ``raveled[-1].base`` read from offset 0 — both columns then
+    serialize the base's first rows (ys becomes a copy of xs).
+    keyed_partition_map must emit owning arrays so values survive."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.shuffle import keyed_partition_map
+
+    n = 8
+    t = pa.table(
+        {
+            "k": np.zeros(n, np.int64),
+            "x": np.arange(n, dtype=np.float64),
+            "y": np.arange(n, dtype=np.float64) * 100.0 + 1.0,
+        }
+    )
+
+    def regroup(df: pd.DataFrame) -> pd.DataFrame:
+        block = np.vstack([df["x"].to_numpy(), df["y"].to_numpy()])
+        x, y = block[0], block[1]  # views sharing one 2-D base
+        return pd.DataFrame(
+            {
+                "k": [0, 0],
+                "xs": [x[0:3], x[3:n]],
+                "ys": [y[0:3], y[3:n]],
+            }
+        )
+
+    out = keyed_partition_map(rd.from_arrow(t), ["k"], regroup, num_partitions=1)
+    rows = out.take_all()
+    assert len(rows) == 2
+    for r in rows:
+        xs = np.asarray(r["xs"])
+        ys = np.asarray(r["ys"])
+        assert np.array_equal(ys, xs * 100.0 + 1.0)  # ys survived intact
+
+    # The underlying Ray defect, probed directly (documents WHY the
+    # guard exists; if a Ray upgrade fixes from_numpy, this stops
+    # observing corruption and the guard becomes belt-and-braces):
+    from ray.air.util.tensor_extensions.arrow import ArrowVariableShapedTensorArray
+
+    block = np.vstack([np.arange(8.0), np.arange(8.0) * 100.0 + 1.0])
+    y = block[1]
+    raw = ArrowVariableShapedTensorArray.from_numpy([y[0:3], y[3:8]])
+    raw_vals = np.concatenate(list(raw.to_numpy(zero_copy_only=False)))
+    guarded = regroup(
+        pd.DataFrame({"k": np.zeros(8, np.int64), "x": block[0], "y": block[1]})
+    )
+    from engine.shuffle import _own_object_ndarrays_for_tests as own
+
+    owned = own(guarded)
+    for col in ("xs", "ys"):
+        for v in owned[col]:
+            assert v.base is None  # owning buffer -> safe concatenate path
+    ok = ArrowVariableShapedTensorArray.from_numpy(list(owned["ys"]))
+    ok_vals = np.concatenate(list(ok.to_numpy(zero_copy_only=False)))
+    assert np.array_equal(ok_vals, y)  # guarded conversion is correct
+    if not np.array_equal(raw_vals, y):
+        pass  # Ray bug still present; the guard above is load-bearing
+
+
 def test_deterministic_key_hash_null_string_keys():
     """Null string keys hash deterministically (a fixed sentinel)
     instead of crashing on NaN dictionary indices."""
