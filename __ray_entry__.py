@@ -39,6 +39,20 @@ def entry() -> Any:
 #   minhash_dedup     -> minhash_dedup_full (runs the pairs stage)
 #   doc_quality       -> quality_scores     (same per-doc metrics)
 #   supplier_nation   -> customer_per_region (broadcast-join + agg)
+#   customer_per_region -> lineitem_agg + segment_revenue +
+#                        cell_rollup_sql (the same grouped_count_sums
+#                        combiner machinery stays triple-VALUE-checked
+#                        in-window); the broadcast-join+agg composition
+#                        itself stays SQL-value-checked in the
+#                        excluded-queries test (with supplier_nation).
+#                        Swapped out for domain_cap_docs (round 4).
+#   grouped_quantiles -> winsorized_events (the SAME keyed co-partition
+#                        + quantile_disc exact-rank machinery, which it
+#                        computes as its clamp bounds, PLUS a clamped-
+#                        sum value check over every row); stays
+#                        SQL-value-checked in the excluded-queries
+#                        test. Swapped out for winsorized_events
+#                        (round 4).
 #   geo_densest_cells -> geo_cell_rollup + topk_orders
 #   geo_cell_day      -> geo_cell_rollup + events_daily
 #   geo_cell_rollup   -> geo_pipeline_sql (cell assignment on the same
@@ -105,6 +119,8 @@ _DRIVER_EXCLUDED = {
     # formats); the resize/rms/frame-sample feature stages stay
     # rows-only in the excluded test + pytest-exact decode checks
     "media_features",
+    "customer_per_region",
+    "grouped_quantiles",
     "sample_lineitem",
     "minhash_dedup",
     "doc_quality",

@@ -133,6 +133,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "left_join_f_orders",
             "incremental_dedup",
             "corpus_diff_docs",
+            "jaccard_join",
+            "domain_cap_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

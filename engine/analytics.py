@@ -294,6 +294,92 @@ GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------------ winsorized aggregates
+
+
+def winsorized_stats(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Outlier-robust grouped aggregates: clamp each group's values to
+    its [lo_q, hi_q] EXACT discrete quantiles (the grouped_quantiles
+    rank rule, sorted[ceil(q*n)-1] == DuckDB quantile_disc — order
+    statistics, no interpolated floats) and report the clamped sum.
+    All outputs are exact int64, so the SQL mirror is bitwise.
+
+    Same scale contract as grouped_quantiles: the shuffle carries only
+    the (key, int64 value) projection (~16 B/row); one group's values
+    must fit a worker (swap in the t-digest sketch when they cannot).
+
+    Output: ``key, n, lo_<v>, hi_<v>, wsum_<v>``.
+    """
+    lo_c, hi_c, ws_c = f"lo_{value_col}", f"hi_{value_col}", f"wsum_{value_col}"
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(key, sort=False):
+            v = np.sort(g[value_col].to_numpy())
+            n = len(v)
+            lo = v[max(0, int(np.ceil(lo_q * n)) - 1)]
+            hi = v[max(0, int(np.ceil(hi_q * n)) - 1)]
+            rows.append((k, n, lo, hi, int(np.clip(v, lo, hi).sum())))
+        return pd.DataFrame(
+            rows, columns=[key, "n", lo_c, hi_c, ws_c]
+        ).astype({c: np.int64 for c in ("n", lo_c, hi_c, ws_c)})
+
+    s = ds.schema()
+    key_type = dict(zip(s.names, s.types))[key]
+    schema = pa.schema(
+        [(key, key_type)] + [(c, pa.int64()) for c in ("n", lo_c, hi_c, ws_c)]
+    )
+    return keyed_partition_map(
+        ds, [key], per_partition, num_partitions, out_schema=schema
+    )
+
+
+def q_winsorized_events(sf_dir: str) -> Dataset:
+    """Winsorized (5%/95%-clamped) sum of event value (milli-units)
+    per event_type — the robust-stats view of a heavy-tailed metric."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        milli = pc.cast(
+            pc.round(pc.multiply(b["value"], 1000.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"event_type": b["event_type"], "milli": milli})
+
+    return winsorized_stats(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", "milli"
+    )
+
+
+SQL_WINSORIZED_EVENTS = """
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS milli FROM events
+),
+b AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_disc(milli, 0.05) AS lo_milli,
+         quantile_disc(milli, 0.95) AS hi_milli
+  FROM c GROUP BY event_type
+)
+SELECT b.event_type, b.n, b.lo_milli, b.hi_milli,
+       CAST(SUM(CASE WHEN c.milli < b.lo_milli THEN b.lo_milli
+                     WHEN c.milli > b.hi_milli THEN b.hi_milli
+                     ELSE c.milli END) AS BIGINT) AS wsum_milli
+FROM c JOIN b USING (event_type)
+GROUP BY b.event_type, b.n, b.lo_milli, b.hi_milli
+"""
+
+
 # --------------------------------------------------------- semi/anti flag
 
 # Broadcast-vs-hash-join routing threshold for the distinct key set
@@ -956,4 +1042,102 @@ SELECT doc_id, n_tok,
        CAST(prev // 512 AS BIGINT) AS shard_id,
        CAST(prev % 512 AS BIGINT) AS offset_in_shard
 FROM c
+"""
+
+
+# ------------------------------------------------ per-key frequency cap
+
+
+def frequency_cap(
+    ds: Dataset,
+    key: str,
+    id_col: str,
+    cap: int,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Keep at most ``cap`` rows per ``key`` — deterministically the
+    ``cap`` SMALLEST ``id_col`` values (domain rebalancing: the
+    CCNet/RefinedWeb-style cap on documents per registered domain, so
+    no domain dominates the training mix).
+
+    Scale shape (100 TB):
+    1. WINNERS over the pruned (key, id) projection only (~24 B/row):
+       per-block vectorized prune to the cap smallest ids per key
+       (dictionary-encode + lexsort + run-length cumcount — no Python
+       per key), then ONE coarse co-partition on ``key`` and the same
+       prune per partition. Exact: a global winner is a winner of its
+       block, so block pruning never discards one; ties are impossible
+       (ids are unique) so the winner set is repartition-deterministic.
+    2. Kept rows = semi-filter of the full corpus by the broadcast
+       sorted winner-id array (searchsorted per batch; engine.joins).
+       The winner set is bounded by cap x n_keys; for a key universe
+       too large to broadcast, the documented path is the same
+       bucketed hash-join semi used by dedupe.candidate_docs (the
+       text column never enters phase 1 either way).
+
+    Returns the kept rows of ``ds`` (all original columns).
+    """
+
+    def block_prune(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        k = b[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        kc = codes[order]
+        n = len(kc)
+        new = np.ones(n, dtype=bool)
+        new[1:] = kc[1:] != kc[:-1]
+        starts = np.flatnonzero(new)
+        cum = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        return b.take(pa.array(np.sort(order[cum < cap])))
+
+    def part_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, id_col], kind="stable")
+        rn = df.groupby(key, sort=False).cumcount()
+        return df[rn < cap]
+
+    s = ds.schema()
+    types = dict(zip(s.names, s.types))
+    pruned = ds.select_columns([key, id_col]).map_batches(
+        block_prune, batch_format="pyarrow"
+    )
+    winners = keyed_partition_map(
+        pruned,
+        [key],
+        part_prune,
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(key, types[key]), (id_col, types[id_col])]),
+    )
+    # Bounded collect: <= cap x n_keys int64 ids (see docstring).
+    wtbl = pa.concat_tables(
+        [pa.table({id_col: b[id_col]}) for b in winners.iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    )
+    ids = wtbl[id_col].to_numpy(zero_copy_only=False)
+
+    from engine.joins import semi_filter
+
+    return semi_filter(ds, ids, id_col)
+
+
+def q_domain_cap(sf_dir: str, cap: int = 25) -> Dataset:
+    """Cap documents per source at ``cap`` (smallest doc_ids win);
+    returns the kept rows' (doc_id, source, n_chars) — the winner ids
+    themselves are the value check."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return frequency_cap(ds, key="source", id_col="doc_id", cap=cap)
+
+
+SQL_DOMAIN_CAP = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 25
 """

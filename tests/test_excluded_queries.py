@@ -35,6 +35,8 @@ def _excluded():
     [
         "doc_quality",
         "supplier_nation",
+        "customer_per_region",
+        "grouped_quantiles",
         "ann_bruteforce",
         "tm2gk",
         "filter_project",

@@ -1470,3 +1470,86 @@ def test_media_auto_backend_sniffs_formats():
     )
     for i in range(2):
         np.testing.assert_array_equal(np.asarray(out.waveform.iloc[i]), s)
+
+
+def test_frequency_cap_exact_and_deterministic(ray_session):
+    """Per-key frequency cap: keeps exactly the cap smallest ids per
+    key (domain rebalancing), matches a pandas brute oracle, keeps all
+    original columns, and is block-layout-invariant."""
+    from engine.analytics import frequency_cap
+
+    rng = np.random.default_rng(7)
+    keys = ["A"] * 50 + ["B"] * 10 + ["C"] * 10 + ["D"]  # C == cap, D < cap
+    n = len(keys)
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    df = pd.DataFrame(
+        {"k": keys, "id": ids, "v": rng.integers(0, 1_000, n).astype(np.int64)}
+    ).sample(frac=1.0, random_state=3)  # shuffled row order
+
+    cap = 10
+    exp = (
+        df.sort_values(["k", "id"], kind="stable")
+        .groupby("k", sort=False)
+        .head(cap)
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (exp.k == "A").sum() == cap and (exp.k == "D").sum() == 1
+
+    results = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        got = (
+            frequency_cap(ds.repartition(nblocks), "k", "id", cap=cap)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "id", "v"]], exp[["k", "id", "v"]])
+        results.append(got)
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+    # cap >= group sizes keeps everything
+    all_kept = frequency_cap(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)), "k", "id", cap=99
+    )
+    assert all_kept.count() == n
+
+
+def test_winsorized_stats_brute_oracle(ray_session):
+    """Winsorized grouped sums match a numpy brute oracle built on the
+    exact quantile_disc rank rule (sorted[ceil(q*n)-1]), including a
+    heavy-tailed group, a tiny group (n=1 -> lo==hi==the value), and
+    ties at the clamp bounds; block-layout invariant."""
+    from engine.analytics import winsorized_stats
+
+    rng = np.random.default_rng(11)
+    vals_a = np.concatenate(
+        [rng.integers(0, 100, 200), [10_000, -5_000, 10_000]]  # outliers + tie
+    ).astype(np.int64)
+    vals_b = rng.integers(-50, 50, 7).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(vals_a) + ["b"] * len(vals_b) + ["c"],
+            "v": np.concatenate([vals_a, vals_b, [42]]),
+        }
+    ).sample(frac=1.0, random_state=5)
+
+    def brute(v):
+        v = np.sort(v)
+        n = len(v)
+        lo = v[max(0, int(np.ceil(0.05 * n)) - 1)]
+        hi = v[max(0, int(np.ceil(0.95 * n)) - 1)]
+        return n, lo, hi, int(np.clip(v, lo, hi).sum())
+
+    exp = {
+        k: brute(g["v"].to_numpy()) for k, g in df.groupby("g")
+    }
+    for nblocks in (1, 5):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        got = winsorized_stats(ds.repartition(nblocks), "g", "v").to_pandas()
+        assert len(got) == 3
+        for _, r in got.iterrows():
+            n, lo, hi, ws = exp[r["g"]]
+            assert (r["n"], r["lo_v"], r["hi_v"], r["wsum_v"]) == (n, lo, hi, ws)
+    assert exp["c"][1] == exp["c"][2] == 42  # n=1: lo == hi == value
