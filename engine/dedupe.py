@@ -457,10 +457,20 @@ def jaccard_similarity_join_prefix(
       1. df pass — per-block shingle counts, one (s, partial) int64
          shuffle, df>=2 map broadcast once (``ray.put``);
       2. prefix pass — re-shingle per block, per-doc lexsort by
-         (df, s), emit only prefix (id, s, n) rows;
+         (df, s), emit only prefix (id, s, n, pos) rows (pos = the
+         shingle's 0-based position in the doc's full sorted order);
       3. candidates — co-group prefix rows by s; per-bucket pairs with
-         the integer length filter (den*min(na,nb) >= num*max(na,nb)),
-         deduped globally (candidate-scale);
+         the integer length filter (den*min(na,nb) >= num*max(na,nb))
+         AND the PPJoin positional filter: a bucket occurrence at
+         positions (pa, pb) bounds the overlap by
+         ub = min(na - pa, nb - pb), so the pair can only reach
+         J >= num/den if (num+den)*ub >= num*(na+nb); a pair survives
+         if ANY of its shared-prefix occurrences passes. No false
+         negatives: for a truly-similar pair, all inter shared
+         shingles sit at positions >= (pa, pb) of the FIRST shared
+         shingle, so inter <= min(na - pa, nb - pb) = ub there, and
+         inter >= num*(na+nb)/(num+den) makes that occurrence pass.
+         Survivors dedupe globally (candidate-scale);
       4. verify — verify_pairs_jaccard_distributed(emit_stats) on the
          endpoint-semi-filtered corpus gives exact intersections with
          the rational threshold; na/nb merge back from the candidate
@@ -511,6 +521,9 @@ def jaccard_similarity_join_prefix(
                 id_col: pa.array(ids[idx]),
                 "s": pa.array(s[idx]),
                 "n": pa.array(n[idx]),
+                # Position in the doc's full rarest-first order (the
+                # prefix is its first p elements, so rank IS pos).
+                "pos": pa.array(rank[keep]),
             }
         )
 
@@ -525,19 +538,28 @@ def jaccard_similarity_join_prefix(
             return empty
         ids = df[id_col].to_numpy()
         ns = df["n"].to_numpy()
-        out_a, out_b, out_na, out_nb = [], [], [], []
+        ps = df["pos"].to_numpy()
+        out_a, out_b, out_na, out_nb, out_pa, out_pb = [], [], [], [], [], []
         for st, e in zip(bounds[:-1], bounds[1:]):
             ia, ib = np.triu_indices(e - st, k=1)
             out_a.append(ids[st:e][ia])
             out_b.append(ids[st:e][ib])
             out_na.append(ns[st:e][ia])
             out_nb.append(ns[st:e][ib])
+            out_pa.append(ps[st:e][ia])
+            out_pb.append(ps[st:e][ib])
         a = np.concatenate(out_a).astype(np.int64)
         bb = np.concatenate(out_b).astype(np.int64)
         na = np.concatenate(out_na).astype(np.int64)
         nb = np.concatenate(out_nb).astype(np.int64)
-        # Integer length filter: J >= t forces min >= t*max.
+        pos_a = np.concatenate(out_pa).astype(np.int64)
+        pos_b = np.concatenate(out_pb).astype(np.int64)
+        # Integer length filter: J >= t forces min >= t*max. Then the
+        # positional filter (docstring): this occurrence's overlap
+        # upper bound must still allow J >= num/den.
         ok = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+        ub = np.minimum(na - pos_a, nb - pos_b)
+        ok &= (num + den) * ub >= num * (na + nb)
         g = pd.DataFrame(
             {"id_a": a[ok], "id_b": bb[ok], "na": na[ok], "nb": nb[ok]}
         ).drop_duplicates(["id_a", "id_b"])
@@ -565,6 +587,7 @@ def jaccard_similarity_join_prefix(
         num_partitions=num_partitions,
         rational_threshold=(num, den),
         emit_stats=True,
+        assume_distinct=True,
     )
 
     out_schema = pa.schema(
@@ -1242,6 +1265,7 @@ def verify_pairs_jaccard_distributed(
     max_broadcast_endpoints: int = 4_000_000,
     rational_threshold: tuple[int, int] | None = None,
     emit_stats: bool = False,
+    assume_distinct: bool = False,
 ) -> Dataset:
     """Exact-Jaccard verification of LSH candidate pairs with NO
     driver-side pair materialization: the driver never sees a pair
@@ -1274,7 +1298,11 @@ def verify_pairs_jaccard_distributed(
 
     # Materialized in the object store (not the driver): consumed by
     # count + endpoint extraction + the endpoints stage; pair-scale.
-    pairs = distinct_pairs(pairs).materialize()
+    # ``assume_distinct=True`` skips the dedup shuffle when the caller
+    # already globally deduped AND materialized the pairs (the prefix
+    # join does both) — per-pair uniqueness is REQUIRED either way.
+    if not assume_distinct:
+        pairs = distinct_pairs(pairs).materialize()
     cand = candidate_docs(
         ds, pairs, id_col, text_col, max_broadcast_endpoints=max_broadcast_endpoints
     )
