@@ -209,6 +209,20 @@ def grouped_count_sums(
             pre_merge,
             num_partitions,
         ).map_batches(lambda b: b.drop_columns(["_salt"]), batch_format="pyarrow")
+        # DAG break between the two sort stages. Fused lazily, Ray 2.49's
+        # streaming executor interleaves the second Sort's map tasks with
+        # the first Sort's reduce tasks and the pair runs ~2.4x slower at
+        # low parallelism (measured: 15.8 s fused vs 6.9 s split at 8
+        # CPUs, 4M rows — same family as the Union->Sort wedge, see
+        # engine/dedupe.py). Materializing here is output-scale, not
+        # corpus-scale: the pre-merge leaves <= n_keys * S rows total.
+        partials = partials.materialize()
+        # The final merge's input is now the reduced set; size its
+        # shuffle to the data (count is free on a materialized set).
+        # Each merge partition wants >= ~64k rows before the per-
+        # partition fixed cost amortizes; the salted pre-merge already
+        # bounded hot keys at S rows, so few partitions is safe.
+        num_partitions = max(1, min(num_partitions, partials.count() // 65_536))
 
     def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, dropna=False)
@@ -232,6 +246,15 @@ def grouped_count_sums(
             out[f"max_{c}"] = g[f"_max_{c}"]
         return out
 
+    if num_partitions == 1:
+        # Degenerate single-partition merge: skip the sort shuffle and
+        # coalesce + merge in one vectorized map (the salted pre-merge
+        # already reduced the set to <= n_keys * S rows).
+        return partials.repartition(1).map_batches(
+            lambda df: _own_object_ndarrays(merge_partition(df)),
+            batch_format="pandas",
+            batch_size=None,
+        )
     return keyed_partition_map(partials, keys, merge_partition, num_partitions)
 
 
