@@ -208,6 +208,14 @@ _DRIVER_EXCLUDED = {
     # snapshot indexes; its FULL-OUTER summary stays SQL-exact in the
     # excluded test (the bigram_topk precedent)
     "corpus_diff_docs",
+    # aft_transform -> aft_roundtrip (the IDENTICAL AFT triangle-
+    # locate + affine forward kernel, VALUE-checked in-window as the
+    # first half of the roundtrip, whose inverse leg then re-checks it
+    # bidirectionally) + geo_enriched (AFT cm-quantized columns
+    # VALUE-checked over the pages corpus). Slot goes to chunk_docs
+    # (sliding-window context chunking, previously uncovered op
+    # family); stays SQL-exact in the excluded test.
+    "aft_transform",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

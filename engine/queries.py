@@ -2160,3 +2160,50 @@ LIMIT 20
 """
 
 REGISTRY.update({"bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK)})
+
+
+def q_chunk_docs(sf_dir: str) -> Dataset:
+    """Sliding-window context chunking over documents (training-sample
+    prep): 32-token windows advancing by 24 (8-token overlap), chunk
+    text rebuilt from the doc's \\S+ tokens. Zero-shuffle single map
+    pass — the canonical "cut long docs into model-context samples"
+    stage of an LLM data pipeline."""
+    from engine.textops import chunk_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return ds.map_batches(
+        chunk_batch, batch_format="pyarrow", fn_kwargs=dict(size=32, stride=24)
+    )
+
+
+# Chunk rule mirror (exact integers): k chunks with
+# k = 1 if n <= 32 else (n - 32 + 23) // 24 + 1; chunk k covers
+# 1-based token positions [k*24 + 1, min(k*24 + 32, n)] — DuckDB list
+# slicing ts[a:b] is 1-based with inclusive end, matching tok_start =
+# k*24 (0-based) .. tok_end = min(k*24 + 32, n) exclusive.
+SQL_CHUNK_DOCS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts,
+         len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, ts, n,
+         CASE WHEN n = 0 THEN 0
+              WHEN n <= 32 THEN 1
+              ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id, ts, n, r.k AS chunk_no
+  FROM k, LATERAL unnest(range(0, n_chunks)) AS r(k))
+SELECT doc_id,
+       chunk_no,
+       chunk_no * 24 AS tok_start,
+       least(chunk_no * 24 + 32, n) - chunk_no * 24 AS n_toks,
+       array_to_string(ts[chunk_no * 24 + 1 : least(chunk_no * 24 + 32, n)], ' ')
+         AS chunk_text,
+       length(array_to_string(ts[chunk_no * 24 + 1 : least(chunk_no * 24 + 32, n)], ' '))
+         AS chunk_chars
+FROM c
+"""
+
+REGISTRY.update({"chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS)})

@@ -568,3 +568,106 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", k_smoot
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------- context-window chunking
+
+
+def chunk_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> pa.Table:
+    """Sliding-window context chunking (training-sample prep): split
+    each document's whitespace tokens into windows of ``size`` tokens
+    advancing by ``stride`` (overlap = size - stride), the shape used
+    to cut long documents into model-context-sized training samples
+    without losing cross-boundary spans.
+
+    Chunk rule (exact, integer): a doc with n > 0 tokens emits
+    ``1 if n <= size else (n - size + stride - 1) // stride + 1``
+    chunks; chunk k covers tokens [k*stride, min(k*stride + size, n)).
+    Zero-token docs emit no rows. Tokens are ``\\S+`` spans (the
+    line_dedup/_doc_lines contract — case and punctuation preserved so
+    chunk_text is faithful text); the SQL mirror slices the same
+    ``regexp_extract_all(text, '\\S+')`` list.
+
+    Fully local: one vectorized map pass, zero shuffles, linear at any
+    corpus size. Overlapping windows cannot be expressed as ListArray
+    offsets (slices must be disjoint), so tokens are GATHERED once via
+    a flat take-index vector (~size/stride x token count) and joined
+    per chunk — still all-Arrow/numpy, no Python loop.
+
+    Output: id_col, chunk_no, tok_start, n_toks, chunk_text,
+    chunk_chars (utf8 chars, = DuckDB length()).
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    # \S+ tokens via split + empty-artifact filter (same equivalence
+    # _doc_lines documents: split('\s+') minus '' == extract('\S+')).
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    if not keep.all():
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        flat = flat.filter(pa.array(keep))
+        counts = np.bincount(doc_of, minlength=len(counts)).astype(np.int64)
+    n = counts
+    k_per_doc = np.where(
+        n == 0, 0, np.where(n <= size, 1, (n - size + stride - 1) // stride + 1)
+    ).astype(np.int64)
+    total_chunks = int(k_per_doc.sum())
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "chunk_no": pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "n_toks": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "chunk_chars": pa.array([], pa.int64()),
+        }
+    )
+    if total_chunks == 0:
+        return empty
+    doc_of_chunk = np.repeat(np.arange(len(n), dtype=np.int64), k_per_doc)
+    k_start = np.concatenate([[0], np.cumsum(k_per_doc)[:-1]])
+    chunk_no = np.arange(total_chunks, dtype=np.int64) - np.repeat(k_start, k_per_doc)
+    tok_start = chunk_no * stride
+    tok_end = np.minimum(tok_start + size, n[doc_of_chunk])
+    lens = tok_end - tok_start
+    doc_start = np.concatenate([[0], np.cumsum(n)[:-1]])
+    abs_start = doc_start[doc_of_chunk] + tok_start
+    # Flat gather indices: for chunk i, abs_start[i] .. abs_start[i]+lens[i].
+    total_tok = int(lens.sum())
+    len_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = (
+        np.arange(total_tok, dtype=np.int64)
+        - np.repeat(len_start, lens)
+        + np.repeat(abs_start, lens)
+    )
+    gathered = flat.take(pa.array(idx))
+    # int32 offsets: a single batch never gathers 2^31 tokens (batches
+    # are block-sized); keeps chunk_text a plain string column.
+    offsets = np.append(len_start, total_tok).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), gathered)
+    chunk_text = pc.binary_join(lists, " ")
+    idv = ids.to_numpy(zero_copy_only=False)[doc_of_chunk]
+    return pa.table(
+        {
+            id_col: pa.array(idv),
+            "chunk_no": pa.array(chunk_no),
+            "tok_start": pa.array(tok_start),
+            "n_toks": pa.array(lens),
+            "chunk_text": chunk_text,
+            "chunk_chars": pc.cast(pc.utf8_length(chunk_text), pa.int64()),
+        }
+    )

@@ -56,6 +56,7 @@ def _excluded():
         "doc_token_stats",
         "dedup_documents",
         "corpus_diff_docs",
+        "aft_transform",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -1553,3 +1553,79 @@ def test_winsorized_stats_brute_oracle(ray_session):
             n, lo, hi, ws = exp[r["g"]]
             assert (r["n"], r["lo_v"], r["hi_v"], r["wsum_v"]) == (n, lo, hi, ws)
     assert exp["c"][1] == exp["c"][2] == 42  # n=1: lo == hi == value
+
+
+def test_chunk_batch_matches_bruteforce():
+    from engine.textops import chunk_batch
+
+    size, stride = 5, 3
+    docs = [
+        (1, "a b c d e f g h i j"),          # 10 toks: chunks at 0,3,6 (partial)
+        (2, "one two three"),                 # n <= size: one chunk
+        (3, ""),                              # zero toks: no rows
+        (4, "   "),                           # whitespace only: no rows
+        (5, "x " * 5),                        # n == size exactly: one chunk
+        (6, "t1 t2 t3 t4 t5 t6"),            # n = size+1: two chunks
+        (7, "  lead and\ttrail  "),           # artifact tokens filtered
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+        }
+    )
+    out = chunk_batch(batch, size=size, stride=stride)
+    got = {
+        (r["doc_id"], r["chunk_no"]): r
+        for r in out.to_pylist()
+    }
+
+    expect = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        k = 1 if n <= size else -(-(n - size) // stride) + 1
+        for c in range(k):
+            s, e = c * stride, min(c * stride + size, n)
+            expect[(doc_id, c)] = {
+                "tok_start": s,
+                "n_toks": e - s,
+                "chunk_text": " ".join(toks[s:e]),
+            }
+    assert set(got) == set(expect)
+    for key, exp in expect.items():
+        g = got[key]
+        assert g["tok_start"] == exp["tok_start"], key
+        assert g["n_toks"] == exp["n_toks"], key
+        assert g["chunk_text"] == exp["chunk_text"], key
+        assert g["chunk_chars"] == len(exp["chunk_text"]), key
+    # overlap property: consecutive chunks of doc 1 share size-stride toks
+    assert got[(1, 0)]["chunk_text"].split()[stride:] == got[(1, 1)][
+        "chunk_text"
+    ].split()[: size - stride]
+
+
+def test_chunk_docs_query_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY["chunk_docs"]
+    sf = "/root/testdata/sf0.001"
+    ray_df = fn(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df) > 0
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert (av == bv).all(), c
