@@ -216,6 +216,13 @@ _DRIVER_EXCLUDED = {
     # (sliding-window context chunking, previously uncovered op
     # family); stays SQL-exact in the excluded test.
     "aft_transform",
+    # segment_revenue -> grouped-combiner aggregate machinery is
+    # quadruply VALUE-checked in-window (lineitem_agg, cell_rollup_sql,
+    # rollup_lineitem, moment_stats_events). Slot goes to
+    # budget_select_docs (X29 grouped token-budget quota selection,
+    # previously uncovered op family: per-key priority-ordered prefix-
+    # sum cutoff); stays SQL-exact in the excluded test.
+    "segment_revenue",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -1141,3 +1141,194 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, source, n_chars FROM r WHERE rn <= 25
 """
+
+
+# ----------------------------------------- token-budget quota selection
+
+
+def token_budget_select(
+    ds: Dataset,
+    key: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    order_col: str | None = None,
+    descending: bool = True,
+    num_partitions: int = 64,
+    return_winners: bool = False,
+) -> Dataset:
+    """Select rows per ``key`` in priority order until a weight budget
+    is exhausted — the "fill each language/domain's token quota with
+    the best documents first" stage of a training-mix builder (the
+    data-constrained scaling recipe: fixed token budget per stratum,
+    highest-quality docs win).
+
+    Rule (exact, deterministic): within each key, rank rows by
+    ``order_col`` (descending by default), ties broken by ``id_col``
+    ascending; keep a row iff the running ``weight_col`` sum — over
+    ALL of the key's rows in rank order, kept or not — UP TO AND
+    INCLUDING it is <= ``budget`` (the SQL window-SUM rule; weights
+    are nonnegative, so the kept set is the maximal rank-prefix whose
+    inclusive sum fits).  A first-ranked row heavier than the whole
+    budget is dropped (no partial documents).  With
+    ``order_col=None``, rank is ``id_col`` ascending alone.
+
+    Scale shape (100 TB) — the frequency_cap contract:
+    1. WINNERS over the pruned (key, id, order, weight) int projection
+       (~32 B/row): per-block vectorized prune (dictionary-encode +
+       lexsort + segment prefix sum, no Python per key) keeps rows
+       whose BLOCK-LOCAL running sum is within budget — never discards
+       a winner, since a winner's block-local prefix sum is a subset
+       sum of its global one.  Each (block, key) with dropped rows
+       also emits ONE TOMBSTONE row: the dropped rows' summed weight
+       placed at the first-dropped row's (order, id) rank.  Then ONE
+       coarse co-partition on ``key`` re-runs the rule per partition
+       over survivors + tombstones, which is exact global truth:
+       every global predecessor of a true winner has cum <= the
+       winner's <= budget, so it is itself a winner and survives
+       phase 1 with its true weight (winner cums are exact and no
+       tombstone outranks a winner — dropped rows have block-cum >
+       budget, hence global cum > budget); while every dropped
+       predecessor of a false survivor lands in a tombstone ranked at
+       or before it (the first-dropped rank bounds its block's dropped
+       ranks), so the false survivor's recomputed cum >= its true
+       cum > budget and it is rejected.
+    2. Kept rows = broadcast sorted-winner-id semi-filter of the full
+       corpus (engine.joins.semi_filter); the winner set is bounded by
+       n_keys x budget rows when weights are >= 1 (zero-weight rows
+       also survive, bounded by their corpus count); the bucketed
+       hash-join semi is the documented path past broadcast size.
+
+    ``return_winners=True`` returns the winner projection itself with
+    the exact running sum attached (``cum_<weight_col>``) instead of
+    semi-filtering ``ds`` — the cum column makes gate value checks
+    cover the per-key ordering and prefix sums, not just membership.
+    All columns stay int64-exact, so the DuckDB mirror
+    (``SUM(w) OVER (PARTITION BY key ORDER BY ...)``) is bitwise.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    cum_col = f"cum_{weight_col}"
+    proj = [key, id_col, weight_col] + ([order_col] if order_col else [])
+
+    def block_prune(b: pa.Table) -> pa.Table:
+        b = b.select(proj)
+        if b.num_rows == 0:
+            return b.append_column("_tomb", pa.array([], pa.bool_()))
+        k = b[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        if order_col is not None:
+            o = b[order_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -o if descending else o, codes))
+        else:
+            order = np.lexsort((ids, codes))
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        kc = codes[order]
+        n = len(kc)
+        new = np.ones(n, dtype=bool)
+        new[1:] = kc[1:] != kc[:-1]
+        cum = np.cumsum(w)
+        starts = np.flatnonzero(new)
+        seg_lens = np.diff(np.append(starts, n))
+        seg_cum = cum - np.repeat(cum[starts] - w[starts], seg_lens)
+        keep = seg_cum <= budget
+        # Weights >= 0 make block-local cum nondecreasing, so keep is a
+        # prefix of each segment: the first dropped row per segment sits
+        # at starts + n_keep.
+        n_keep = np.add.reduceat(keep.astype(np.int64), starts)
+        has_drop = n_keep < seg_lens
+        out = b.take(pa.array(np.sort(order[keep]))).append_column(
+            "_tomb", pa.array(np.zeros(int(keep.sum()), dtype=bool))
+        )
+        if not has_drop.any():
+            return out
+        fd = (starts + n_keep)[has_drop]  # sorted position of first drop
+        drop_w = (np.add.reduceat(w, starts) - np.add.reduceat(w * keep, starts))[
+            has_drop
+        ]
+        tomb = b.take(pa.array(order[fd]))
+        tomb = tomb.set_column(
+            tomb.schema.get_field_index(weight_col), weight_col, pa.array(drop_w)
+        ).append_column("_tomb", pa.array(np.ones(len(fd), dtype=bool)))
+        return pa.concat_tables([out, tomb.cast(out.schema)])
+
+    sort_cols = [key] + ([order_col] if order_col else []) + [id_col]
+    ascending = [True] + ([not descending] if order_col else []) + [True]
+
+    def part_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="stable")
+        cum = df.groupby(key, sort=False)[weight_col].cumsum()
+        sel = (cum <= budget) & ~df["_tomb"]
+        out = df[sel].drop(columns=["_tomb"]).copy()
+        out[cum_col] = cum[sel]
+        return out
+
+    s = ds.schema()
+    types = dict(zip(s.names, s.types))
+    pruned = ds.select_columns(proj).map_batches(block_prune, batch_format="pyarrow")
+    winners = keyed_partition_map(
+        pruned,
+        [key],
+        part_prune,
+        num_partitions=num_partitions,
+        out_schema=pa.schema([(c, types[c]) for c in proj] + [(cum_col, pa.int64())]),
+    )
+    if return_winners:
+        return winners
+    # Bounded collect: <= n_keys x budget ids for weights >= 1 (docstring).
+    wtbl = pa.concat_tables(
+        [pa.table({id_col: b[id_col]}) for b in winners.iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    )
+    ids = wtbl[id_col].to_numpy(zero_copy_only=False)
+
+    from engine.joins import semi_filter
+
+    return semi_filter(ds, ids, id_col)
+
+
+def q_budget_select(sf_dir: str, budget: int = 800) -> Dataset:
+    """Fill each source's 800-token quota with the longest documents
+    first (n_chars DESC, doc_id tiebreak); the returned winner rows
+    carry the exact running token sum (``cum_n_toks``), so the value
+    check covers the per-key priority order and prefix sums."""
+    from engine.queries import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars", "text"])
+
+    def add_toks(b: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(b["text"], r"\S+"), pa.int64())
+        return b.drop_columns(["text"]).append_column("n_toks", toks)
+
+    ds = ds.map_batches(add_toks, batch_format="pyarrow")
+    return token_budget_select(
+        ds,
+        key="source",
+        id_col="doc_id",
+        weight_col="n_toks",
+        budget=budget,
+        order_col="n_chars",
+        descending=True,
+        return_winners=True,
+    )
+
+
+# Mirror of the exact selection rule: rank by (n_chars DESC, doc_id),
+# running token sum inclusive, keep while <= budget. n_toks counts
+# \S+ spans == pc.count_substring_regex(text, '\S+') (RE2 both sides).
+SQL_BUDGET_SELECT = r"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_toks
+  FROM documents),
+o AS (
+  SELECT doc_id, source, n_chars, n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n_toks
+  FROM t)
+SELECT doc_id, source, n_chars, n_toks, cum_n_toks
+FROM o WHERE cum_n_toks <= 800
+"""

@@ -1975,10 +1975,12 @@ REGISTRY.update(
 # Stratified domain-mixing sampler + sequence packing (engine.analytics,
 # SURVEY §2.9 X19/X21) + per-source frequency cap (domain rebalancing).
 from engine.analytics import (  # noqa: E402
+    SQL_BUDGET_SELECT,
     SQL_DOMAIN_CAP,
     SQL_PACK_SHARDS,
     SQL_STRATIFIED_SAMPLE,
     SQL_WINSORIZED_EVENTS,
+    q_budget_select,
     q_domain_cap,
     q_pack_shards,
     q_stratified_sample,
@@ -1991,6 +1993,7 @@ REGISTRY.update(
         "pack_shards_docs": (q_pack_shards, SQL_PACK_SHARDS),
         "domain_cap_docs": (q_domain_cap, SQL_DOMAIN_CAP),
         "winsorized_events": (q_winsorized_events, SQL_WINSORIZED_EVENTS),
+        "budget_select_docs": (q_budget_select, SQL_BUDGET_SELECT),
     }
 )
 

@@ -57,6 +57,7 @@ def _excluded():
         "dedup_documents",
         "corpus_diff_docs",
         "aft_transform",
+        "segment_revenue",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -1629,3 +1629,107 @@ def test_chunk_docs_query_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+def test_token_budget_select_brute_oracle(ray_session):
+    import ray
+
+    from engine.analytics import token_budget_select
+
+    rng = np.random.default_rng(7)
+    n = 400
+    keys = rng.choice(["a", "b", "c", "hot"], size=n, p=[0.2, 0.2, 0.1, 0.5])
+    ids = np.arange(n, dtype=np.int64)
+    order = rng.integers(0, 50, size=n).astype(np.int64)  # many ties
+    w = rng.integers(0, 40, size=n).astype(np.int64)  # includes zero weights
+    w[keys == "c"] = 10_000  # first-ranked row heavier than budget: all dropped
+    keys[0], order[0], w[0] = "a", 1_000, 0  # zero-weight top rank of "a"
+    budget = 300
+    tbl = pa.table({"k": keys, "id": ids, "o": order, "w": w})
+
+    def brute():
+        kept = {}
+        for key in set(keys):
+            rows = [(int(order[i]), int(i)) for i in ids[keys == key]]
+            rows.sort(key=lambda t: (-t[0], t[1]))
+            cum = 0
+            for oo, i in rows:
+                cum += int(w[i])
+                if cum <= budget:
+                    kept[i] = cum
+        return kept
+
+    expect = brute()
+
+    for blocks in (1, 7, 64):  # block-layout invariance
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        win = token_budget_select(
+            ds, key="k", id_col="id", weight_col="w", budget=budget,
+            order_col="o", num_partitions=4, return_winners=True,
+        ).to_pandas()
+        got = dict(zip(win["id"].astype(int), win["cum_w"].astype(int)))
+        assert got == expect, f"blocks={blocks}"
+        # kept-rows path: same membership, original columns
+        kept = token_budget_select(
+            ds, key="k", id_col="id", weight_col="w", budget=budget,
+            order_col="o", num_partitions=4,
+        ).to_pandas()
+        assert sorted(kept["id"].astype(int)) == sorted(expect)
+        assert sorted(kept.columns) == ["id", "k", "o", "w"]
+
+    # no order_col: rank by id alone
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    win = token_budget_select(
+        ds, key="k", id_col="id", weight_col="w", budget=budget,
+        num_partitions=4, return_winners=True,
+    ).to_pandas()
+    exp2 = {}
+    for key in set(keys):
+        cum = 0
+        for i in ids[keys == key]:
+            cum += int(w[i])
+            if cum <= budget:
+                exp2[int(i)] = cum
+    assert dict(zip(win["id"].astype(int), win["cum_w"].astype(int))) == exp2
+
+    # budget=0 keeps only zero-weight rows
+    win0 = token_budget_select(
+        ds, key="k", id_col="id", weight_col="w", budget=0,
+        order_col="o", num_partitions=4, return_winners=True,
+    ).to_pandas()
+    zero_expect = set()
+    for key in set(keys):
+        rows = sorted(
+            [(int(order[i]), int(i)) for i in ids[keys == key]],
+            key=lambda t: (-t[0], t[1]),
+        )
+        for oo, i in rows:
+            if int(w[i]) != 0:
+                break
+            zero_expect.add(i)
+    assert zero_expect  # the planted zero-weight top-ranked row
+    assert set(win0["id"].astype(int)) == zero_expect
+
+
+def test_budget_select_docs_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY["budget_select_docs"]
+    sf = "/root/testdata/sf0.001"
+    ray_df = fn(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df) > 0
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert (av == bv).all(), c
