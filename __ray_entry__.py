@@ -223,6 +223,14 @@ _DRIVER_EXCLUDED = {
     # previously uncovered op family: per-key priority-ordered prefix-
     # sum cutoff); stays SQL-exact in the excluded test.
     "segment_revenue",
+    # fingerprint_docs -> its one-pass rolling-hash machinery is
+    # VALUE-checked in-window inside substr_dedup_docs (X30 exact
+    # repeated-substring removal: stride-1 rolling window digests +
+    # canonical-first removal — the ExactSubstr dedup family), and the
+    # one-RE2-pass text-analysis shape stays in-window via langid /
+    # quality_scores / repetition_signals. Stays SQL-exact in the
+    # excluded test.
+    "fingerprint_docs",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -1948,3 +1948,253 @@ def corpus_diff(index_a: Dataset, index_b: Dataset, num_partitions: int = 32) ->
             [("status", pa.string()), ("id_a", pa.int64()), ("id_b", pa.int64())]
         ),
     )
+
+
+# --------------------------------- exact repeated-substring removal
+#
+# The ExactSubstr dedup family (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): any L-token span whose
+# content occurs more than once in the corpus is removed from every
+# occurrence EXCEPT the canonical first one (global min (doc_id,
+# start)).  A token position is removed iff some duplicated,
+# non-canonical window covers it; canonical windows keep their
+# positions unless another duplicated window also covers them.  The
+# published method builds a monolithic suffix array; the Ray-Data
+# shape below reaches the same duplicated-window set with stride-1
+# rolling digests and two digest-scale passes — no suffix array, no
+# corpus-text shuffle.
+
+_WIN_POS_BITS = 21  # span keys pack as doc_id << 21 | tok_start
+
+
+def _window_digests(texts_flat_tokens, counts: np.ndarray, L: int):
+    """Two independent 64-bit rolling digests for every in-doc L-token
+    window (stride 1) over the flat token-hash array.  Windows
+    crossing doc boundaries exist in the rolling accumulator but are
+    never selected.  Work is L fused multiply-adds over the flat
+    array (L is small; the B^-1 prefix trick would make it O(1) per
+    window).  Returns (h1, h2, win_counts)."""
+    th = texts_flat_tokens
+    with np.errstate(over="ignore"):
+        th2 = (th ^ (th >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        th2 = (th2 ^ (th2 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        th2 = th2 ^ (th2 >> np.uint64(31))
+    win_counts = np.where(counts >= L, counts - L + 1, 0).astype(np.int64)
+    total = int(counts.sum())
+    total_w = int(win_counts.sum())
+    if total_w == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z, win_counts
+    with np.errstate(over="ignore"):
+        acc1 = th[: total - L + 1].copy()
+        acc2 = th2[: total - L + 1].copy()
+        P2 = np.uint64(0x9E3779B97F4A7C15)
+        for j in range(1, L):
+            acc1 = acc1 * FNV_PRIME + th[j : total - L + 1 + j]
+            acc2 = acc2 * P2 + th2[j : total - L + 1 + j]
+    tok_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    w_starts = np.concatenate([[0], np.cumsum(win_counts)[:-1]])
+    local = np.arange(total_w, dtype=np.int64) - np.repeat(w_starts, win_counts)
+    src = np.repeat(tok_starts, win_counts) + local
+    return acc1[src], acc2[src], win_counts
+
+
+def _doc_tokens_arrow(text) -> tuple[pa.Array, np.ndarray]:
+    """RE2 \\S+ tokens of every doc (split + empty-artifact filter —
+    the _doc_lines/chunk_batch equivalence), as a flat Arrow string
+    array + per-doc counts.  Arrow-side splitting keeps positions
+    aligned with the DuckDB mirror even for non-ASCII whitespace."""
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    if not keep.all():
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        flat = flat.filter(pa.array(keep))
+        counts = np.bincount(doc_of, minlength=len(counts)).astype(np.int64)
+    return flat, counts
+
+
+def exact_substring_dedup(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    L: int = 15,
+    num_partitions: int = 32,
+    max_broadcast: int = 4_000_000,
+) -> Dataset:
+    """Remove every duplicated L-token span from all but its canonical
+    first occurrence.  Output per doc: ``id_col, n_toks, n_removed,
+    kept_text, kept_chars`` (kept tokens joined by one space; exact
+    ints; '' when everything is removed or the doc is empty).
+
+    Scale shape (100 TB):
+    1. DUP-DIGEST DISCOVERY, combiner-style: one map pass computes
+       stride-1 rolling window digests and emits per-block (h1, cnt)
+       PARTIALS (distinct digests per block, run-length counted);
+       grouped_count_sums merges partials — the shuffle moves partial
+       rows, never the token-scale window list.  h1-only counting is
+       a no-false-negative superset filter (a duplicated window's h1
+       total is >= 2; h1-collision riders are eliminated in pass 2).
+    2. OCCURRENCES of dup digests only: a second map pass re-derives
+       windows and keeps those whose h1 is in the broadcast sorted dup
+       set — at web scale the duplicated fraction (boilerplate) is a
+       small tail of all windows, so this shuffle is candidate-scale
+       (h1, h2, packed (doc,start)) ints.  One co-partition on
+       (h1, h2) picks the canonical min occurrence per digest and
+       emits the rest as removal spans; within-subset group sizes
+       equal global counts because an h1 match takes ALL of a
+       digest's occurrences or none.
+    3. REBUILD, broadcast + local (the line_dedup contract): removal
+       span keys (doc_id << 21 | start, deduped + sorted) broadcast
+       once via ray.put; a final map pass over the corpus marks
+       covered positions with a difference array (+1 at start, -1 at
+       min(start+L, n)) and rebuilds kept text zero-copy (ListArray
+       offsets + binary_join).  Raises above ``max_broadcast`` — the
+       documented swap is the exploded hash-anti join, same as
+       line_dedup.
+
+    Exactness is digest-level (two independent 64-bit rolling hashes,
+    the dedup_documents/content_digests precedent); the DuckDB mirror
+    groups by the literal window text and agrees bit-for-bit on the
+    gate corpora.  Canonical rule: ROW_NUMBER() OVER (PARTITION BY
+    window ORDER BY doc_id, start) == 1 survives.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from engine.shuffle import grouped_count_sums, keyed_partition_map
+
+    def win_partials(b: pa.Table) -> pa.Table:
+        flat, counts = _doc_tokens_arrow(b[text_col])
+        th = _fnv1a_tokens(pc.cast(flat, pa.binary()).to_pylist())
+        h1, _h2, _wc = _window_digests(th, counts, L)
+        if len(h1) == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        v = np.sort(h1.view(np.int64))
+        new = np.ones(len(v), dtype=bool)
+        new[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(v))).astype(np.int64)
+        return pa.table({"h1": pa.array(v[starts]), "cnt": pa.array(cnt)})
+
+    partials = ds.map_batches(win_partials, batch_format="pyarrow")
+    totals = grouped_count_sums(partials, "h1", sum_cols=["cnt"],
+                                num_partitions=num_partitions)
+    dup_parts = [
+        b["h1"].to_numpy(zero_copy_only=False)
+        for b in totals.filter(
+            expr="sum_cnt >= 2").select_columns(["h1"]).iter_batches(
+            batch_size=None, batch_format="pyarrow")
+    ]
+    dup_h1 = (np.sort(np.concatenate(dup_parts)) if dup_parts
+              else np.zeros(0, dtype=np.int64))
+    if len(dup_h1) > max_broadcast:
+        raise ValueError(
+            f"{len(dup_h1)} dup digests exceed max_broadcast="
+            f"{max_broadcast}; use the exploded hash-anti path")
+    dup_ref = ray.put(dup_h1)
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(idv) and (idv.min() < 0 or idv.max() >= (1 << (63 - _WIN_POS_BITS))):
+            raise ValueError("doc ids must fit 63 - _WIN_POS_BITS bits")
+        flat, counts = _doc_tokens_arrow(b[text_col])
+        if len(counts) and counts.max() >= (1 << _WIN_POS_BITS):
+            raise ValueError("doc token count exceeds _WIN_POS_BITS")
+        th = _fnv1a_tokens(pc.cast(flat, pa.binary()).to_pylist())
+        h1, h2, wc = _window_digests(th, counts, L)
+        v1 = h1.view(np.int64)
+        if len(dup) and len(v1):
+            pos = np.clip(np.searchsorted(dup, v1), 0, len(dup) - 1)
+            hit = dup[pos] == v1
+        else:
+            hit = np.zeros(len(v1), dtype=bool)
+        w_starts = np.concatenate([[0], np.cumsum(wc)[:-1]])
+        start = np.arange(len(v1), dtype=np.int64) - np.repeat(w_starts, wc)
+        key = (np.repeat(idv, wc) << _WIN_POS_BITS) | start
+        return pa.table({"h1": pa.array(v1[hit]),
+                         "h2": pa.array(h2.view(np.int64)[hit]),
+                         "span_key": pa.array(key[hit])})
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow")
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        order = df.sort_values(["h1", "h2", "span_key"], kind="stable")
+        grp = order.groupby(["h1", "h2"], sort=False)
+        sizes = grp["span_key"].transform("size")
+        first = ~order.duplicated(["h1", "h2"], keep="first")
+        out = order.loc[(sizes >= 2) & ~first, ["span_key"]]
+        return pd.DataFrame({"span_key": out["span_key"].to_numpy()})
+
+    drop_ds = keyed_partition_map(
+        occ, ["h1", "h2"], losers, num_partitions=num_partitions,
+        out_schema=pa.schema([("span_key", pa.int64())]),
+    )
+    parts = [
+        b["span_key"].to_numpy(zero_copy_only=False)
+        for b in drop_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    spans = np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+    if len(spans) > max_broadcast:
+        raise ValueError(
+            f"{len(spans)} removal spans exceed max_broadcast="
+            f"{max_broadcast}; use the exploded hash-anti path")
+    span_ref = ray.put(spans)
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        sp = ray.get(span_ref)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts = _doc_tokens_arrow(b[text_col])
+        total = int(counts.sum())
+        doc_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        removed = np.zeros(total, dtype=bool)
+        if len(sp) and len(idv):
+            lo = np.searchsorted(sp, idv << _WIN_POS_BITS)
+            hi = np.searchsorted(sp, (idv + 1) << _WIN_POS_BITS)
+            n_sp = hi - lo
+            if n_sp.sum():
+                doc_of_sp = np.repeat(np.arange(len(idv)), n_sp)
+                sp_starts = np.concatenate([[0], np.cumsum(n_sp)[:-1]])
+                idx = (np.arange(int(n_sp.sum()), dtype=np.int64)
+                       - np.repeat(sp_starts, n_sp) + np.repeat(lo, n_sp))
+                sp_local = sp[idx]
+                s = (sp_local & ((1 << _WIN_POS_BITS) - 1))
+                ds_ = doc_starts[doc_of_sp]
+                e = np.minimum(s + L, counts[doc_of_sp])
+                diff = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(diff, ds_ + s, 1)
+                np.add.at(diff, ds_ + e, -1)
+                removed = np.cumsum(diff[:-1]) > 0
+        kept = flat.filter(pa.array(~removed))
+        n_rm = np.bincount(
+            np.repeat(np.arange(len(counts)), counts)[removed],
+            minlength=len(counts)).astype(np.int64)
+        kept_n = counts - n_rm
+        offsets = np.append(
+            np.concatenate([[0], np.cumsum(kept_n)[:-1]]), len(kept)
+        ).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()), kept)
+        kept_text = pc.fill_null(pc.binary_join(lists, " "), "")
+        return pa.table({
+            id_col: ids,
+            "n_toks": pa.array(counts),
+            "n_removed": pa.array(n_rm),
+            "kept_text": kept_text,
+            "kept_chars": pc.cast(pc.utf8_length(kept_text), pa.int64()),
+        })
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

@@ -2210,3 +2210,61 @@ FROM c
 """
 
 REGISTRY.update({"chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS)})
+
+
+def q_substr_dedup(sf_dir: str) -> Dataset:
+    """Exact repeated-substring removal (ExactSubstr, Lee et al. 2022):
+    every duplicated 15-token span is removed from all but its global
+    first occurrence. Returns one row per doc with exact token/char
+    accounting and the rebuilt kept text."""
+    from engine.dedupe import exact_substring_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return exact_substring_dedup(ds, L=15, num_partitions=8)
+
+
+# Mirror groups by the literal window text (the engine by two rolling
+# 64-bit digests — digest-exact, the content_digests precedent).
+# Canonical occurrence = ROW_NUMBER() OVER (PARTITION BY win ORDER BY
+# doc_id, s) == 1; a position is removed iff covered by any
+# non-canonical duplicated window. MATERIALIZED barriers keep DuckDB
+# from inlining the window CTEs (see sql_oracles planning note).
+SQL_SUBSTR_DEDUP = r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts,
+         len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents),
+w AS MATERIALIZED (
+  SELECT doc_id, r.s AS s, array_to_string(ts[r.s + 1 : r.s + 15], ' ') AS win
+  FROM t, LATERAL unnest(range(0, n - 15 + 1)) AS r(s)
+  WHERE n >= 15),
+d AS MATERIALIZED (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
+         COUNT(*) OVER (PARTITION BY win) AS c
+  FROM w),
+rem AS MATERIALIZED (
+  SELECT DISTINCT doc_id, r.p AS p
+  FROM d, LATERAL unnest(range(s, s + 15)) AS r(p)
+  WHERE c > 1 AND rn > 1),
+pos AS MATERIALIZED (
+  SELECT t.doc_id, r.p AS p, ts[r.p + 1] AS tok
+  FROM t, LATERAL unnest(range(0, n)) AS r(p)),
+k AS MATERIALIZED (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN rem ON pos.doc_id = rem.doc_id AND pos.p = rem.p
+  WHERE rem.p IS NULL)
+SELECT t.doc_id,
+       t.n AS n_toks,
+       CAST(t.n - COALESCE(kc.kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(kt.txt, '') AS kept_text,
+       CAST(length(COALESCE(kt.txt, '')) AS BIGINT) AS kept_chars
+FROM t
+LEFT JOIN (SELECT doc_id, count(*) AS kept FROM k GROUP BY doc_id) kc
+       ON t.doc_id = kc.doc_id
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+           FROM k GROUP BY doc_id) kt
+       ON t.doc_id = kt.doc_id
+"""
+
+REGISTRY.update({"substr_dedup_docs": (q_substr_dedup, SQL_SUBSTR_DEDUP)})

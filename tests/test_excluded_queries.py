@@ -58,6 +58,7 @@ def _excluded():
         "corpus_diff_docs",
         "aft_transform",
         "segment_revenue",
+        "fingerprint_docs",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -1733,3 +1733,94 @@ def test_budget_select_docs_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+def _brute_substr_dedup(docs, L):
+    """Reference ExactSubstr rule: positions covered by any
+    non-canonical duplicated L-window are removed."""
+    wins = {}
+    toks = {d: t.split() for d, t in docs}
+    for d, _ in docs:
+        ts = toks[d]
+        for s in range(max(0, len(ts) - L + 1)):
+            wins.setdefault(" ".join(ts[s : s + L]), []).append((d, s))
+    removed = {d: set() for d, _ in docs}
+    for occs in wins.values():
+        if len(occs) < 2:
+            continue
+        occs = sorted(occs)
+        for d, s in occs[1:]:
+            removed[d].update(range(s, s + L))
+    out = {}
+    for d, _ in docs:
+        ts = toks[d]
+        rm = {p for p in removed[d] if p < len(ts)}
+        kept = [t for p, t in enumerate(ts) if p not in rm]
+        out[d] = (len(ts), len(rm), " ".join(kept))
+    return out
+
+
+def test_exact_substring_dedup_matches_bruteforce(ray_session):
+    import ray
+
+    from engine.dedupe import exact_substring_dedup
+
+    L = 4
+    boiler = "one two three four"            # shared 4-token span
+    docs = [
+        (1, f"alpha beta {boiler} gamma delta"),          # canonical (min doc)
+        (2, f"x {boiler} y z w"),                          # dup: removed here
+        (3, "p q r"),                                      # shorter than L
+        (4, "rep rep rep rep rep rep rep rep"),            # self-repetition
+        (5, f"{boiler} {boiler} tail1 tail2"),             # dup covers canonical-ish overlaps
+        (6, "unique tokens only here nothing shared at all"),
+        (7, ""),                                           # empty doc
+    ]
+    expect = _brute_substr_dedup(docs, L)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+        }
+    )
+    for blocks in (1, 3, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = exact_substring_dedup(ds, L=L, num_partitions=4).to_pandas()
+        assert len(got) == len(docs), blocks
+        for r in got.itertuples():
+            n, n_rm, kept = expect[r.doc_id]
+            assert r.n_toks == n, (blocks, r.doc_id)
+            assert r.n_removed == n_rm, (blocks, r.doc_id)
+            assert r.kept_text == kept, (blocks, r.doc_id)
+            assert r.kept_chars == len(kept), (blocks, r.doc_id)
+    # sanity on the planted structure (rule-level, not just parity):
+    e = {d: expect[d] for d, _ in docs}
+    assert e[1][1] == 0                      # canonical occurrence untouched
+    assert e[2][1] == L                      # doc 2 lost exactly the span
+    assert e[3][1] == 0 and e[7][1] == 0     # short + empty docs untouched
+    assert e[4][1] > 0                       # self-repetition trimmed
+
+
+def test_substr_dedup_docs_query_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY["substr_dedup_docs"]
+    sf = "/root/testdata/sf0.001"
+    ray_df = fn(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df) > 0
+    assert ray_df["n_removed"].sum() > 0  # natural dups exist at L=15
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert (av == bv).all(), c
