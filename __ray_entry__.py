@@ -172,9 +172,10 @@ _DRIVER_EXCLUDED = {
     # threshold kernel: single-rate/single-group/no-replication is the
     # one-entry rates dict case); stays SQL-exact in the excluded test
     "hash_sample",
-    # pip_quads -> geo_pipeline_sql + geo_muni_rollup_sql (the same
-    # zone_of even-odd PIP kernel VALUE-checked twice inside the
-    # flagship chain mirrors); stays SQL-exact in the excluded test
+    # pip_quads -> geo_pipeline_sql + geo_enriched (the same zone_of
+    # even-odd PIP kernel VALUE-checked twice inside the flagship
+    # chain mirrors, incl. per-row muni_id over the whole corpus);
+    # stays SQL-exact in the excluded test
     "pip_quads",
     # running_totals -> sessionize (the same coarse-partition ordered-
     # scan machinery on the same table, VALUE-checked) +
@@ -231,6 +232,14 @@ _DRIVER_EXCLUDED = {
     # quality_scores / repetition_signals. Stays SQL-exact in the
     # excluded test.
     "fingerprint_docs",
+    # geo_muni_rollup_sql -> the muni PIP assignment is VALUE-checked
+    # PER ROW in-window inside geo_enriched (muni_id column over the
+    # whole pages corpus), and the grouped-rollup machinery is
+    # VALUE-checked in-window by cell_rollup_sql + zonal_stats +
+    # rollup_lineitem. Slot goes to canonical_urls (X31 URL
+    # canonicalization + canonical-URL dedup, previously uncovered
+    # webtext op family); stays SQL-exact in the excluded test.
+    "geo_muni_rollup_sql",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -2268,3 +2268,85 @@ LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
 """
 
 REGISTRY.update({"substr_dedup_docs": (q_substr_dedup, SQL_SUBSTR_DEDUP)})
+
+
+def q_canonical_urls(sf_dir: str) -> Dataset:
+    """URL canonicalization + canonical-URL dedup (X31): every messy
+    surface form mapped to its canonical string (case/www/default-port/
+    tracking-param/param-order/fragment/trailing-slash normalization),
+    with per-canonical-group verdicts (n_forms, keeper_id, is_keeper).
+    Reads the cached messy-URL corpus both engines share."""
+    import ray.data as rd
+
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+    from engine.weburl import canonical_url_dedup, urls_corpus_parquet
+
+    n = max(200, sf_to_n_rows(sf_dir) // 10)
+    path = urls_corpus_parquet(n)
+    cols = ["page_id", "url"]
+    ds = rd.read_parquet(path, columns=cols, schema=clean_read_schema(path, cols))
+    return canonical_url_dedup(ds, num_partitions=8)
+
+
+def _sql_canonical_urls(path: str) -> str:
+    """DuckDB mirror of the canonical rule, built from the SAME RE2
+    pattern constants the engine kernels run (engine/weburl.py —
+    change them together; (?P<g>...) is spelled as a plain capture
+    group).  Groups by the LITERAL canonical string, cross-checking the
+    engine's 64-bit-digest reduction against text-exact grouping."""
+    from engine.weburl import (
+        RE_HOST,
+        RE_PATH,
+        RE_PORT,
+        RE_QUERY,
+        RE_SCHEME,
+        RE_TRACKING,
+    )
+
+    g = lambda p: p.replace("(?P<g>", "(")
+    return rf"""
+WITH u AS (
+  SELECT page_id, url, regexp_replace(url, '#.*$', '') AS u0
+  FROM read_parquet('{path}')),
+p AS (
+  SELECT page_id, url,
+    lower(regexp_extract(u0, '{g(RE_SCHEME)}', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(u0, '{g(RE_HOST)}', 1)), '^www\.', '') AS host,
+    regexp_extract(u0, '{g(RE_PORT)}', 1) AS port,
+    regexp_replace(regexp_extract(u0, '{g(RE_PATH)}', 1), '/+$', '') AS path,
+    regexp_extract(u0, '{g(RE_QUERY)}', 1) AS q0
+  FROM u),
+c AS (
+  SELECT page_id, url,
+    scheme || '://' || host ||
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END ||
+    path ||
+    CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canon_url
+  FROM (
+    SELECT *, COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '{g(RE_TRACKING)}'))), '&'), '') AS qc
+    FROM p))
+SELECT page_id, url, canon_url,
+  COUNT(*) OVER (PARTITION BY canon_url) AS n_forms,
+  MIN(page_id) OVER (PARTITION BY canon_url) AS keeper_id,
+  page_id = MIN(page_id) OVER (PARTITION BY canon_url) AS is_keeper
+FROM c
+"""
+
+
+def _canonical_urls_sql_gate() -> str:
+    from engine.weburl import urls_corpus_parquet
+    import os
+
+    # The driver gate runs at sf0.01 (50k pages -> n=5000); the Ray
+    # query materializes the cache before the oracle runs (the
+    # media_corpus_parquet precedent), so only the PATH is computed
+    # here, never the corpus.
+    n = 5000
+    return _sql_canonical_urls(f"/tmp/geokit_weburl/n{n}/urls.parquet")
+
+
+REGISTRY.update({"canonical_urls": (q_canonical_urls, _canonical_urls_sql_gate())})

@@ -59,6 +59,7 @@ def _excluded():
         "aft_transform",
         "segment_revenue",
         "fingerprint_docs",
+        "geo_muni_rollup_sql",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
