@@ -2063,6 +2063,14 @@ def exact_substring_dedup(
     groups by the literal window text and agrees bit-for-bit on the
     gate corpora.  Canonical rule: ROW_NUMBER() OVER (PARTITION BY
     window ORDER BY doc_id, start) == 1 survives.
+
+    Sizing note: ``num_partitions`` shards the pass-1 digest merge,
+    whose partial rows are ~16 B; at test scale pick P so each block's
+    per-partition slice exceeds Ray's 100 KB inline-object threshold
+    or the inline sub-blocks park on the driver heap (the pathology
+    documented on engine/shuffle.py::keyed_partition_map — measured
+    2.2 GB driver RSS at P=64 vs 0.39 GB at P=16 on a 26M-digest
+    corpus; production 128 MB blocks are immune).
     """
     import ray
     import pyarrow.compute as pc
