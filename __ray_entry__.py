@@ -102,12 +102,21 @@ def entry() -> Any:
 #                        tables) + pivot_orders (the same machinery as
 #                        its first pass, on a fourth)
 #   fila2gk           -> helmert_chain + tm_forward (menu 1 is exactly
-#                        their composition, the tm2gk precedent; both
-#                        components stay VALUE-checked) +
+#                        their composition, the tm2gk precedent;
+#                        helmert_chain stays VALUE-checked in-window,
+#                        tm_forward in the excluded exactness test) +
 #                        geo_pipeline_sql (the D48/GK branch of the
 #                        flagship chain runs the same composition,
 #                        VALUE-checked end-to-end)
 _DRIVER_EXCLUDED = {
+    # tm_forward -> helmert_chain (its final ETRS-projection leg runs
+    # the IDENTICAL tm.py fila2xy kernel, VALUE-checked in-window) +
+    # geo_pipeline_sql (the same kernel VALUE-checked inside the
+    # flagship chain) + aft_roundtrip (the GK-grid TM legs). Slot goes
+    # to decontam_docs (X32 benchmark decontamination — promotes the
+    # X14 operator to SQL-value strength, previously pytest-only);
+    # stays SQL-exact in the excluded-queries test.
+    "tm_forward",
     # geo_enriched_full -> geo_enriched (the SAME enrichment chain,
     # now VALUE-checked in-window via quantized mirror columns —
     # µdeg/cm/0.1 mm ints, the geo_pipeline_sql precedent); the

@@ -2350,3 +2350,59 @@ def _canonical_urls_sql_gate() -> str:
 
 
 REGISTRY.update({"canonical_urls": (q_canonical_urls, _canonical_urls_sql_gate())})
+
+
+# ------------------------------------ benchmark decontamination gate (X32)
+
+
+def q_decontam_docs(sf_dir: str) -> Dataset:
+    """Benchmark decontamination as a driver-gate query (X32 —
+    promotes the X14 operator, textops.contamination_flags, to
+    SQL-value strength). Flags every document sharing any word-k-gram
+    with a stand-in eval set: the docs with ``doc_id % 101 == 0``
+    (eval benchmarks are tiny by nature, so collecting the query side
+    driver-side and broadcasting its k-gram hash set via ``ray.put``
+    IS the scale design — the corpus side never moves, zero shuffles).
+
+    k=3 here (the corpus' ~30-word vocabulary makes 8-grams
+    all-but-unique: k=8 flags only the seeds themselves, while k=3
+    yields a meaningful 180/500 split at sf0.01); the operator's
+    API default stays k=8, the standard eval-decontamination width.
+    Upstream parity: no analogue in GeoCoordinateConverter — this is
+    a brief-mandated LLM-pipeline operator."""
+    from engine.textops import contamination_flags
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+
+    def seed_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 0))
+
+    seeds = ds.map_batches(seed_filter, batch_format="pyarrow").take_all()
+    texts = [r["text"] for r in seeds]
+    return contamination_flags(ds, texts, k=3)
+
+
+# Mirror: the minhash/jaccard oracles' PROVEN token-FNV + word-3-
+# shingle Horner CTEs (change together), then seed-set semi-join.
+# Both engines recompute identical 64-bit hash values, so membership
+# (including any collision) mirrors exactly; docs/seeds with <3
+# tokens fall back to raw token hashes on both sides (sh1 == the
+# _flat_shingles short-doc contract).
+SQL_DECONTAM = f"""
+WITH {_SQL_TOKEN_HASHES.lstrip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+sh3 AS (
+  SELECT a.doc_id, (((a.h * 1099511628211 + b.h) % 18446744073709551616::HUGEINT) * 1099511628211 + c.h) % 18446744073709551616::HUGEINT AS s
+  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sh1 AS (SELECT th.doc_id, th.h AS s FROM th JOIN cnt USING (doc_id) WHERE cnt.n < 3),
+us AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1)),
+qsh AS (SELECT DISTINCT s FROM us WHERE doc_id % 101 = 0),
+hits AS (SELECT DISTINCT us.doc_id FROM us JOIN qsh USING (s))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+REGISTRY.update({"decontam_docs": (q_decontam_docs, SQL_DECONTAM)})

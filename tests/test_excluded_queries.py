@@ -60,6 +60,7 @@ def _excluded():
         "segment_revenue",
         "fingerprint_docs",
         "geo_muni_rollup_sql",
+        "tm_forward",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -1824,3 +1824,29 @@ def test_substr_dedup_docs_query_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+def test_decontam_docs_query_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY["decontam_docs"]
+    sf = "/root/testdata/sf0.001"
+    ray_df = fn(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df) > 0
+    # meaningful split: some contaminated, some clean
+    assert 0 < int(ray_df.contaminated.sum()) < len(ray_df)
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert (av == bv).all(), c
