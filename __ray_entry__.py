@@ -66,8 +66,10 @@ def entry() -> Any:
 #   ann_bruteforce    -> ann_multi (the same tie-safe partial-top-k
 #                        kernel, run for 8 query vectors instead of 1)
 #   tm2gk             -> tm_inverse + fila2gk (menu 3 is exactly their
-#                        composition; both components stay VALUE-checked —
-#                        fila2gk in the excluded-queries exactness test)
+#                        composition; both stay SQL-exact in the
+#                        excluded-queries test, and the same kernels
+#                        are VALUE-checked in-window by helmert_chain
+#                        + geo_pipeline_sql)
 #   filter_project    -> lineitem_agg (identical pruned-read + Arrow
 #                        filter+project prep stage, then an aggregate)
 #   topk_orders       -> topk_per_type (the same per-block prune +
@@ -117,6 +119,14 @@ _DRIVER_EXCLUDED = {
     # X14 operator to SQL-value strength, previously pytest-only);
     # stays SQL-exact in the excluded-queries test.
     "tm_forward",
+    # tm_inverse -> helmert_chain (its first leg runs the IDENTICAL
+    # tm.py xy2fila kernel, VALUE-checked in-window) + geo_pipeline_sql
+    # (the same kernel inside the flagship chain) + aft_roundtrip (the
+    # inverse TM leg of the roundtrip). Slot goes to pagerank_docs
+    # (X33 iterative graph analytics — integer-exact PageRank, a
+    # previously uncovered op family); stays SQL-exact in the
+    # excluded-queries test.
+    "tm_inverse",
     # geo_enriched_full -> geo_enriched (the SAME enrichment chain,
     # now VALUE-checked in-window via quantized mirror columns —
     # µdeg/cm/0.1 mm ints, the geo_pipeline_sql precedent); the

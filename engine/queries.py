@@ -2406,3 +2406,67 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 
 
 REGISTRY.update({"decontam_docs": (q_decontam_docs, SQL_DECONTAM)})
+
+
+# ------------------------------------------ iterative graph analytics (X33)
+
+
+def q_pagerank_docs(sf_dir: str) -> Dataset:
+    """PageRank over a deterministic link graph on the documents table
+    (X33 — iterative graph analytics; see engine/graph.py for the
+    100 TB design). Node ids are the dense doc_ids; edges are the
+    4-regular-out hash-derived multigraph; 5 integer-exact damped
+    iterations. Runs the scale-honest PARTITIONED mode (ranks as a
+    Dataset, one bucketed hash-join + one combiner dst-sum per
+    iteration — only (id, int64) pairs ever shuffle); the
+    dense-vector broadcast mode is pytest-checked bit-identical."""
+    from engine.graph import derive_link_edges, pagerank
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    edges = derive_link_edges(nodes, n, id_col="id")
+    pr = pagerank(nodes, edges, n, mode="partitioned")
+    return pr.map_batches(
+        lambda b: b.rename_columns(["doc_id", "pr"]), batch_format="pyarrow"
+    )
+
+
+def _sql_pagerank(
+    iters: int = 5, out_degree: int = 4, scale: int = 10**12, damp_pct: int = 85
+) -> str:
+    """Mirror of engine.graph.pagerank + derive_link_edges: the SAME
+    (A, B) edge constants (imported — change together), UNION ALL
+    multigraph semantics, and the identical integer fixed-point
+    unrolled as one CTE per iteration (floor `//` on both engines;
+    all values positive). Integer arithmetic makes the mirror exact —
+    float PageRank could never be order-free."""
+    from engine.graph import EDGE_A, EDGE_B
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {EDGE_A[j]} + {EDGE_B[j]})"
+        f" % (SELECT n FROM nn) AS dst FROM documents"
+        for j in range(out_degree)
+    )
+    teleport = ((100 - damp_pct) * scale) // 100
+    iter_ctes = "".join(
+        f""",
+r{t} AS (
+  SELECT n.id, CAST({teleport} + ({damp_pct} * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(rp.r // {out_degree}) AS c
+    FROM edges e JOIN r{t - 1} rp ON rp.id = e.src GROUP BY e.dst) s USING (id))"""
+        for t in range(1, iters + 1)
+    )
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  {arms}),
+r0 AS (SELECT id, {scale}::BIGINT AS r FROM nodes){iter_ctes}
+SELECT id AS doc_id, r AS pr FROM r{iters}
+"""
+
+
+REGISTRY.update({"pagerank_docs": (q_pagerank_docs, _sql_pagerank())})

@@ -61,6 +61,7 @@ def _excluded():
         "fingerprint_docs",
         "geo_muni_rollup_sql",
         "tm_forward",
+        "tm_inverse",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
