@@ -237,12 +237,23 @@ _DRIVER_EXCLUDED = {
     # family); stays SQL-exact in the excluded test.
     "aft_transform",
     # segment_revenue -> grouped-combiner aggregate machinery is
-    # quadruply VALUE-checked in-window (lineitem_agg, cell_rollup_sql,
-    # rollup_lineitem, moment_stats_events). Slot goes to
+    # triply VALUE-checked in-window (lineitem_agg, cell_rollup_sql,
+    # rollup_lineitem) and its join-then-aggregate composition is
+    # VALUE-checked in-window by revenue_by_nation. Slot goes to
     # budget_select_docs (X29 grouped token-budget quota selection,
     # previously uncovered op family: per-key priority-ordered prefix-
     # sum cutoff); stays SQL-exact in the excluded test.
     "segment_revenue",
+    # moment_stats_events -> the same grouped_count_sums combiner on
+    # integer power-sum partials, VALUE-checked in-window by
+    # lineitem_agg / cell_rollup_sql / rollup_lineitem (and on events
+    # by winsorized_events + hopping_window); the higher-moment
+    # power-sum columns stay SQL-exact in the excluded-queries test.
+    # Slot goes to revenue_by_nation (X34 Q5-shaped six-table join
+    # pipeline: broadcast dims + two bucketed big-big hash joins +
+    # same-nation filter — the multi-join composition was previously
+    # un-value-checked end-to-end).
+    "moment_stats_events",
     # fingerprint_docs -> its one-pass rolling-hash machinery is
     # VALUE-checked in-window inside substr_dedup_docs (X30 exact
     # repeated-substring removal: stride-1 rolling window digests +

@@ -2470,3 +2470,155 @@ SELECT id AS doc_id, r AS pr FROM r{iters}
 
 
 REGISTRY.update({"pagerank_docs": (q_pagerank_docs, _sql_pagerank())})
+
+
+# --------------------------------------- multi-join pipeline, Q5 shape (X34)
+
+
+def q_revenue_by_nation(sf_dir: str) -> Dataset:
+    """TPC-H-Q5-shaped six-table join pipeline: revenue per nation for
+    one region and a two-year order window, where the lineitem's
+    supplier and the order's customer sit in the SAME nation. The
+    join-planning showcase: dimension tables (region, nation,
+    supplier) broadcast driver-side (KB-to-MB-scale — the classic
+    small-side ray.put pattern; suppliers are the smallest fact table,
+    1/10th of customers, so the broadcast bound is documented rather
+    than structural), while the two order-of-magnitude tables flow
+    through bucketed hash joins (orders⋈customer on custkey, then
+    lineitem⋈that on orderkey) with filters and the
+    revenue quantization PUSHED BELOW the joins — only
+    (key, nationkey, int64-micros) rows ever shuffle.
+
+    Revenue is exact-int: cents(l_extendedprice) × (1000 −
+    milli(l_discount)) — discounts are cent-quantized in TPC-H, so
+    the product is lossless and the sum order-free (the
+    segment_revenue precedent). At true 100 TB the per-nation micros
+    sum approaches 2^63: the production variant splits the sum into
+    (hi, lo) int64 partials; at every test sf it fits with ~6 digits
+    of headroom."""
+    import pyarrow.parquet as _pq
+
+    reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rkey = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
+    nat_in = nat[nat.n_regionkey == rkey]
+    nkeys = nat_in.n_nationkey.to_numpy().astype(np.int64)
+    nname_of = dict(zip(nat_in.n_nationkey.astype(int), nat_in.n_name))
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    s_keys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    s_nat = sup["s_nationkey"].to_numpy().astype(np.int64)
+    order_sk = np.argsort(s_keys, kind="stable")
+    s_keys, s_nat = s_keys[order_sk], s_nat[order_sk]
+
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, nkeys)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(zero_copy_only=False)[keep],
+                "c_nationkey": nk[keep],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        return pa.table(
+            {
+                "l_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "c_custkey": b["o_custkey"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    oc = hash_join(
+        orders.map_batches(orders_prep, batch_format="pyarrow"),
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        key="c_custkey",
+        num_buckets=16,
+    ).select_columns(["l_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        milli = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 1000.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev_micros": cents * (1000 - milli),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        oc,
+        key="l_orderkey",
+        num_buckets=16,
+    )
+
+    def same_nation(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(s_keys, sk), 0, len(s_keys) - 1)
+        keep = (s_keys[pos] == sk) & (s_nat[pos] == cn)
+        names = pa.array(
+            [nname_of[int(k)] for k in cn[keep]], pa.string()
+        )  # ≤25 distinct keys per batch — dict hop, not a hot loop
+        return pa.table(
+            {
+                "n_name": names,
+                "rev_micros": b["rev_micros"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    # num_partitions=1: the merge input is combiner partials over a
+    # <=25-nation key space — the degenerate coalesced merge avoids
+    # empty-partition zero-column blocks entirely.
+    agg = grouped_count_sums(
+        joined.map_batches(same_nation, batch_format="pyarrow"),
+        key="n_name",
+        sum_cols=("rev_micros",),
+        num_partitions=1,
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["n_name", "n_items", "revenue_micros"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(ROUND(l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS revenue_micros
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+REGISTRY.update({"revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION)})

@@ -62,6 +62,7 @@ def _excluded():
         "geo_muni_rollup_sql",
         "tm_forward",
         "tm_inverse",
+        "moment_stats_events",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

@@ -268,3 +268,29 @@ def test_hash_join_outer_modes_match_pandas():
     row7 = full.filter(pa.compute.equal(full["k"], 7))
     assert row7["lv"][0].as_py() == big
     assert row7["rv"][0].as_py() == big + 1
+
+
+def test_revenue_by_nation_matches_duckdb_oracle(ray_session):
+    """X34 Q5-shaped six-table join pipeline vs the straight SQL."""
+    import duckdb
+
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY["revenue_by_nation"]
+    sf = "/root/testdata/sf0.01"  # sf0.001 yields a single surviving nation
+    ray_df = fn(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df) > 1
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert (av == bv).all(), c
