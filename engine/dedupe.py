@@ -471,10 +471,11 @@ def jaccard_similarity_join_prefix(
          shingle, so inter <= min(na - pa, nb - pb) = ub there, and
          inter >= num*(na+nb)/(num+den) makes that occurrence pass.
          Survivors dedupe globally (candidate-scale);
-      4. verify — verify_pairs_jaccard_distributed(emit_stats) on the
-         endpoint-semi-filtered corpus gives exact intersections with
-         the rational threshold; na/nb merge back from the candidate
-         rows (both sides candidate-scale, one co-partitioned merge).
+      4. verify — the exact UNCAPPED inverted join over the candidate-
+         endpoint-semi-filtered corpus (see the inline correctness
+         note: prefix filtering's no-false-negative property makes
+         the restricted sub-corpus sufficient, and the restricted
+         df² cost shrinks quadratically with the endpoint fraction).
 
     Returns Dataset[id_a, id_b, inter, na, nb] — identical values to
     jaccard_similarity_join(max_df=None) (pytest brute-force checked,
@@ -578,65 +579,44 @@ def jaccard_similarity_join_prefix(
         out_schema=_CAND_SCHEMA,
     ).materialize()
 
-    stats = verify_pairs_jaccard_distributed(
+    # Verify = the EXACT uncapped inverted join over the candidate-
+    # ENDPOINT-restricted corpus. Correctness: prefix filtering has no
+    # false negatives, so every truly-similar pair has BOTH endpoints
+    # in the candidate endpoint set; the inverted join over that
+    # sub-corpus therefore returns exactly the true pair set (it can't
+    # return more — everything it returns passes the exact threshold).
+    # The candidate PAIR list matters only through its endpoint set;
+    # the length/positional filters just shrink it. Cost: the df² term
+    # now runs over restricted df_r(s) ≈ (endpoint fraction) · df(s) —
+    # quadratically smaller wherever prefix filtering bites — and the
+    # per-PAIR shingle explosion of the generic pair verify
+    # (Σ_pairs (na+nb) rows, measured 10 s for 125k mid-density
+    # candidates at sf0.1 vs ~1 s for this shape) is gone entirely.
+    # The generic verify remains the right tool for LSH pair lists
+    # whose endpoints lack the no-false-negative guarantee.
+    restricted = candidate_docs(
         src,
-        cand.select_columns(["id_a", "id_b"]),
+        cand,
         id_col,
         text_col,
+        max_broadcast_endpoints=max_broadcast_df,
+    )
+    # The semi-filter preserves corpus block structure; coalesce to an
+    # endpoint-proportional block count (the measured mostly-empty-
+    # block fix from the generic verify, 24.3 s -> 12.5 s at 1M docs).
+    n_pairs_total = cand.count()  # cached: cand is materialized
+    restricted = restricted.repartition(
+        max(num_partitions, -(-2 * n_pairs_total // 32_768))
+    )
+    return jaccard_similarity_join(
+        restricted,
+        id_col=id_col,
+        text_col=text_col,
         shingle_k=shingle_k,
+        threshold=threshold,
         num_partitions=num_partitions,
-        rational_threshold=(num, den),
-        emit_stats=True,
-        assume_distinct=True,
-    )
-
-    out_schema = pa.schema(
-        [
-            ("id_a", pa.int64()),
-            ("id_b", pa.int64()),
-            ("inter", pa.int64()),
-            ("na", pa.int64()),
-            ("nb", pa.int64()),
-        ]
-    )
-
-    def stats_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "id_a": b["id_a"],
-                "id_b": b["id_b"],
-                "inter": b["inter"],
-                "na": pa.nulls(n, pa.int64()),
-                "nb": pa.nulls(n, pa.int64()),
-            }
-        )
-
-    def cand_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "id_a": b["id_a"],
-                "id_b": b["id_b"],
-                "inter": pa.nulls(n, pa.int64()),
-                "na": b["na"],
-                "nb": b["nb"],
-            }
-        )
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        hit = df["inter"].notna()
-        s = df.loc[hit, ["id_a", "id_b", "inter"]]
-        c = df.loc[~hit, ["id_a", "id_b", "na", "nb"]]
-        m = s.merge(c, on=["id_a", "id_b"])
-        # Null padding makes pandas float64; counts are far below 2^53.
-        return m[["id_a", "id_b", "inter", "na", "nb"]].astype(np.int64)
-
-    both = stats.map_batches(stats_rows, batch_format="pyarrow").union(
-        cand.map_batches(cand_rows, batch_format="pyarrow")
-    )
-    return keyed_partition_map(
-        both, ["id_a"], merge, num_partitions=16, out_schema=out_schema
+        max_df=None,
+        method="inverted",
     )
 
 
