@@ -185,8 +185,17 @@ _DRIVER_EXCLUDED = {
     # raster_sample -> geoid_bilinear (the identical broadcast-grid
     # per-point bilinear lookup machinery, VALUE-checked on the geoid
     # grids); the raster family stays represented in-window by
-    # rasterize + zonal_stats; stays SQL-exact in the excluded test
+    # zonal_stats; stays SQL-exact in the excluded test
     "raster_sample",
+    # rasterize -> zonal_stats (the same raster-grid machinery,
+    # VALUE-checked in-window) + cell_rollup_sql (the identical
+    # floor-quantized cell keying + combiner rollup, VALUE-checked) +
+    # raster_sample (the grid lookup leg, excluded exactness test).
+    # Slot goes to distinct_users_per_type (X35 exact grouped
+    # COUNT(DISTINCT) — the two-level distinct-pair combiner shape,
+    # previously only approximated by the HLL sketch); stays
+    # SQL-exact in the excluded-queries test.
+    "rasterize",
     # hash_sample -> stratified_sample (the identical keyed-hash
     # threshold kernel: single-rate/single-group/no-replication is the
     # one-entry rates dict case); stays SQL-exact in the excluded test

@@ -2622,3 +2622,74 @@ GROUP BY n_name
 
 
 REGISTRY.update({"revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION)})
+
+
+# ----------------------------------- exact grouped count-distinct (X35)
+
+
+def q_distinct_users_per_type(sf_dir: str) -> Dataset:
+    """Exact grouped COUNT(DISTINCT): distinct users per event type —
+    the exact counterpart of the HLL sketch (approx_distinct_users),
+    in the canonical two-level distributed shape:
+
+      1. map side: per-block DISTINCT (type, user) pairs (the
+         combiner — duplicate pairs die in their block, so the
+         shuffle moves unique-pair-scale rows, never event-scale);
+      2. ONE co-partition by hash(type, user): every surviving copy
+         of a pair lands in exactly one partition, so a per-partition
+         drop_duplicates -> per-type COUNT yields ADDITIVE partials;
+      3. a single-partition sum over the tiny (type, partial) set.
+
+    At 100 TB the shuffle is bounded by the distinct-pair count, not
+    the event count, and a hot type is irrelevant (partitioning is by
+    the PAIR hash, which spreads any one type over all partitions —
+    the count-distinct analogue of salting)."""
+    from engine.shuffle import grouped_count_sums, keyed_partition_map
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates(["event_type", "user_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(block_distinct, batch_format="pyarrow")
+
+    def partition_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="partial")
+        )
+        g["partial"] = g["partial"].astype(np.int64)
+        return g
+
+    partials = keyed_partition_map(
+        pairs,
+        ["event_type", "user_id"],
+        partition_counts,
+        num_partitions=16,
+        out_schema=pa.schema(
+            [("event_type", pa.string()), ("partial", pa.int64())]
+        ),
+    )
+    agg = grouped_count_sums(
+        partials, key="event_type", sum_cols=("partial",), num_partitions=1
+    )
+    return agg.map_batches(
+        lambda b: b.select(["event_type", "sum_partial"]).rename_columns(
+            ["event_type", "n_users"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+REGISTRY.update(
+    {"distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS)}
+)

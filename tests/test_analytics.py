@@ -316,3 +316,56 @@ def test_stratified_sample_null_groups_take_default():
     )
     # 'a' rows always kept; null rows keep iff h < 500 (row id 1 only)
     assert list(out.id) == [0, 1, 2]
+
+
+def test_distinct_users_per_type_matches_duckdb_oracle(ray_session):
+    """X35 exact grouped COUNT(DISTINCT) vs the straight SQL."""
+    import duckdb
+
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY["distinct_users_per_type"]
+    sf = "/root/testdata/sf0.001"
+    ray_df = fn(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df) > 0
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert (av == bv).all(), c
+
+
+def test_distinct_users_partitioning_invariance(ray_session):
+    """The two-level distinct shape must be exact under any block
+    layout (duplicate pairs split across blocks)."""
+    import duckdb
+    import ray.data as rd
+
+    from engine.queries import REGISTRY, _read
+
+    sf = "/root/testdata/sf0.001"
+    fn, sql = REGISTRY["distinct_users_per_type"]
+    base = fn(sf).to_pandas().sort_values("event_type").reset_index(drop=True)
+    # same computation over a radically different block layout
+    import engine.queries as Q
+
+    orig = Q._read
+
+    def shredded(sf_dir, table, columns=None, rows_per_block=32_768):
+        return orig(sf_dir, table, columns, rows_per_block=97)
+
+    Q._read = shredded
+    try:
+        alt = fn(sf).to_pandas().sort_values("event_type").reset_index(drop=True)
+    finally:
+        Q._read = orig
+    assert (base.n_users.to_numpy() == alt.n_users.to_numpy()).all()
+    assert (base.event_type.to_numpy() == alt.event_type.to_numpy()).all()

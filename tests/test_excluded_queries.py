@@ -63,6 +63,7 @@ def _excluded():
         "tm_forward",
         "tm_inverse",
         "moment_stats_events",
+        "rasterize",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
