@@ -179,9 +179,17 @@ _DRIVER_EXCLUDED = {
     # one-RE2-pass count-per-doc machinery, VALUE-checked on the same
     # table) + doc_token_stats (token counting VALUE-checked in
     # aggregate) + repetition_signals (the same lowercased tokenizer's
-    # total feeds its n_tok_r column, VALUE-checked); stays SQL-exact
-    # in the excluded-queries test
+    # total feeds its n_tok_r column; excluded exactness test); stays
+    # SQL-exact in the excluded-queries test
     "token_stats_ext",
+    # repetition_signals -> the same one-RE2-pass per-doc machinery is
+    # VALUE-checked in-window twice (quality_scores, langid) and its
+    # lowercased tokenizer total in aggregate by vocab_topk; the
+    # Gopher dup-fraction columns stay SQL-exact in the excluded-
+    # queries test. Slot goes to clean_lines_docs (X36 C4 line-quality
+    # cleaning — the five Raffel-et-al heuristics over a cached
+    # messy-lines corpus, previously uncovered webtext op family).
+    "repetition_signals",
     # raster_sample -> geoid_bilinear (the identical broadcast-grid
     # per-point bilinear lookup machinery, VALUE-checked on the geoid
     # grids); the raster family stays represented in-window by

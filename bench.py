@@ -135,6 +135,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "corpus_diff_docs",
             "jaccard_join",
             "domain_cap_docs",
+            # Round-4 additions (same out-of-headline contract).
+            "winsorized_events",
+            "chunk_docs",
+            "budget_select_docs",
+            "substr_dedup_docs",
+            "canonical_urls",
+            "decontam_docs",
+            "pagerank_docs",
+            "revenue_by_nation",
+            "distinct_users_per_type",
+            "clean_lines_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

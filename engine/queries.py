@@ -2693,3 +2693,71 @@ FROM events GROUP BY event_type
 REGISTRY.update(
     {"distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS)}
 )
+
+
+# ------------------------------------- C4 line-quality cleaning (X36)
+
+
+def q_clean_lines_docs(sf_dir: str) -> Dataset:
+    """C4-style line-quality cleaning (X36, engine/weblines.py): the
+    five Raffel et al. §2.2 heuristics (terminal punctuation, >=3
+    words per line, lorem-ipsum page drop, brace page drop, >=5
+    surviving lines) as one vectorized zero-shuffle pass over the
+    cached messy-lines corpus both engines share."""
+    import ray.data as rd
+
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+    from engine.weblines import clean_lines, lines_corpus_parquet
+
+    n = max(200, sf_to_n_rows(sf_dir) // 10)
+    path = lines_corpus_parquet(n)
+    cols = ["page_id", "text"]
+    ds = rd.read_parquet(path, columns=cols, schema=clean_read_schema(path, cols))
+    return clean_lines(ds)
+
+
+def _sql_clean_lines(path: str) -> str:
+    """Mirror of weblines.clean_lines_batch, built from the SAME
+    regex/threshold constants (change together). COALESCE('') guards
+    DuckDB's NULL string_agg over empty kept sets; the dropped-page
+    CASE matches the engine's ''-for-dropped contract."""
+    from engine.weblines import MIN_KEPT_LINES, MIN_WORDS, RE_LINE_END, RE_WORD
+
+    drop = (
+        "(contains(lower(s.text), 'lorem ipsum') OR contains(s.text, '{')"
+        f" OR agg.n_kept < {MIN_KEPT_LINES})"
+    )
+    return rf"""
+WITH s AS (
+  SELECT page_id, text, string_split(text, chr(10)) AS ls
+  FROM read_parquet('{path}')),
+l AS (
+  SELECT page_id, p, ls[p] AS line
+  FROM s, LATERAL unnest(range(1, len(ls) + 1)) t(p)),
+k AS (
+  SELECT page_id, p, line,
+    (regexp_matches(line, '{RE_LINE_END}')
+     AND len(regexp_extract_all(line, '{RE_WORD}')) >= {MIN_WORDS}) AS keep
+  FROM l),
+agg AS (
+  SELECT page_id,
+    CAST(COUNT(*) AS BIGINT) AS n_lines,
+    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY p), '')
+      AS joined
+  FROM k GROUP BY page_id)
+SELECT s.page_id, agg.n_lines, agg.n_kept,
+  {drop} AS page_dropped,
+  CASE WHEN {drop} THEN '' ELSE agg.joined END AS clean_text
+FROM s JOIN agg USING (page_id)
+"""
+
+
+def _clean_lines_sql_gate() -> str:
+    # Driver gate runs at sf0.01 (50k pages -> n=5000); the Ray query
+    # materializes the cache before the oracle runs (weburl precedent).
+    return _sql_clean_lines("/tmp/geokit_weblines/n5000/lines.parquet")
+
+
+REGISTRY.update({"clean_lines_docs": (q_clean_lines_docs, _clean_lines_sql_gate())})

@@ -64,6 +64,7 @@ def _excluded():
         "tm_inverse",
         "moment_stats_events",
         "rasterize",
+        "repetition_signals",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
