@@ -98,11 +98,10 @@ def entry() -> Any:
 #                        plus window replication) + json_props_stats
 #                        (the same grouped_count_sums rollup machinery
 #                        on events, VALUE-checked)
-#   parts_by_brand    -> lineitem_agg / segment_revenue / cell_rollup_sql
-#                        (the identical grouped_count_sums combiner
-#                        machinery, VALUE-checked on three other
-#                        tables) + pivot_orders (the same machinery as
-#                        its first pass, on a fourth)
+#   parts_by_brand    -> lineitem_agg / cell_rollup_sql /
+#                        rollup_lineitem (the identical
+#                        grouped_count_sums combiner machinery,
+#                        VALUE-checked on three other tables)
 #   fila2gk           -> helmert_chain + tm_forward (menu 1 is exactly
 #                        their composition, the tm2gk precedent;
 #                        helmert_chain stays VALUE-checked in-window,
@@ -190,6 +189,14 @@ _DRIVER_EXCLUDED = {
     # cleaning — the five Raffel-et-al heuristics over a cached
     # messy-lines corpus, previously uncovered webtext op family).
     "repetition_signals",
+    # pivot_orders -> its first pass IS the grouped_count_sums
+    # combiner, VALUE-checked in-window by lineitem_agg /
+    # cell_rollup_sql / rollup_lineitem; the widening second pass is
+    # a per-partition pandas pivot whose values stay SQL-exact in the
+    # excluded-queries test. Slot goes to triangle_counts_docs (X37
+    # exact graph-motif counting: canonical-order wedge join + packed
+    # closure join — a join pattern no other in-window query runs).
+    "pivot_orders",
     # raster_sample -> geoid_bilinear (the identical broadcast-grid
     # per-point bilinear lookup machinery, VALUE-checked on the geoid
     # grids); the raster family stays represented in-window by

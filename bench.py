@@ -146,6 +146,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "revenue_by_nation",
             "distinct_users_per_type",
             "clean_lines_docs",
+            "triangle_counts_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

@@ -49,9 +49,14 @@ from ray.data import Dataset
 
 # LCG-style odd multipliers/increments (< 2^31 so src*A + B stays
 # far under 2^63 for any node count < 2^31); one (A, B) pair per
-# out-edge arm. Shared verbatim with the SQL mirror — change together.
-EDGE_A = (1103515245, 1566083941, 747796405, 1812433253)
-EDGE_B = (12345, 362437, 69069, 987654321)
+# out-edge arm. Shared verbatim with the SQL mirrors — change
+# together. Arms 5-6 are RING arms (i -> i+1, i -> i+2): pure affine
+# maps never close 3-cycles (verified: zero triangles at every test
+# n), so the triangle operator's graph adds them to guarantee a live
+# clustered structure (every consecutive id triple closes). PageRank
+# keeps out_degree=4 (hash arms only).
+EDGE_A = (1103515245, 1566083941, 747796405, 1812433253, 1, 1)
+EDGE_B = (12345, 362437, 69069, 987654321, 1, 2)
 
 
 def derive_link_edges(
@@ -212,3 +217,129 @@ def _pagerank_broadcast(
     import ray.data as rd
 
     return rd.from_arrow(pa.table({"id": ids, "pr": ranks}))
+
+
+def triangle_counts(
+    nodes: Dataset,
+    edges: Dataset,
+    num_partitions: int = 16,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Exact per-node triangle counts on the UNDIRECTED SIMPLE graph
+    underlying an edge Dataset[src, dst] (self-loops dropped,
+    parallel/reverse duplicates collapsed) — the standard graph-motif
+    statistic (local clustering numerator).
+
+    Distributed shape (node-iterator with total vertex order — the
+    MapReduce triangle-counting classic):
+      1. canonicalize + distinct: (lo, hi) = (min, max), one
+         co-partition by the pair, per-partition drop_duplicates;
+      2. wedges: co-group by lo; per lo-run all (hi_i < hi_j) pairs
+         -> wedge rows (b, c, center a). Cost Σ deg(v)²/2 — bounded
+         by the constant-degree derivation here; real web graphs
+         split high-degree vertices first (the documented skew knob);
+      3. closure: one bucketed hash-join of wedges against the edge
+         set on the packed key b·2³¹ + c (ids < 2³¹ by the
+         derive_link_edges contract) — a surviving wedge IS the
+         triangle (a, b, c), found exactly once since a < b < c;
+      4. counts: each triangle credits its three corners; combiner
+         dst-sum + zero rows from the node table (the pagerank
+         pattern) so every node reports (0 included).
+
+    Returns Dataset[id: int64, n_tri: int64], bit-identical under any
+    partitioning (integer counts, pytest-checked)."""
+    from engine.joins import hash_join
+    from engine.shuffle import grouped_count_sums, keyed_partition_map
+
+    import pandas as pd
+
+    PACK = np.int64(1) << np.int64(31)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        m = s != d
+        lo = np.minimum(s[m], d[m])
+        hi = np.maximum(s[m], d[m])
+        return pa.table({"lo": lo, "hi": hi})
+
+    eu_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    eu = keyed_partition_map(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"],
+        lambda df: df.drop_duplicates(["lo", "hi"]),
+        num_partitions=num_partitions,
+        out_schema=eu_schema,
+    ).materialize()  # consumed twice (wedges + closure): DAG break
+
+    wedge_schema = pa.schema([("bc", pa.int64()), ("a", pa.int64())])
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"bc": pd.Series(dtype=np.int64), "a": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["lo", "hi"], kind="stable")
+        lo = df["lo"].to_numpy()
+        hi = df["hi"].to_numpy()
+        change = np.concatenate([[True], lo[1:] != lo[:-1]])
+        seg_starts = np.flatnonzero(change)
+        bounds = np.concatenate([seg_starts, [len(lo)]])
+        out_b, out_c, out_a = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            out_b.append(hi[s:e][ia])
+            out_c.append(hi[s:e][ib])
+            out_a.append(np.full(len(ia), lo[s], np.int64))
+        if not out_b:
+            return pd.DataFrame({"bc": pd.Series(dtype=np.int64), "a": pd.Series(dtype=np.int64)})
+        b = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        return pd.DataFrame(
+            {"bc": b * PACK + c, "a": np.concatenate(out_a).astype(np.int64)}
+        )
+
+    wedge_ds = keyed_partition_map(
+        eu, ["lo"], wedges, num_partitions=num_partitions, out_schema=wedge_schema
+    )
+
+    def pack_edges(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bc": lo * PACK + hi, "hit": np.ones(len(lo), np.int8)}
+        )
+
+    closed = hash_join(
+        wedge_ds,
+        eu.map_batches(pack_edges, batch_format="pyarrow"),
+        key="bc",
+        num_buckets=num_buckets,
+    )
+
+    def corners(b: pa.Table) -> pa.Table:
+        bc = b["bc"].to_numpy(zero_copy_only=False)
+        a = b["a"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": np.concatenate([a, bc // PACK, bc % PACK]),
+                "one": np.concatenate([np.ones(3 * len(a), np.int64)]),
+            }
+        )
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": ids, "one": np.zeros(len(ids), np.int64)})
+
+    stream = (
+        closed.map_batches(corners, batch_format="pyarrow")
+        .union(nodes.map_batches(zero_rows, batch_format="pyarrow"))
+        .materialize()  # Union -> sort wedge guard (node/triangle-scale)
+    )
+    agg = grouped_count_sums(
+        stream, key="v", sum_cols=("one",), num_partitions=num_partitions
+    )
+    return agg.map_batches(
+        lambda b: b.select(["v", "sum_one"]).rename_columns(["id", "n_tri"]),
+        batch_format="pyarrow",
+    )

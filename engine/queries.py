@@ -2761,3 +2761,61 @@ def _clean_lines_sql_gate() -> str:
 
 
 REGISTRY.update({"clean_lines_docs": (q_clean_lines_docs, _clean_lines_sql_gate())})
+
+
+# ----------------------------------------- triangle counting (X37)
+
+
+def q_triangle_counts_docs(sf_dir: str) -> Dataset:
+    """Per-node triangle counts (X37, engine/graph.py) on the
+    6-arm derived link graph (4 hash arms + the two ring arms that
+    guarantee live clustered structure — pure affine maps close no
+    3-cycles). Exact integer motif counting: canonical distinct
+    undirected edges -> degree-bounded wedge join -> packed-key
+    closure join -> per-corner combiner counts."""
+    from engine.graph import derive_link_edges, triangle_counts
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    edges = derive_link_edges(nodes, n, id_col="id", out_degree=6)
+    tri = triangle_counts(nodes, edges)
+    return tri.map_batches(
+        lambda b: b.rename_columns(["doc_id", "n_tri"]), batch_format="pyarrow"
+    )
+
+
+def _sql_triangle_counts(out_degree: int = 6) -> str:
+    """Mirror of graph.triangle_counts over derive_link_edges: same
+    (A, B) arm constants (imported — change together), LEAST/GREATEST
+    canonicalization, the a<b<c ordered 3-way self-join (each
+    triangle found exactly once), corner credits via UNION ALL."""
+    from engine.graph import EDGE_A, EDGE_B
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {EDGE_A[j]} + {EDGE_B[j]})"
+        f" % (SELECT n FROM nn) AS dst FROM documents"
+        for j in range(out_degree)
+    )
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  {arms}),
+eu AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+       FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM eu e1 JOIN eu e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+       JOIN eu e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+pn AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY v)
+SELECT d.doc_id, CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_tri
+FROM documents d LEFT JOIN pn ON pn.v = d.doc_id
+"""
+
+
+REGISTRY.update({"triangle_counts_docs": (q_triangle_counts_docs, _sql_triangle_counts())})

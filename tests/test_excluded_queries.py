@@ -65,6 +65,7 @@ def _excluded():
         "moment_stats_events",
         "rasterize",
         "repetition_signals",
+        "pivot_orders",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):

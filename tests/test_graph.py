@@ -108,3 +108,74 @@ def test_pagerank_docs_query_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+def _brute_triangles(n, out_degree=6):
+    """Set-based scalar oracle: undirected simple graph, per-node
+    triangle membership counts."""
+    from engine.graph import EDGE_A, EDGE_B
+
+    adj = [set() for _ in range(n)]
+    for j in range(out_degree):
+        for i in range(n):
+            d = (i * EDGE_A[j] + EDGE_B[j]) % n
+            if d != i:
+                adj[i].add(d)
+                adj[d].add(i)
+    counts = np.zeros(n, np.int64)
+    for a in range(n):
+        nbrs = sorted(v for v in adj[a] if v > a)
+        for x in range(len(nbrs)):
+            for y in range(x + 1, len(nbrs)):
+                b, c = nbrs[x], nbrs[y]
+                if c in adj[b]:
+                    counts[a] += 1
+                    counts[b] += 1
+                    counts[c] += 1
+    return counts
+
+
+def test_triangle_counts_matches_scalar_oracle(ray_session):
+    import ray.data as rd
+
+    from engine.graph import derive_link_edges, triangle_counts
+
+    for n, parts in [(120, 5), (301, 9)]:
+        nodes = rd.from_arrow(
+            pa.table({"id": np.arange(n, dtype=np.int64)})
+        ).repartition(parts)
+        edges = derive_link_edges(nodes, n, out_degree=6)
+        got = (
+            triangle_counts(nodes, edges, num_partitions=4, num_buckets=4)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        expect = _brute_triangles(n)
+        assert len(got) == n
+        assert (got.id.to_numpy() == np.arange(n)).all()
+        assert (got.n_tri.to_numpy() == expect).all()
+        assert got.n_tri.max() > 0  # ring arms guarantee live triangles
+
+
+def test_triangle_counts_docs_query_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    from engine.queries import REGISTRY
+
+    fn, sql = REGISTRY["triangle_counts_docs"]
+    ray_df = fn(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sql_df = con.sql(sql).df()
+    assert len(ray_df) == len(sql_df) > 0
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values("doc_id").reset_index(drop=True)
+    b = sql_df[cols].sort_values("doc_id").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
+        assert (av == bv).all(), c
