@@ -2713,7 +2713,14 @@ def q_clean_lines_docs(sf_dir: str) -> Dataset:
     n = max(200, sf_to_n_rows(sf_dir) // 10)
     path = lines_corpus_parquet(n)
     cols = ["page_id", "text"]
-    ds = rd.read_parquet(path, columns=cols, schema=clean_read_schema(path, cols))
+    # Split the single cache file so the per-line regex work
+    # parallelizes (one block otherwise serializes the whole kernel).
+    ds = rd.read_parquet(
+        path,
+        columns=cols,
+        schema=clean_read_schema(path, cols),
+        override_num_blocks=max(4, n // 8_192),
+    )
     return clean_lines(ds)
 
 
