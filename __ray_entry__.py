@@ -197,6 +197,14 @@ _DRIVER_EXCLUDED = {
     # exact graph-motif counting: canonical-order wedge join + packed
     # closure join — a join pattern no other in-window query runs).
     "pivot_orders",
+    # graph_components (X38) -> minhash_dedup_full (the IDENTICAL
+    # connected_components_distributed machinery AND the identical
+    # recursive min-reachable-label CTE mirror shape, VALUE-checked
+    # in-window on the dup graph every round); the public graph-API
+    # wrapper runs here on a sparse one-arm link graph (34 live
+    # components + isolated nodes at gate scale) and stays SQL-exact
+    # in the excluded-queries test.
+    "graph_components",
     # raster_sample -> geoid_bilinear (the identical broadcast-grid
     # per-point bilinear lookup machinery, VALUE-checked on the geoid
     # grids); the raster family stays represented in-window by

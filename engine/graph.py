@@ -343,3 +343,48 @@ def triangle_counts(
         lambda b: b.select(["v", "sum_one"]).rename_columns(["id", "n_tri"]),
         batch_format="pyarrow",
     )
+
+
+def component_labels(nodes: Dataset, edges: Dataset) -> Dataset:
+    """Connected components of the undirected graph under an edge
+    Dataset[src, dst] (self-loops ignored), labels = min reachable
+    node id — a thin graph-API wrapper over the dedup module's
+    gate-proven ``connected_components_distributed`` (single-task
+    pointer-jumping union-find under ~5M edges, round-based min-label
+    propagation beyond; engine/dedupe.py).
+
+    Isolated nodes get their own id as label via a shuffle-light
+    grouped MIN over the union of CC labels and per-node self rows
+    (CC labels are min-reachable-including-self, so the min is always
+    the CC label when one exists).
+
+    Returns Dataset[id: int64, group_id: int64] for EVERY node."""
+    from engine.dedupe import connected_components_distributed
+    from engine.shuffle import grouped_count_sums
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        m = s != d
+        return pa.table({"id_a": s[m], "id_b": d[m]})
+
+    cc = connected_components_distributed(
+        edges.map_batches(to_pairs, batch_format="pyarrow")
+    )
+
+    def self_rows(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": ids, "group_id": ids})
+
+    stream = cc.union(
+        nodes.map_batches(self_rows, batch_format="pyarrow")
+    ).materialize()  # Union -> sort wedge guard (node-scale)
+    agg = grouped_count_sums(
+        stream, key="doc_id", min_cols=("group_id",), num_partitions=8
+    )
+    return agg.map_batches(
+        lambda b: b.select(["doc_id", "min_group_id"]).rename_columns(
+            ["id", "group_id"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -2826,3 +2826,60 @@ FROM documents d LEFT JOIN pn ON pn.v = d.doc_id
 
 
 REGISTRY.update({"triangle_counts_docs": (q_triangle_counts_docs, _sql_triangle_counts())})
+
+
+# ------------------------------------- graph connected components (X38)
+
+
+def q_graph_components(sf_dir: str) -> Dataset:
+    """Connected components over a SPARSE one-arm link graph (X38,
+    engine/graph.py::component_labels — the dedup CC machinery as a
+    public graph operator). The graph restricts hash arm 0 to
+    doc_id % 3 != 0 sources: a functional-graph fragment forest with
+    ~n/15 live components plus isolated nodes (the full 6-arm graph
+    is one giant component — structurally uninteresting)."""
+    from engine.graph import EDGE_A, EDGE_B, component_labels
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    a0, b0 = EDGE_A[0], EDGE_B[0]
+
+    def one_arm(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = ids[ids % 3 != 0]
+        return pa.table({"src": src, "dst": (src * a0 + b0) % np.int64(n)})
+
+    edges = nodes.map_batches(one_arm, batch_format="pyarrow")
+    out = component_labels(nodes, edges)
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "group_id"]), batch_format="pyarrow"
+    )
+
+
+def _sql_graph_components() -> str:
+    """Recursive min-reachable-label mirror (the minhash verdict
+    oracle's proven CTE shape) over the same one-arm edge derivation
+    (shared constants — change together)."""
+    from engine.graph import EDGE_A, EDGE_B
+
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges0 AS (
+  SELECT doc_id AS src, (doc_id * {EDGE_A[0]} + {EDGE_B[0]}) % (SELECT n FROM nn) AS dst
+  FROM documents WHERE doc_id % 3 <> 0),
+e AS (SELECT src AS a, dst AS b FROM edges0 WHERE src <> dst
+      UNION SELECT dst, src FROM edges0 WHERE src <> dst),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+labels AS (SELECT id AS doc_id, MIN(r) AS g FROM reach GROUP BY id)
+SELECT d.doc_id, CAST(COALESCE(l.g, d.doc_id) AS BIGINT) AS group_id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""
+
+
+REGISTRY.update({"graph_components": (q_graph_components, _sql_graph_components())})

@@ -66,6 +66,7 @@ def _excluded():
         "rasterize",
         "repetition_signals",
         "pivot_orders",
+        "graph_components",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
