@@ -223,7 +223,6 @@ def triangle_counts(
     nodes: Dataset,
     edges: Dataset,
     num_partitions: int = 16,
-    num_buckets: int = 16,
 ) -> Dataset:
     """Exact per-node triangle counts on the UNDIRECTED SIMPLE graph
     underlying an edge Dataset[src, dst] (self-loops dropped,
@@ -238,17 +237,16 @@ def triangle_counts(
          -> wedge rows (b, c, center a). Cost Σ deg(v)²/2 — bounded
          by the constant-degree derivation here; real web graphs
          split high-degree vertices first (the documented skew knob);
-      3. closure: one bucketed hash-join of wedges against the edge
-         set on the packed key b·2³¹ + c (ids < 2³¹ by the
-         derive_link_edges contract) — a surviving wedge IS the
-         triangle (a, b, c), found exactly once since a < b < c;
+      3. closure: a sentinel-union co-partition semi-join of wedges
+         against the edge set on the packed key b·2³¹ + c (ids < 2³¹
+         by the derive_link_edges contract) — a surviving wedge IS
+         the triangle (a, b, c), found exactly once since a < b < c;
       4. counts: each triangle credits its three corners; combiner
          dst-sum + zero rows from the node table (the pagerank
          pattern) so every node reports (0 included).
 
     Returns Dataset[id: int64, n_tri: int64], bit-identical under any
     partitioning (integer counts, pytest-checked)."""
-    from engine.joins import hash_join
     from engine.shuffle import grouped_count_sums, keyed_partition_map
 
     import pandas as pd
@@ -277,26 +275,17 @@ def triangle_counts(
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"bc": pd.Series(dtype=np.int64), "a": pd.Series(dtype=np.int64)})
-        df = df.sort_values(["lo", "hi"], kind="stable")
-        lo = df["lo"].to_numpy()
-        hi = df["hi"].to_numpy()
-        change = np.concatenate([[True], lo[1:] != lo[:-1]])
-        seg_starts = np.flatnonzero(change)
-        bounds = np.concatenate([seg_starts, [len(lo)]])
-        out_b, out_c, out_a = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            ia, ib = np.triu_indices(e - s, k=1)
-            out_b.append(hi[s:e][ia])
-            out_c.append(hi[s:e][ib])
-            out_a.append(np.full(len(ia), lo[s], np.int64))
-        if not out_b:
-            return pd.DataFrame({"bc": pd.Series(dtype=np.int64), "a": pd.Series(dtype=np.int64)})
-        b = np.concatenate(out_b)
-        c = np.concatenate(out_c)
+        # One C-speed self-merge per partition (a per-run Python loop
+        # with np.triu was vertex-scale — 1M iterations at soak size,
+        # measured 126 s wall; the merge is pure hash-join work and
+        # its output is exactly the wedge set).
+        m = df.merge(df, on="lo", suffixes=("_x", "_y"))
+        m = m[m["hi_x"].to_numpy() < m["hi_y"].to_numpy()]
         return pd.DataFrame(
-            {"bc": b * PACK + c, "a": np.concatenate(out_a).astype(np.int64)}
+            {
+                "bc": m["hi_x"].to_numpy() * PACK + m["hi_y"].to_numpy(),
+                "a": m["lo"].to_numpy().astype(np.int64),
+            }
         )
 
     wedge_ds = keyed_partition_map(
@@ -306,15 +295,40 @@ def triangle_counts(
     def pack_edges(b: pa.Table) -> pa.Table:
         lo = b["lo"].to_numpy(zero_copy_only=False)
         hi = b["hi"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"bc": lo * PACK + hi, "hit": np.ones(len(lo), np.int8)}
-        )
+        # Sentinel a=-1 marks an EDGE row (node ids are >= 0): the
+        # closure is a semi-join of wedges against the edge set, run
+        # as ONE sentinel-union co-partition by bc (the dedup-module
+        # shape) — the generic hash_join's Union feeding its sort
+        # trickled under backpressure at soak scale (19M wedges:
+        # >100 s; this shape closes in seconds) and its padding
+        # columns double the shuffle width for no benefit here.
+        return pa.table({"bc": lo * PACK + hi, "a": np.full(len(lo), -1, np.int64)})
 
-    closed = hash_join(
-        wedge_ds,
-        eu.map_batches(pack_edges, batch_format="pyarrow"),
-        key="bc",
-        num_buckets=num_buckets,
+    both = wedge_ds.union(
+        eu.map_batches(pack_edges, batch_format="pyarrow")
+    ).materialize()  # Union -> sort wedge guard (bytes the sort holds anyway)
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        bc = df["bc"].to_numpy()
+        a = df["a"].to_numpy()
+        is_edge = a == -1
+        marks = np.sort(bc[is_edge])
+        bcw = bc[~is_edge]
+        aw = a[~is_edge]
+        if len(marks) == 0 or len(bcw) == 0:
+            return pd.DataFrame(
+                {"bc": pd.Series(dtype=np.int64), "a": pd.Series(dtype=np.int64)}
+            )
+        pos = np.clip(np.searchsorted(marks, bcw), 0, len(marks) - 1)
+        hit = marks[pos] == bcw
+        return pd.DataFrame({"bc": bcw[hit], "a": aw[hit]})
+
+    closed = keyed_partition_map(
+        both,
+        ["bc"],
+        close,
+        num_partitions=num_partitions,
+        out_schema=wedge_schema,
     )
 
     def corners(b: pa.Table) -> pa.Table:

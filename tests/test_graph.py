@@ -146,7 +146,7 @@ def test_triangle_counts_matches_scalar_oracle(ray_session):
         ).repartition(parts)
         edges = derive_link_edges(nodes, n, out_degree=6)
         got = (
-            triangle_counts(nodes, edges, num_partitions=4, num_buckets=4)
+            triangle_counts(nodes, edges, num_partitions=4)
             .to_pandas()
             .sort_values("id")
             .reset_index(drop=True)
