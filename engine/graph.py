@@ -26,12 +26,13 @@ Design notes (100 TB / multi-node):
   right whenever the rank VECTOR fits in a worker heap (~10^8 nodes
   / 1 GB); the corpus-scale edge table streams and never re-shuffles.
   ``mode="partitioned"`` never materializes a dense vector: ranks
-  live as a Dataset and each iteration is one bucketed hash-join
-  (ranks onto edges by src) plus one combiner dst-sum — both sides
-  shuffle only (id, int64) pairs, ~16 B/row.  A production deployment
+  live as a Dataset and each iteration is one sentinel-union
+  co-partition by src (a fused rank->edge attach, see inline note)
+  plus one combiner dst-sum — both sides shuffle only
+  (id, int64, int64) rows, ~24 B/row.  A production deployment
   iterating many rounds would pin the edge partitions in actor state
-  to avoid re-bucketing edges each round; at the 5-iteration depth
-  used here the re-bucketed join is the simpler, still
+  to avoid re-partitioning edges each round; at the 5-iteration depth
+  used here the re-partitioned attach is the simpler, still
   shuffle-bounded shape.
 
 * **Per-iteration ``materialize()`` of the RANK table only** (N
@@ -99,7 +100,6 @@ def pagerank(
     damp_pct: int = 85,
     mode: str = "partitioned",
     num_partitions: int = 16,
-    num_buckets: int = 16,
 ) -> Dataset:
     """Integer-exact PageRank: r0 = scale; r_{t+1}(v) = ((100 -
     damp_pct) * scale) // 100 + (damp_pct * Σ_{u→v} (r_t(u) //
@@ -120,7 +120,9 @@ def pagerank(
     if mode != "partitioned":
         raise ValueError(f"unknown mode: {mode}")
 
-    from engine.joins import hash_join
+    from engine.shuffle import keyed_partition_map
+
+    import pandas as pd
 
     d = np.int64(out_degree)
 
@@ -130,16 +132,47 @@ def pagerank(
 
     ranks = nodes.map_batches(init, batch_format="pyarrow")
 
-    def contrib(b: pa.Table) -> pa.Table:
-        src = b["src"].to_numpy(zero_copy_only=False)
-        dst = b["dst"].to_numpy(zero_copy_only=False)
-        r = b["r"].to_numpy(zero_copy_only=False)
-        # zero rows keyed by src guarantee EVERY node (in-degree 0
-        # included) gets a dst-sum group — no nodes-union barrier.
+    # The per-iteration rank->edge attachment is ONE sentinel-union
+    # co-partition by src (rank rows carry dst = -1, impossible for a
+    # real edge): per partition a searchsorted lookup attaches r to
+    # every edge and emits the contribution rows directly — fused, no
+    # acero join, no all-null padding columns, and no Union feeding a
+    # sort unmaterialized (the generic hash_join trickled under
+    # backpressure at soak scale — see triangle_counts' closure note).
+    def tag_edges(b: pa.Table) -> pa.Table:
+        n = b.num_rows
         return pa.table(
+            {"src": b["src"], "dst": b["dst"], "r": np.full(n, -1, np.int64)}
+        )
+
+    def tag_ranks(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {"src": b["src"], "dst": np.full(n, -1, np.int64), "r": b["r"]}
+        )
+
+    contrib_schema = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"dst": pd.Series(dtype=np.int64), "c": pd.Series(dtype=np.int64)}
+            )
+        is_rank = df["dst"].to_numpy() == -1
+        r_src = df["src"].to_numpy()[is_rank]
+        r_val = df["r"].to_numpy()[is_rank]
+        order = np.argsort(r_src, kind="stable")
+        r_src, r_val = r_src[order], r_val[order]
+        e_src = df["src"].to_numpy()[~is_rank]
+        e_dst = df["dst"].to_numpy()[~is_rank]
+        pos = np.searchsorted(r_src, e_src)
+        c = r_val[pos] // d
+        # zero rows keyed by each RANK row's node guarantee EVERY node
+        # (in-degree 0 included) gets a dst-sum group.
+        return pd.DataFrame(
             {
-                "dst": np.concatenate([dst, src]),
-                "c": np.concatenate([r // d, np.zeros(len(src), np.int64)]),
+                "dst": np.concatenate([e_dst, r_src]),
+                "c": np.concatenate([c, np.zeros(len(r_src), np.int64)]),
             }
         )
 
@@ -149,13 +182,16 @@ def pagerank(
             {"src": b["dst"], "r": _new_ranks(s, scale, damp_pct)}
         )
 
+    edges_t = edges.map_batches(tag_edges, batch_format="pyarrow")
     for _ in range(iters):
-        j = hash_join(edges, ranks, key="src", num_buckets=num_buckets)
+        both = edges_t.union(
+            ranks.map_batches(tag_ranks, batch_format="pyarrow")
+        ).materialize()  # Union -> sort guard (bytes the sort holds anyway)
+        contrib = keyed_partition_map(
+            both, ["src"], attach, num_partitions, out_schema=contrib_schema
+        )
         sums = grouped_count_sums(
-            j.map_batches(contrib, batch_format="pyarrow"),
-            "dst",
-            sum_cols=("c",),
-            num_partitions=num_partitions,
+            contrib, "dst", sum_cols=("c",), num_partitions=num_partitions
         )
         # DAG break on the NODE-scale table only (see module notes).
         ranks = sums.map_batches(renorm, batch_format="pyarrow").materialize()

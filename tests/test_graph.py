@@ -44,7 +44,7 @@ def test_pagerank_matches_scalar_oracle(ray_session, mode):
         ).repartition(7)
         edges = derive_link_edges(nodes, n)
         got = (
-            pagerank(nodes, edges, n, mode=mode, num_partitions=4, num_buckets=4)
+            pagerank(nodes, edges, n, mode=mode, num_partitions=4)
             .to_pandas()
             .sort_values("id")
             .reset_index(drop=True)
@@ -78,7 +78,7 @@ def test_pagerank_modes_and_partitionings_bit_identical(ray_session):
         ).repartition(parts)
         edges = derive_link_edges(nodes, n)
         outs.append(
-            pagerank(nodes, edges, n, mode=mode, num_partitions=4, num_buckets=4)
+            pagerank(nodes, edges, n, mode=mode, num_partitions=4)
             .to_pandas()
             .sort_values("id")
             .pr.to_numpy()

@@ -1,7 +1,7 @@
 """PageRank at web-host scale under an object-store cap: 1M-node /
 4M-edge derived link graph through the PARTITIONED mode (the 100 TB
-shape — ranks as a Dataset, per-iteration bucketed hash-join +
-combiner dst-sum), with THREE independent exactness checks:
+shape — ranks as a Dataset, per-iteration sentinel-union co-partition
+attach + combiner dst-sum), with THREE independent exactness checks:
 
   1. prime-modulus CLOSED FORM — for prime n every LCG edge arm is a
      bijection, the graph is in-regular, and the uniform vector
@@ -88,7 +88,7 @@ def main() -> None:
     edges_p = derive_link_edges(nodes_p, n_prime)
     t0 = time.time()
     pr_p = pagerank(
-        nodes_p, edges_p, n_prime, mode="partitioned", num_partitions=32, num_buckets=32
+        nodes_p, edges_p, n_prime, mode="partitioned", num_partitions=32
     ).to_pandas()
     out["prime_wall_s"] = round(time.time() - t0, 2)
     assert len(pr_p) == n_prime, (len(pr_p), n_prime)
@@ -106,7 +106,7 @@ def main() -> None:
         t0 = time.time()
         df = (
             pagerank(
-                nodes_c, edges_c, n, mode="partitioned", num_partitions=32, num_buckets=32
+                nodes_c, edges_c, n, mode="partitioned", num_partitions=32
             )
             .to_pandas()
             .sort_values("id")
