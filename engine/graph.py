@@ -117,6 +117,10 @@ def pagerank(
         return _pagerank_broadcast(
             edges, num_nodes, iters, out_degree, scale, damp_pct, num_partitions
         )
+    if mode == "actors":
+        return _pagerank_actors(
+            edges, num_nodes, iters, out_degree, scale, damp_pct, num_partitions
+        )
     if mode != "partitioned":
         raise ValueError(f"unknown mode: {mode}")
 
@@ -437,4 +441,98 @@ def component_labels(nodes: Dataset, edges: Dataset) -> Dataset:
             ["id", "group_id"]
         ),
         batch_format="pyarrow",
+    )
+
+
+class _EdgePartition:
+    """Actor holding one partition of the edge table for the
+    pinned-edge PageRank mode — the 'pinned iterative state' case the
+    Dataset API cannot express: map_batches re-ships or re-reads
+    stage inputs every iteration, while an actor loads its partition
+    ONCE and serves every iteration from memory."""
+
+    def __init__(self, block_ref, out_degree: int):
+        import ray
+
+        t = block_ref
+        if not isinstance(t, pa.Table):
+            t = ray.get(t)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        self.src = src[order]
+        self.dst = dst[order]
+        self.d = np.int64(out_degree)
+        # distinct srcs, reported once — the driver then ships only
+        # this slice of the rank vector each iteration.
+        self.srcs = np.unique(self.src)
+
+    def get_srcs(self) -> np.ndarray:
+        return self.srcs
+
+    def contrib(self, ranks_for_srcs: np.ndarray):
+        """ranks aligned with self.srcs -> pre-aggregated (dst, sum)
+        partials for this partition's edges."""
+        import pandas as pd
+
+        pos = np.searchsorted(self.srcs, self.src)
+        c = ranks_for_srcs[pos] // self.d
+        g = pd.DataFrame({"dst": self.dst, "c": c}).groupby("dst", sort=True)[
+            "c"
+        ].sum()
+        return g.index.to_numpy(), g.to_numpy()
+
+
+def _pagerank_actors(
+    edges: Dataset,
+    num_nodes: int,
+    iters: int,
+    out_degree: int,
+    scale: int,
+    damp_pct: int,
+    num_actors: int,
+) -> Dataset:
+    """Pinned-edge actor mode: the edge table is split ONCE across P
+    actors (each sorts its shard by src and reports its distinct src
+    set); per iteration only rank SLICES travel driver -> actor and
+    per-shard pre-aggregated (dst, sum) partials travel back — the
+    edges themselves never move or re-read after init, unlike both
+    Dataset modes. The driver-side state is the node-scale rank
+    vector (the broadcast mode's bound; a deployment beyond driver
+    memory shards the combine into a second actor layer — documented,
+    unnecessary at any test scale)."""
+    import ray
+
+    # Split by blocks (edges are derivation-ordered; any split works —
+    # the actor sorts its shard and correctness needs no co-location).
+    blocks = edges.materialize().to_arrow_refs()
+    take = max(1, len(blocks) // num_actors)
+    groups = [blocks[i : i + take] for i in range(0, len(blocks), take)]
+
+    @ray.remote
+    class Shard(_EdgePartition):
+        def __init__(self, refs, out_degree):
+            import pyarrow as _pa
+
+            tables = [r if isinstance(r, _pa.Table) else ray.get(r) for r in refs]
+            super().__init__(_pa.concat_tables(tables), out_degree)
+
+    actors = [Shard.remote(g, out_degree) for g in groups]
+    actor_srcs = ray.get([a.get_srcs.remote() for a in actors])
+
+    ranks = np.full(num_nodes, scale, np.int64)
+    for _ in range(iters):
+        futs = [
+            a.contrib.remote(ranks[srcs])
+            for a, srcs in zip(actors, actor_srcs)
+        ]
+        s = np.zeros(num_nodes, np.int64)
+        for ids, sums in ray.get(futs):
+            s[ids] += sums
+        ranks = _new_ranks(s, scale, damp_pct)
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"id": np.arange(num_nodes, dtype=np.int64), "pr": ranks})
     )

@@ -32,7 +32,7 @@ def _brute_pagerank(n, iters=5, out_degree=4, scale=10**12, damp_pct=85):
     return r
 
 
-@pytest.mark.parametrize("mode", ["partitioned", "broadcast"])
+@pytest.mark.parametrize("mode", ["partitioned", "broadcast", "actors"])
 def test_pagerank_matches_scalar_oracle(ray_session, mode):
     import ray.data as rd
 
@@ -72,7 +72,12 @@ def test_pagerank_modes_and_partitionings_bit_identical(ray_session):
 
     n = 500
     outs = []
-    for parts, mode in [(3, "partitioned"), (11, "partitioned"), (5, "broadcast")]:
+    for parts, mode in [
+        (3, "partitioned"),
+        (11, "partitioned"),
+        (5, "broadcast"),
+        (7, "actors"),
+    ]:
         nodes = rd.from_arrow(
             pa.table({"id": np.arange(n, dtype=np.int64)})
         ).repartition(parts)

@@ -117,6 +117,21 @@ def main() -> None:
     expect = _brute(n, 5, 4, scale, 85)
     assert (got[0] == expect).all(), "scalar oracle mismatch"
     out["composite_walls_s"] = walls
+
+    # A/B: pinned-edge actor mode (edges parked in actor state once,
+    # only rank slices travel per iteration) vs the Dataset modes.
+    nodes_a = rd.from_arrow(
+        pa.table({"id": np.arange(n, dtype=np.int64)})
+    ).repartition(32)
+    edges_a = derive_link_edges(nodes_a, n)
+    t0 = time.time()
+    df_a = (
+        pagerank(nodes_a, edges_a, n, mode="actors", num_partitions=12)
+        .to_pandas()
+        .sort_values("id")
+    )
+    out["actors_wall_s"] = round(time.time() - t0, 2)
+    assert (df_a.pr.to_numpy() == expect).all(), "actor mode mismatch"
     out["edges"] = 4 * n
     out["distinct_ranks"] = int(len(np.unique(got[0])))
     out["driver_rss_gb"] = round(
