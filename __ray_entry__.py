@@ -205,6 +205,14 @@ _DRIVER_EXCLUDED = {
     # components + isolated nodes at gate scale) and stays SQL-exact
     # in the excluded-queries test.
     "graph_components",
+    # pagerank_personalized (X33b) -> pagerank_docs (the IDENTICAL
+    # integer fixed-point machinery — sentinel-union attach + combiner
+    # dst-sum — VALUE-checked in-window every round); this variant
+    # adds a CASE seed teleport and a per-src multiset degree count
+    # inside the same co-partition, and stays SQL-exact in the
+    # excluded-queries test (variable-degree + dangling-drop + seeded
+    # teleport all live on the sparse one-arm graph).
+    "pagerank_personalized",
     # raster_sample -> geoid_bilinear (the identical broadcast-grid
     # per-point bilinear lookup machinery, VALUE-checked on the geoid
     # grids); the raster family stays represented in-window by

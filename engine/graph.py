@@ -95,18 +95,28 @@ def pagerank(
     edges: Dataset,
     num_nodes: int,
     iters: int = 5,
-    out_degree: int = 4,
+    out_degree: int | None = 4,
     scale: int = 10**12,
     damp_pct: int = 85,
     mode: str = "partitioned",
     num_partitions: int = 16,
+    seed_mod: int | None = None,
 ) -> Dataset:
-    """Integer-exact PageRank: r0 = scale; r_{t+1}(v) = ((100 -
-    damp_pct) * scale) // 100 + (damp_pct * Σ_{u→v} (r_t(u) //
-    out_degree)) // 100.  Requires a constant out-degree graph (the
-    derive_link_edges contract) so the per-edge contribution is a
-    plain floor division — variable-degree graphs would first join a
-    degree table (same machinery, one extra broadcast).
+    """Integer-exact PageRank: r0 = scale; r_{t+1}(v) = teleport(v) +
+    (damp_pct * Σ_{u→v} (r_t(u) // deg(u))) // 100.
+
+    ``out_degree``: constant graph degree (the derive_link_edges
+    contract — contribution is a plain floor division). Pass ``None``
+    for VARIABLE-degree graphs: deg(u) is counted from the edge
+    multiset itself inside the src co-partition (every edge of u is
+    co-located there, so the count is exact with no extra shuffle);
+    nodes with out-degree 0 simply contribute nothing — the dangling
+    mass is DROPPED, the deterministic SQL-mirrorable convention
+    (variable degree is partitioned-mode only).
+
+    ``seed_mod``: personalized PageRank — teleport mass goes ONLY to
+    seed nodes (id % seed_mod == 0) instead of every node; r0 is
+    scale at seeds, 0 elsewhere. None = uniform (classic).
 
     Returns Dataset[id: int64, pr: int64]. Bit-identical across
     modes, partitionings and batch shapes (pytest-checked).
@@ -114,10 +124,14 @@ def pagerank(
     from engine.shuffle import grouped_count_sums
 
     if mode == "broadcast":
+        if out_degree is None or seed_mod is not None:
+            raise ValueError("variable degree / seeds: use mode='partitioned'")
         return _pagerank_broadcast(
             edges, num_nodes, iters, out_degree, scale, damp_pct, num_partitions
         )
     if mode == "actors":
+        if out_degree is None or seed_mod is not None:
+            raise ValueError("variable degree / seeds: use mode='partitioned'")
         return _pagerank_actors(
             edges, num_nodes, iters, out_degree, scale, damp_pct, num_partitions
         )
@@ -128,11 +142,16 @@ def pagerank(
 
     import pandas as pd
 
-    d = np.int64(out_degree)
+    d = np.int64(out_degree) if out_degree is not None else None
+    teleport = ((100 - damp_pct) * scale) // 100
 
     def init(b: pa.Table) -> pa.Table:
         ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": ids, "r": np.full(len(ids), scale, np.int64)})
+        if seed_mod is None:
+            r0 = np.full(len(ids), scale, np.int64)
+        else:
+            r0 = np.where(ids % seed_mod == 0, scale, 0).astype(np.int64)
+        return pa.table({"src": ids, "r": r0})
 
     ranks = nodes.map_batches(init, batch_format="pyarrow")
 
@@ -170,7 +189,19 @@ def pagerank(
         e_src = df["src"].to_numpy()[~is_rank]
         e_dst = df["dst"].to_numpy()[~is_rank]
         pos = np.searchsorted(r_src, e_src)
-        c = r_val[pos] // d
+        if d is not None:
+            c = r_val[pos] // d
+        else:
+            # variable degree: every edge of a src is in THIS
+            # partition, so its multiset count here IS deg(u).
+            order_e = np.argsort(e_src, kind="stable")
+            inv = np.empty_like(order_e)
+            inv[order_e] = np.arange(len(order_e))
+            es = e_src[order_e]
+            change = np.concatenate([[True], es[1:] != es[:-1]])
+            seg = np.cumsum(change) - 1
+            deg = np.bincount(seg)[seg][inv]
+            c = r_val[pos] // deg
         # zero rows keyed by each RANK row's node guarantee EVERY node
         # (in-degree 0 included) gets a dst-sum group.
         return pd.DataFrame(
@@ -182,9 +213,13 @@ def pagerank(
 
     def renorm(b: pa.Table) -> pa.Table:
         s = b["sum_c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"src": b["dst"], "r": _new_ranks(s, scale, damp_pct)}
-        )
+        dstv = b["dst"].to_numpy(zero_copy_only=False)
+        if seed_mod is None:
+            r = teleport + (damp_pct * s) // 100
+        else:
+            tele = np.where(dstv % seed_mod == 0, teleport, 0).astype(np.int64)
+            r = tele + (damp_pct * s) // 100
+        return pa.table({"src": dstv, "r": r})
 
     edges_t = edges.map_batches(tag_edges, batch_format="pyarrow")
     for _ in range(iters):

@@ -2883,3 +2883,75 @@ FROM documents d LEFT JOIN labels l USING (doc_id)
 
 
 REGISTRY.update({"graph_components": (q_graph_components, _sql_graph_components())})
+
+
+# ------------------------------- personalized PageRank variant (X33b)
+
+
+def q_pagerank_personalized(sf_dir: str) -> Dataset:
+    """Personalized PageRank with VARIABLE out-degree (X33b): the same
+    integer fixed-point machinery as pagerank_docs, with (a) teleport
+    mass restricted to seed nodes (doc_id % 17 == 0) and r0 = scale
+    at seeds / 0 elsewhere, and (b) deg(u) counted from the edge
+    multiset inside the src co-partition (the one-arm doc_id % 3 != 0
+    graph has out-degrees 0 and 1 — dangling mass dropped by the
+    documented convention)."""
+    from engine.graph import EDGE_A, EDGE_B, pagerank
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    a0, b0 = EDGE_A[0], EDGE_B[0]
+
+    def one_arm(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = ids[ids % 3 != 0]
+        return pa.table({"src": src, "dst": (src * a0 + b0) % np.int64(n)})
+
+    edges = nodes.map_batches(one_arm, batch_format="pyarrow")
+    pr = pagerank(
+        nodes, edges, n, out_degree=None, seed_mod=17, mode="partitioned"
+    )
+    return pr.map_batches(
+        lambda b: b.rename_columns(["doc_id", "pr"]), batch_format="pyarrow"
+    )
+
+
+def _sql_pagerank_personalized(
+    iters: int = 5, scale: int = 10**12, damp_pct: int = 85, seed_mod: int = 17
+) -> str:
+    """Unrolled mirror with a per-src COUNT(*) degree table and a
+    CASE seed teleport (shared constants with the engine — change
+    together)."""
+    from engine.graph import EDGE_A, EDGE_B
+
+    teleport = ((100 - damp_pct) * scale) // 100
+    seed = f"CASE WHEN n.id % {seed_mod} = 0 THEN {teleport} ELSE 0 END"
+    iter_ctes = "".join(
+        f""",
+r{t} AS (
+  SELECT n.id, CAST({seed} + ({damp_pct} * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(rp.r // deg.d) AS c
+    FROM edges0 e JOIN deg USING (src) JOIN r{t - 1} rp ON rp.id = e.src
+    GROUP BY e.dst) s USING (id))"""
+        for t in range(1, iters + 1)
+    )
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges0 AS (
+  SELECT doc_id AS src, (doc_id * {EDGE_A[0]} + {EDGE_B[0]}) % (SELECT n FROM nn) AS dst
+  FROM documents WHERE doc_id % 3 <> 0),
+deg AS (SELECT src, COUNT(*) AS d FROM edges0 GROUP BY src),
+r0 AS (SELECT doc_id AS id,
+       CASE WHEN doc_id % {seed_mod} = 0 THEN {scale} ELSE 0 END AS r
+       FROM documents){iter_ctes}
+SELECT id AS doc_id, r AS pr FROM r{iters}
+"""
+
+
+REGISTRY.update(
+    {"pagerank_personalized": (q_pagerank_personalized, _sql_pagerank_personalized())}
+)

@@ -67,6 +67,7 @@ def _excluded():
         "repetition_signals",
         "pivot_orders",
         "graph_components",
+        "pagerank_personalized",
     ],
 )
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
