@@ -101,6 +101,7 @@ def pagerank(
     mode: str = "partitioned",
     num_partitions: int = 16,
     seed_mod: int | None = None,
+    init_ranks: Dataset | None = None,
 ) -> Dataset:
     """Integer-exact PageRank: r0 = scale; r_{t+1}(v) = teleport(v) +
     (damp_pct * Σ_{u→v} (r_t(u) // deg(u))) // 100.
@@ -117,6 +118,15 @@ def pagerank(
     ``seed_mod``: personalized PageRank — teleport mass goes ONLY to
     seed nodes (id % seed_mod == 0) instead of every node; r0 is
     scale at seeds, 0 elsewhere. None = uniform (classic).
+
+    ``init_ranks``: warm-start from a persisted rank table
+    (Dataset[id, pr] — e.g. a prior run's parquet output): iteration
+    resumes from that state instead of the uniform/seed r0, so a
+    crawl-refresh recomputes in few iterations from yesterday's
+    ranks (the incremental-dedup steady-state pattern for graphs;
+    running k more iterations on a saved state is bit-identical to
+    having run them in one job — pytest-checked). Partitioned mode
+    only.
 
     Returns Dataset[id: int64, pr: int64]. Bit-identical across
     modes, partitionings and batch shapes (pytest-checked).
@@ -153,7 +163,12 @@ def pagerank(
             r0 = np.where(ids % seed_mod == 0, scale, 0).astype(np.int64)
         return pa.table({"src": ids, "r": r0})
 
-    ranks = nodes.map_batches(init, batch_format="pyarrow")
+    if init_ranks is not None:
+        ranks = init_ranks.map_batches(
+            lambda b: b.rename_columns(["src", "r"]), batch_format="pyarrow"
+        )
+    else:
+        ranks = nodes.map_batches(init, batch_format="pyarrow")
 
     # The per-iteration rank->edge attachment is ONE sentinel-union
     # co-partition by src (rank rows carry dst = -1, impossible for a

@@ -184,3 +184,35 @@ def test_triangle_counts_docs_query_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+def test_pagerank_warm_start_resumes_bit_identically(ray_session, tmp_path):
+    """Persist ranks after 3 iterations, reload from parquet, run 2
+    more: must equal 5 straight iterations (the crawl-refresh
+    steady-state contract)."""
+    import ray.data as rd
+
+    from engine.graph import derive_link_edges, pagerank
+
+    n = 400
+    nodes = rd.from_arrow(pa.table({"id": np.arange(n, dtype=np.int64)})).repartition(5)
+    edges = derive_link_edges(nodes, n)
+    straight = (
+        pagerank(nodes, edges, n, iters=5, num_partitions=4)
+        .to_pandas()
+        .sort_values("id")
+        .pr.to_numpy()
+    )
+    first = pagerank(nodes, edges, n, iters=3, num_partitions=4)
+    out = str(tmp_path / "ranks")
+    first.write_parquet(out)
+    persisted = rd.read_parquet(out)
+    resumed = (
+        pagerank(
+            nodes, edges, n, iters=2, num_partitions=4, init_ranks=persisted
+        )
+        .to_pandas()
+        .sort_values("id")
+        .pr.to_numpy()
+    )
+    assert (resumed == straight).all()
