@@ -216,3 +216,97 @@ def test_pagerank_warm_start_resumes_bit_identically(ray_session, tmp_path):
         .pr.to_numpy()
     )
     assert (resumed == straight).all()
+
+
+def test_graph_ops_on_random_multigraphs(ray_session):
+    """All three graph operators on seeded RANDOM multigraphs (self
+    loops, parallel edges, dangling nodes, skewed variable degree) —
+    the derived LCG graphs are structurally special, so this guards
+    the general contracts: variable-degree PageRank vs a scalar
+    fixed point, triangle counts vs the set oracle, component labels
+    vs union-find."""
+    import ray.data as rd
+
+    from engine.graph import component_labels, pagerank, triangle_counts
+
+    scale, damp = 10**12, 85
+    for seed in (7, 99):
+        rng = np.random.default_rng(seed)
+        n = 150
+        m = 450
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        # plant dangling nodes: strip all out-edges of ids 0..9
+        keep = src >= 10
+        src, dst = src[keep], dst[keep]
+        nodes = rd.from_arrow(
+            pa.table({"id": np.arange(n, dtype=np.int64)})
+        ).repartition(4)
+        edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+        # --- variable-degree PageRank vs scalar fixed point ---
+        got = (
+            pagerank(nodes, edges, n, iters=4, out_degree=None, num_partitions=4)
+            .to_pandas()
+            .sort_values("id")
+            .pr.to_numpy()
+        )
+        r = np.full(n, scale, np.int64)
+        teleport = ((100 - damp) * scale) // 100
+        deg = np.bincount(src, minlength=n).astype(np.int64)
+        safe_deg = np.maximum(deg, 1)
+        for _ in range(4):
+            s = np.zeros(n, np.int64)
+            np.add.at(s, dst, (r // safe_deg)[src])
+            r = teleport + (damp * s) // 100
+        assert (got == r).all()
+
+        # --- triangles vs set oracle ---
+        tri = (
+            triangle_counts(nodes, edges, num_partitions=4)
+            .to_pandas()
+            .sort_values("id")
+            .n_tri.to_numpy()
+        )
+        adj = [set() for _ in range(n)]
+        for a, b in zip(src, dst):
+            if a != b:
+                adj[a].add(int(b))
+                adj[b].add(int(a))
+        expect = np.zeros(n, np.int64)
+        for a in range(n):
+            nb = sorted(v for v in adj[a] if v > a)
+            for x in range(len(nb)):
+                for y in range(x + 1, len(nb)):
+                    if nb[y] in adj[nb[x]]:
+                        expect[a] += 1
+                        expect[nb[x]] += 1
+                        expect[nb[y]] += 1
+        assert (tri == expect).all()
+
+        # --- components vs union-find ---
+        comp = (
+            component_labels(nodes, edges)
+            .to_pandas()
+            .sort_values("id")
+            .group_id.to_numpy()
+        )
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(src, dst):
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        labels = np.array([find(x) for x in range(n)])
+        # canonical label = min id in component
+        import pandas as pd
+
+        canon = pd.Series(np.arange(n)).groupby(labels).transform("min").to_numpy()
+        assert (comp == canon).all()
