@@ -213,6 +213,13 @@ _DRIVER_EXCLUDED = {
     # excluded-queries test (variable-degree + dangling-drop + seeded
     # teleport all live on the sparse one-arm graph).
     "pagerank_personalized",
+    # web_refresh_pipeline (X39): composition of three individually
+    # SQL-VALUE-checked in-window stages (canonical_urls ->
+    # clean_lines_docs -> line_dedup_docs) chained as a crawl
+    # refresh — the curation_pipeline precedent; stage counts are
+    # pytest-checked against the corpora's truth columns and runs
+    # rows-only in the excluded test.
+    "web_refresh_pipeline",
     # raster_sample -> geoid_bilinear (the identical broadcast-grid
     # per-point bilinear lookup machinery, VALUE-checked on the geoid
     # grids); the raster family stays represented in-window by

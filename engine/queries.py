@@ -2955,3 +2955,85 @@ SELECT id AS doc_id, r AS pr FROM r{iters}
 REGISTRY.update(
     {"pagerank_personalized": (q_pagerank_personalized, _sql_pagerank_personalized())}
 )
+
+
+# ---------------------------------- composed web-refresh pipeline (X39)
+
+
+def q_web_refresh(sf_dir: str):
+    """Composed web-crawl refresh (X39): the round-4 webtext operators
+    chained end-to-end the way a crawl refresh runs them —
+
+      1. canonical-URL dedup over the messy-URL corpus (keep one page
+         per canonical identity — the CCNet/RefinedWeb first stage);
+      2. C4 line-quality cleaning of the kept pages' text (page drops
+         + per-line cuts, text rebuilt);
+      3. corpus-wide C4 line DEDUP (newline mode) over the cleaned
+         survivors — this corpus' lines are heavily duplicated by
+         construction, so the cut is live (first occurrence survives,
+         every later one is removed).
+
+    Both cached corpora are keyed by the same dense page_id, so the
+    composition is a coherent crawl. Excluded rows-only entry: every
+    stage is individually SQL-VALUE-checked in-window
+    (canonical_urls, clean_lines_docs, line_dedup_docs — the
+    curation_pipeline precedent); the composition's stage counts are
+    pytest-checked against the corpora's truth columns.
+
+    Returns Dataset[page_id, n_lines, n_dropped, clean_text] of
+    surviving pages after all three stages.
+    """
+    import ray.data as rd
+
+    from engine.dedupe import line_dedup
+    from engine.joins import semi_filter
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+    from engine.weblines import clean_lines, lines_corpus_parquet
+    from engine.weburl import canonical_url_dedup, urls_corpus_parquet
+
+    n = max(200, sf_to_n_rows(sf_dir) // 10)
+    upath = urls_corpus_parquet(n)
+    lpath = lines_corpus_parquet(n)
+    ucols = ["page_id", "url"]
+    urls = rd.read_parquet(upath, columns=ucols, schema=clean_read_schema(upath, ucols))
+    keepers = canonical_url_dedup(urls, num_partitions=8)
+
+    def keeper_ids(b: pa.Table) -> pa.Table:
+        k = b.filter(b["is_keeper"])
+        return k.select(["page_id"])
+
+    kept = keepers.map_batches(keeper_ids, batch_format="pyarrow")
+    # keeper set is canonical-identity-scale; broadcast semi-filter
+    # (the candidate_docs bound applies — bucketed swap documented
+    # there for keeper sets beyond broadcast)
+    ids = np.sort(
+        kept.to_pandas()["page_id"].to_numpy().astype(np.int64)
+    )
+    pcols = ["page_id", "text"]
+    pages = rd.read_parquet(
+        lpath,
+        columns=pcols,
+        schema=clean_read_schema(lpath, pcols),
+        override_num_blocks=max(4, n // 8_192),
+    )
+    pages = semi_filter(pages, ids, "page_id")
+    cleaned = clean_lines(pages)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        k = b.filter(pc.invert(b["page_dropped"]))
+        return pa.table({"page_id": k["page_id"], "text": k["clean_text"]})
+
+    surv = cleaned.map_batches(survivors, batch_format="pyarrow")
+    deduped = line_dedup(
+        surv, id_col="page_id", text_col="text", num_partitions=8
+    )
+    return deduped.map_batches(
+        lambda b: b.rename_columns(
+            ["page_id", "n_lines", "n_dropped", "clean_text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+REGISTRY.update({"web_refresh_pipeline": (q_web_refresh, None)})

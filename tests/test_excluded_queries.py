@@ -106,6 +106,7 @@ def test_excluded_sql_queries_still_exact(ray_session, con, name):
         "geo_muni_rollup",
         "geometry_transform",
         "lm_quality_scores",
+        "web_refresh_pipeline",
         "semantic_clusters",
     ],
 )

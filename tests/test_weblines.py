@@ -99,3 +99,65 @@ def test_clean_lines_docs_query_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+def test_web_refresh_pipeline_stage_counts(ray_session):
+    """X39 composition: survivors must be exactly (URL keepers) ∩
+    (pages the C4 truth says survive), and the line-dedup stage's
+    totals must match a scalar recomputation over those pages'
+    cleaned text."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from engine.pages import sf_to_n_rows
+    from engine.queries import REGISTRY
+    from engine.weblines import (
+        MIN_KEPT_LINES,
+        MIN_WORDS,
+        RE_LINE_END,
+        RE_WORD,
+        lines_corpus_parquet,
+    )
+    from engine.weburl import urls_corpus_parquet
+
+    sf = "/root/testdata/sf0.001"
+    fn, _ = REGISTRY["web_refresh_pipeline"]
+    got = fn(sf).to_pandas().sort_values("page_id").reset_index(drop=True)
+
+    n = max(200, sf_to_n_rows(sf) // 10)
+    # scalar keepers: min page_id per canonical truth
+    ut = pq.read_table(urls_corpus_parquet(n)).to_pandas()
+    keep_ids = set(ut.groupby("truth_canon")["page_id"].min())
+    lt = pq.read_table(lines_corpus_parquet(n)).to_pandas()
+    surv_ids = sorted(
+        set(lt.loc[~lt.truth_dropped, "page_id"]) & keep_ids
+    )
+    assert list(got.page_id) == surv_ids
+
+    # scalar line dedup over the cleaned text of the survivors
+    texts = {}
+    for pid in surv_ids:
+        t = lt.loc[lt.page_id == pid, "text"].iloc[0]
+        kept = [
+            ln
+            for ln in t.split("\n")
+            if re.search(RE_LINE_END, ln)
+            and len(re.findall(RE_WORD, ln)) >= MIN_WORDS
+        ]
+        assert len(kept) >= MIN_KEPT_LINES
+        texts[pid] = kept
+    seen = set()
+    exp_dropped = {}
+    for pid in surv_ids:  # ascending page_id == first-occurrence order
+        d = 0
+        for ln in texts[pid]:
+            if ln == "":
+                continue
+            if ln in seen:
+                d += 1
+            else:
+                seen.add(ln)
+        exp_dropped[pid] = d
+    assert (got.n_lines.to_numpy() == [len(texts[p]) for p in surv_ids]).all()
+    assert (got.n_dropped.to_numpy() == [exp_dropped[p] for p in surv_ids]).all()
