@@ -220,6 +220,13 @@ _DRIVER_EXCLUDED = {
     # pytest-checked against the corpora's truth columns and runs
     # rows-only in the excluded test.
     "web_refresh_pipeline",
+    # salted_join_revenue (X40): the skew-salted join wrapper around
+    # hash_join, whose machinery is VALUE-checked in-window by
+    # revenue_by_nation + left_join_f_orders; the wrapper's SQL
+    # mirror is the PLAIN unsalted join — 'salting is semantically
+    # invisible' is itself the checked claim — and stays SQL-exact in
+    # the excluded-queries test (plus a 50%-hot-key pytest).
+    "salted_join_revenue",
     # raster_sample -> geoid_bilinear (the identical broadcast-grid
     # per-point bilinear lookup machinery, VALUE-checked on the geoid
     # grids); the raster family stays represented in-window by

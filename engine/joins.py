@@ -289,3 +289,85 @@ def bloom_semi_filter(
         return batch.filter(pa.array(bloom_contains(w, batch[key], m_bits, k_hashes)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def salted_hash_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    hot_keys,
+    salts: int = 8,
+    num_buckets: int = 16,
+    how: str = "inner",
+) -> Dataset:
+    """Skew-safe bucketed equi-join (the SURVEY-§4 'salt hot keys'
+    promise for JOINS — ``grouped_count_sums(salts=...)`` is the
+    aggregate analogue): rows of the declared hot keys are salted so
+    one Zipfian key cannot flood a single join bucket.
+
+    Shape: the PROBE (left) side's hot rows get ``salt = arrival
+    index % S``; the BUILD (right) side REPLICATES its hot-key rows
+    once per salt; both sides then join on the packed composite
+    ``key * S + salt`` through the ordinary bucketed hash_join —
+    each left row meets each right row exactly once, so results are
+    value-identical to the unsalted join (pytest + the excluded-gate
+    SQL mirror, which is the PLAIN join — salting must be
+    semantically invisible).
+
+    Bounds and limits (all raise):
+    - int64 keys with |key| * salts < 2^62 (packing);
+    - ``how`` in {"inner", "left"} — right/full outer would emit one
+      unmatched copy PER SALT for a hot build key with no probe row;
+    - ``hot_keys`` is caller-declared (sample with
+      shuffle.sampled_key_histogram); replication cost is
+      |hot build rows| x S — salt only what skews.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_hash_join: only inner/left are exact")
+    hot = np.sort(np.asarray(list(hot_keys), dtype=np.int64))
+    S = np.int64(salts)
+
+    def _pack(keys: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        if len(keys) and np.abs(keys).max() >= (1 << 62) // salts:
+            raise ValueError("salted_hash_join: key range too large to pack")
+        return keys * S + salt
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(hot, k), 0, max(len(hot) - 1, 0))
+        is_hot = hot[pos] == k if len(hot) else np.zeros(len(k), bool)
+        salt = np.where(is_hot, np.arange(len(k), dtype=np.int64) % S, 0)
+        return b.set_column(
+            b.schema.get_field_index(key), key, pa.array(_pack(k, salt))
+        )
+
+    def salt_right(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(hot, k), 0, max(len(hot) - 1, 0))
+        is_hot = hot[pos] == k if len(hot) else np.zeros(len(k), bool)
+        reps = np.where(is_hot, int(S), 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(k), dtype=np.int64), reps)
+        out = b.take(pa.array(idx))
+        ends = np.cumsum(reps)
+        local = np.arange(len(idx), dtype=np.int64) - np.repeat(ends - reps, reps)
+        return out.set_column(
+            out.schema.get_field_index(key),
+            key,
+            pa.array(_pack(k[idx], local)),
+        )
+
+    joined = hash_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow"),
+        key=key,
+        num_buckets=num_buckets,
+        how=how,
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.set_column(
+            b.schema.get_field_index(key), key, pa.array(k // S)
+        )
+
+    return joined.map_batches(unpack, batch_format="pyarrow")

@@ -62,6 +62,7 @@ def _excluded():
         "geo_muni_rollup_sql",
         "tm_forward",
         "tm_inverse",
+        "salted_join_revenue",
         "moment_stats_events",
         "rasterize",
         "repetition_signals",

@@ -294,3 +294,56 @@ def test_revenue_by_nation_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+def test_salted_hash_join_hot_key_exact(ray_session):
+    """Skew-salted join == plain hash_join == pandas merge on a
+    corpus where ONE key is 50% of the probe side, for inner and
+    left; unsupported outer modes raise."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine.joins import hash_join, salted_hash_join
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    k = np.where(rng.random(n) < 0.5, 42, rng.integers(0, 500, n)).astype(np.int64)
+    left = pa.table({"k": k, "lv": np.arange(n, dtype=np.int64)})
+    # build side: includes several rows for the hot key, and keys with
+    # no probe match (for the left-outer null path)
+    rk = np.concatenate([[42, 42, 42], np.arange(600, dtype=np.int64)])
+    right = pa.table({"k": rk, "rv": np.arange(len(rk), dtype=np.int64) * 10})
+    lds = rd.from_arrow(left).repartition(6)
+    rds = rd.from_arrow(right).repartition(3)
+
+    lpd, rpd = left.to_pandas(), right.to_pandas()
+    for how in ("inner", "left"):
+        got = (
+            salted_hash_join(lds, rds, key="k", hot_keys=[42], salts=8, how=how)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        plain = (
+            hash_join(lds, rds, key="k", how=how)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        oracle = (
+            lpd.merge(rpd, on="k", how=how)
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(plain) == len(oracle)
+        for c in ("k", "lv"):
+            assert (got[c].to_numpy() == oracle[c].to_numpy()).all()
+        # rv has nulls under left: compare as float
+        assert (
+            got["rv"].to_numpy(dtype=float, na_value=-1)
+            == oracle["rv"].to_numpy(dtype=float, na_value=-1)
+        ).all()
+
+    with pytest.raises(ValueError):
+        salted_hash_join(lds, rds, key="k", hot_keys=[42], how="outer")
