@@ -2503,7 +2503,9 @@ def q_revenue_by_nation(sf_dir: str) -> Dataset:
     rkey = int(reg.loc[reg.r_name == "ASIA", "r_regionkey"].iloc[0])
     nat_in = nat[nat.n_regionkey == rkey]
     nkeys = nat_in.n_nationkey.to_numpy().astype(np.int64)
-    nname_of = dict(zip(nat_in.n_nationkey.astype(int), nat_in.n_name))
+    norder = np.argsort(nkeys, kind="stable")
+    nat_sorted_keys = nkeys[norder]
+    nat_sorted_names = nat_in.n_name.to_numpy()[norder]
     sup = _pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
@@ -2577,9 +2579,12 @@ def q_revenue_by_nation(sf_dir: str) -> Dataset:
         cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.clip(np.searchsorted(s_keys, sk), 0, len(s_keys) - 1)
         keep = (s_keys[pos] == sk) & (s_nat[pos] == cn)
+        # vectorized name lookup (surviving cn are region nations by
+        # the cust_prep filter, so searchsorted is total)
         names = pa.array(
-            [nname_of[int(k)] for k in cn[keep]], pa.string()
-        )  # ≤25 distinct keys per batch — dict hop, not a hot loop
+            nat_sorted_names[np.searchsorted(nat_sorted_keys, cn[keep])],
+            pa.string(),
+        )
         return pa.table(
             {
                 "n_name": names,
