@@ -30,9 +30,10 @@ def _excluded():
     return e._DRIVER_EXCLUDED
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
+# Every _DRIVER_EXCLUDED entry MUST appear in exactly one of these two
+# lists (SQL-value-checked here, or rows-only-run here) — enforced by
+# test_every_exclusion_is_verified below.
+SQL_EXCLUDED = [
         "doc_quality",
         "supplier_nation",
         "customer_per_region",
@@ -69,8 +70,10 @@ def _excluded():
         "pivot_orders",
         "graph_components",
         "pagerank_personalized",
-    ],
-)
+    ]
+
+
+@pytest.mark.parametrize("name", SQL_EXCLUDED)
 def test_excluded_sql_queries_still_exact(ray_session, con, name):
     from engine.queries import REGISTRY
 
@@ -94,9 +97,7 @@ def test_excluded_sql_queries_still_exact(ray_session, con, name):
             assert (av == bv).all(), c
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
+ROWS_ONLY_EXCLUDED = [
         "sample_lineitem",
         "minhash_dedup",
         "geo_densest_cells",
@@ -109,8 +110,19 @@ def test_excluded_sql_queries_still_exact(ray_session, con, name):
         "lm_quality_scores",
         "web_refresh_pipeline",
         "semantic_clusters",
-    ],
-)
+        # pytest-verified in their own modules (sketch/tdigest/cms
+        # error bounds, tfidf scalar-float oracle, curation soaks) —
+        # listed here so the registry path itself is also executed
+        # and the window-contract guard stays total:
+        "approx_distinct_users",
+        "cms_heavy_hitters",
+        "quantile_sketch_orders",
+        "tfidf_top_terms",
+        "curation_pipeline",
+    ]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_EXCLUDED)
 def test_excluded_rows_only_queries_run(ray_session, name):
     from engine.geo_queries import GEO_REGISTRY
     from engine.queries import REGISTRY
@@ -120,3 +132,24 @@ def test_excluded_rows_only_queries_run(ray_session, name):
     r = fn(SF)
     df = r.to_pandas() if hasattr(r, "to_pandas") else r
     assert len(df) > 0
+
+
+def test_every_exclusion_is_verified():
+    """Window-contract guard: the driver checks exactly 50 queries
+    (49 SQL + ann_ivf rows-only), and EVERY name rotated out of that
+    window must be value- or rows-checked by THIS module — an
+    exclusion without a matching param entry silently loses its
+    verification."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) == 50
+    assert len(o) == 49
+    assert [n for n in q if n not in o] == ["ann_ivf"]
+    covered = set(SQL_EXCLUDED) | set(ROWS_ONLY_EXCLUDED)
+    excluded = set(e._DRIVER_EXCLUDED)
+    assert excluded <= covered, sorted(excluded - covered)
+    # no stale params either: everything listed here IS excluded
+    assert covered <= excluded, sorted(covered - excluded)
+    assert not (set(SQL_EXCLUDED) & set(ROWS_ONLY_EXCLUDED))
