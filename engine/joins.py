@@ -371,3 +371,26 @@ def salted_hash_join(
         )
 
     return joined.map_batches(unpack, batch_format="pyarrow")
+
+
+def sampled_hot_keys(
+    ds: Dataset, key: str, share_threshold: float = 0.05, fraction: float = 0.001
+):
+    """Auto-detect join hot keys for ``salted_hash_join`` with the
+    SURVEY-§4 skew probe (shuffle.sampled_key_histogram): every key
+    whose SAMPLED share exceeds ``share_threshold`` is declared hot.
+    A false positive only costs |build rows| extra replicas for that
+    key (results stay exact — salting is semantically invisible); a
+    false negative degrades to the plain join's behavior for that
+    key. The probe re-executes ``ds``'s lineage for the sample — use
+    on cheap-lineage inputs (direct reads), pass explicit hot keys
+    inside expensive pipelines (the grouped_count_sums "auto"
+    contract)."""
+    from engine.shuffle import sampled_key_histogram
+
+    hist = sampled_key_histogram(ds, key, fraction=fraction)
+    total = int(hist.cnt.sum()) if len(hist) else 0
+    if total == 0:
+        return []
+    hot = hist.loc[hist.cnt / total > share_threshold, key]
+    return [int(k) for k in hot]

@@ -347,3 +347,32 @@ def test_salted_hash_join_hot_key_exact(ray_session):
 
     with pytest.raises(ValueError):
         salted_hash_join(lds, rds, key="k", hot_keys=[42], how="outer")
+
+
+def test_sampled_hot_keys_finds_the_hot_key(ray_session):
+    import ray.data as rd
+
+    from engine.joins import salted_hash_join, sampled_hot_keys
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    k = np.where(rng.random(n) < 0.4, 99, rng.integers(0, 5_000, n)).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": k, "lv": np.arange(n, dtype=np.int64)})
+    ).repartition(8)
+    hot = sampled_hot_keys(ds, "k", share_threshold=0.05, fraction=0.01)
+    assert hot == [99]
+    # end-to-end: auto-detected hot keys feed the salted join exactly
+    right = rd.from_arrow(
+        pa.table(
+            {"k": np.arange(5_001, dtype=np.int64), "rv": np.arange(5_001, dtype=np.int64)}
+        )
+    )
+    got = (
+        salted_hash_join(ds, right, key="k", hot_keys=hot, salts=8)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert (got.rv.to_numpy() == got.k.to_numpy()).all()
