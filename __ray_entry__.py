@@ -316,6 +316,32 @@ _DRIVER_EXCLUDED = {
     # quality_scores / repetition_signals. Stays SQL-exact in the
     # excluded test.
     "fingerprint_docs",
+    # geoid_bilinear -> the IDENTICAL broadcast-grid bilinear lookup
+    # kernel is VALUE-checked in-window TWICE over the full pages
+    # corpus: geo_pipeline_sql's horth_dmm column and geo_enriched's
+    # 0.1 mm-quantized geoid/H_orth columns both recompute it per row
+    # (and raster_sample runs the same machinery, excluded-exact).
+    # Slot goes to classifier_scores (X41 hashed linear model scoring
+    # — the fastText/CCNet quality-filter stage, previously uncovered
+    # model-scoring family); stays SQL-exact in the excluded test.
+    "geoid_bilinear",
+    # aft_roundtrip -> the AFT triangle-locate + affine kernels are
+    # VALUE-checked in-window per row by geo_enriched's cm-quantized
+    # AFT columns over the whole pages corpus, the TM legs by
+    # helmert_chain, and the forward+inverse roundtrip pair stays
+    # SQL-exact in the excluded test (with aft_transform). Slot goes
+    # to shard_shuffle_docs (X42 seeded deterministic global shuffle +
+    # fixed-size training-shard assignment, previously uncovered
+    # training-output family); stays SQL-exact in the excluded test.
+    "aft_roundtrip",
+    # semi_anti_orders -> the broadcast semi-filter machinery is
+    # VALUE-checked in-window by domain_cap_docs + budget_select_docs
+    # (winner semi-filters) and minhash_dedup_full (candidate-endpoint
+    # semi); the bucketed fallback path is pytest-covered. Slot goes
+    # to blocklist_docs (X43 domain blocklist filtering — label-suffix
+    # matching via broadcast digests, the URL-level safety filter);
+    # semi_anti_orders stays SQL-exact in the excluded test.
+    "semi_anti_orders",
     # geo_muni_rollup_sql -> the muni PIP assignment is VALUE-checked
     # PER ROW in-window inside geo_enriched (muni_id column over the
     # whole pages corpus), and the grouped-rollup machinery is

@@ -147,6 +147,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "distinct_users_per_type",
             "clean_lines_docs",
             "triangle_counts_docs",
+            "classifier_scores",
+            "shard_shuffle_docs",
+            "blocklist_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

@@ -901,6 +901,7 @@ def pack_shards(
     budget: int,
     num_partitions: int = 32,
     id_range: tuple[int, int] | None = None,
+    extra_cols: list[tuple[str, pa.DataType]] | None = None,
 ) -> Dataset:
     """Sequence packing / shard assignment (X21): the GPT-style
     "concatenate in order, cut every ``budget`` tokens" rule at
@@ -996,7 +997,7 @@ def pack_shards(
         (tok_col, pa.int64()),
         ("shard_id", pa.int64()),
         ("offset_in_shard", pa.int64()),
-    ]
+    ] + list(extra_cols or [])  # passthrough columns survive pack()
     return keyed_partition_map(
         tagged,
         ["_rng"],
@@ -1332,3 +1333,89 @@ o AS (
 SELECT doc_id, source, n_chars, n_toks, cum_n_toks
 FROM o WHERE cum_n_toks <= 800
 """
+
+
+# ------------- deterministic global shuffle + sharding (X42, round 4)
+#
+# The training-output stage every large corpus runs last: a seeded,
+# reproducible GLOBAL permutation of the rows, cut into fixed-size
+# shards (shard_id, pos_in_shard) ready for a partitioned writer.
+# Design: permutation key = (id * MULT + seed) mod 2^62 with an ODD
+# multiplier — multiplication by an odd constant is BIJECTIVE mod any
+# power of two, so distinct ids always get distinct keys (no tiebreak
+# column rides the shuffle) and the key inverts if ever needed. Rank
+# assignment reuses pack_shards' distributed global prefix sum with a
+# unit token weight: prev == the row's 0-based rank in key order, so
+# shard_id = rank // shard_size and pos_in_shard = rank % shard_size
+# — two passes over an ~24 B/row projection, one coarse co-partition,
+# never a driver-side sort. Multiplicative keys of SEQUENTIAL ids are
+# near-uniform over [0, 2^62), so the contiguous key ranges the
+# prefix sum partitions by stay balanced without sampling.
+
+SHUF_MULT = 6364136223846793005  # odd (Knuth LCG multiplier)
+SHUF_BITS = 62  # keys fit int64 (and DuckDB BIGINT) comfortably
+SHUF_MASK = (1 << SHUF_BITS) - 1
+SHUF_GOLDEN = 11400714819323198485  # 2^64 / phi (splitmix64's gamma)
+
+
+def shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
+    """int64 permutation key of each id: (id XOR mix(seed)) * MULT
+    mod 2^62 — bijective on [0, 2^62) (xor is an involution, odd
+    multiplication is invertible mod any power of two). The seed
+    enters through an XOR before the multiply, NOT as an additive
+    constant: adding a constant to every key would translate the key
+    set without changing its ORDER, i.e. every seed would produce the
+    same permutation (caught by the seed-sensitivity test)."""
+    s1 = np.uint64((seed * SHUF_GOLDEN) & SHUF_MASK)
+    v = ids.astype(np.uint64) ^ s1
+    with np.errstate(over="ignore"):
+        sk = (v * np.uint64(SHUF_MULT)) & np.uint64(SHUF_MASK)
+    return sk.astype(np.int64)
+
+
+def shard_shuffle(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    shard_size: int = 64,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Seeded deterministic global shuffle: returns (id, skey,
+    shard_id, pos_in_shard) with shard_id/pos assigned by the row's
+    global rank in skey order. Same seed -> identical assignment on
+    any cluster size or block layout (the key is a pure function of
+    the id and ranks are exact). Callers feed the PRUNED id
+    projection; the output joins/semi-filters back to payload columns
+    (never shuffle text to rank it)."""
+
+    def key(b: pa.Table) -> pa.Table:
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "skey": pa.array(shuffle_key(v, seed)),
+                "one": pa.array(np.ones(len(v), dtype=np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    out = pack_shards(
+        keyed,
+        "skey",
+        "one",
+        budget=shard_size,
+        num_partitions=num_partitions,
+        id_range=(0, SHUF_MASK),
+        extra_cols=[(id_col, pa.int64())],
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "skey": b["skey"],
+                "shard_id": b["shard_id"],
+                "pos_in_shard": b["offset_in_shard"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -3076,3 +3076,132 @@ def q_salted_join_revenue(sf_dir: str) -> Dataset:
 
 
 REGISTRY.update({"salted_join_revenue": (q_salted_join_revenue, SQL_SEGMENT_REVENUE)})
+
+
+# ------------------- hashed linear classifier scoring gate (X41, round 4)
+
+
+def q_classifier_scores(sf_dir: str) -> Dataset:
+    """Quality-filter model scoring (textops.classifier_scores): the
+    fastText/CCNet-shaped hashed bag-of-words linear model, scored
+    per document — integer-exact (score = sum of int64 bucket weights
+    over whitespace-token FNV hashes, label = score > 0) so the DuckDB
+    mirror recomputes identical values from the shared token-FNV CTE
+    plus the inline weight formula. The weight vector is actor-state
+    (built/fetched once per scoring actor, never per batch)."""
+    from engine.textops import classifier_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return classifier_scores(ds)
+
+
+# Mirror: the proven token-FNV CTE (change together with
+# textops.CLF_* constants). h % 65536 fits BIGINT; bucket*MULT+ADD
+# < 2^48. Empty docs keep (0, 0, false) via the LEFT JOIN.
+SQL_CLASSIFIER_SCORES = f"""
+WITH {_SQL_TOKEN_HASHES.lstrip()},
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+         SUM((CAST(h % 65536 AS BIGINT) * 2654435761 + 40503) % 8192 - 4096) AS clf_score
+  FROM th GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(sc.n_toks, 0) AS n_toks,
+       CAST(COALESCE(sc.clf_score, 0) AS BIGINT) AS clf_score,
+       COALESCE(sc.clf_score, 0) > 0 AS clf_label
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+REGISTRY.update({"classifier_scores": (q_classifier_scores, SQL_CLASSIFIER_SCORES)})
+
+
+# -------- deterministic global shuffle + shard assignment gate (X42, r4)
+
+
+def q_shard_shuffle_docs(sf_dir: str) -> Dataset:
+    """Seeded global shuffle of the documents table into 64-row
+    training shards (analytics.shard_shuffle): permutation key =
+    (doc_id * SHUF_MULT + seed) mod 2^62 (odd multiplier -> bijective,
+    no tiebreaks), rank in key order via the distributed prefix sum,
+    shard_id = rank // 64, pos_in_shard = rank % 64. Only the pruned
+    id projection rides the shuffle."""
+    from engine.analytics import shard_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return shard_shuffle(ds, id_col="doc_id", seed=7, shard_size=64)
+
+
+# Mirror: same xor-mixed multiplicative key in HUGEINT (mod 2^62
+# commutes with the engine's mod-2^64 uint wrap because 2^62 divides
+# 2^64). 1406341421996795027 == (7 * SHUF_GOLDEN) mod 2^62, the
+# seed-7 mix constant; xor operands are both < 2^62 so BIGINT xor is
+# exact. Rank rule as a window function.
+SQL_SHARD_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id,
+         CAST((xor(doc_id, 1406341421996795027)::HUGEINT
+               * 6364136223846793005)
+              % 4611686018427387904::HUGEINT AS BIGINT) AS skey
+  FROM documents),
+r AS (SELECT doc_id, skey,
+             ROW_NUMBER() OVER (ORDER BY skey) - 1 AS rk FROM k)
+SELECT doc_id, skey, rk // 64 AS shard_id, rk % 64 AS pos_in_shard
+FROM r
+"""
+
+
+REGISTRY.update({"shard_shuffle_docs": (q_shard_shuffle_docs, SQL_SHARD_SHUFFLE)})
+
+
+# ------------------- domain blocklist filtering gate (X43, round 4)
+
+
+def q_blocklist_docs(sf_dir: str) -> Dataset:
+    """URL-level domain blocklist filter (weburl.blocklist_filter):
+    every host in the cached hosts corpus annotated with blocked /
+    matched_domain under the label-boundary suffix rule (host == d or
+    host ends with '.' + d; longest match wins). The engine matches
+    via broadcast suffix DIGESTS with literal verification of hits;
+    the DuckDB mirror matches LITERAL suffix strings — digest- vs
+    text-exactness cross-checked (the canonical_urls precedent)."""
+    import ray.data as rd
+
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+    from engine.weburl import blocklist_filter, hosts_corpus_parquet
+
+    n = max(200, sf_to_n_rows(sf_dir) // 10)
+    path = hosts_corpus_parquet(n)
+    cols = ["page_id", "host"]
+    ds = rd.read_parquet(path, columns=cols, schema=clean_read_schema(path, cols))
+    return blocklist_filter(ds)
+
+
+def _sql_blocklist(path: str) -> str:
+    from engine.weburl import BLOCKLIST_DEFAULT
+
+    values = ", ".join(f"('{d}')" for d in BLOCKLIST_DEFAULT)
+    return f"""
+WITH hosts AS (SELECT page_id, host FROM read_parquet('{path}')),
+lab AS (SELECT page_id, host, string_split(host, '.') AS ls FROM hosts),
+suf AS (
+  SELECT page_id, array_to_string(list_slice(ls, i, len(ls)), '.') AS s
+  FROM lab, LATERAL unnest(range(1, len(ls) + 1)) AS t(i)),
+bl(d) AS (VALUES {values}),
+hit AS (SELECT page_id, s FROM suf JOIN bl ON suf.s = bl.d),
+best AS (SELECT page_id, max_by(s, length(s)) AS matched
+         FROM hit GROUP BY page_id)
+SELECT h.page_id, h.host,
+       (b.page_id IS NOT NULL) AS blocked,
+       b.matched AS matched_domain
+FROM hosts h LEFT JOIN best b USING (page_id)
+"""
+
+
+def _blocklist_sql_gate() -> str:
+    # Driver gate runs at sf0.01 (n=5000); the Ray query materializes
+    # the cached corpus before the oracle runs (urls-corpus idiom).
+    return _sql_blocklist("/tmp/geokit_webhosts/n5000/hosts.parquet")
+
+
+REGISTRY.update({"blocklist_docs": (q_blocklist_docs, _blocklist_sql_gate())})

@@ -671,3 +671,110 @@ def chunk_batch(
             "chunk_chars": pc.cast(pc.utf8_length(chunk_text), pa.int64()),
         }
     )
+
+
+# ---------------- hashed linear classifier scoring (X41, round 4)
+#
+# The fastText/CCNet-shaped quality-filter stage: a linear model over
+# hashed bag-of-words features, scored per document. Real deployments
+# load a trained weight vector (fastText .bin, a logistic head, ...);
+# this container has no model artifacts, so the DEFAULT weights are a
+# deterministic affine-mod table over the bucket index — integer-exact,
+# SQL-mirrorable, and exercising the REAL plumbing end to end:
+# the weight vector is broadcast ONCE via ray.put and gathered into
+# each scoring actor's __init__ (never re-shipped per batch), scoring
+# is one vectorized gather + segmented reduce per batch, and the
+# output is exact int64 so any downstream aggregate is order-free.
+# Upstream parity: none in GeoCoordinateConverter — brief-mandated
+# LLM-pipeline operator (model-scoring family).
+
+CLF_BUCKETS = 1 << 16  # 64k hashed feature buckets (512 KiB int64)
+CLF_MULT = 2654435761  # Knuth multiplicative constant
+CLF_ADD = 40503
+CLF_MOD = 8192
+CLF_HALF = CLF_MOD // 2
+
+
+def clf_default_weights(n_buckets: int = CLF_BUCKETS) -> np.ndarray:
+    """Deterministic stand-in weight table: w[b] = (b*MULT + ADD) %
+    MOD - MOD/2, int64 in [-4096, 4096). The SQL oracle recomputes the
+    same formula inline (change together)."""
+    b = np.arange(n_buckets, dtype=np.int64)
+    return (b * CLF_MULT + CLF_ADD) % CLF_MOD - CLF_HALF
+
+
+class HashedLinearScorer:
+    """Actor-pool stage: per-doc integer score = sum over whitespace
+    tokens of weights[fnv1a(token) % n_buckets], label = score > 0.
+
+    ``weights_ref``: a ``ray.put`` ObjectRef to the int64 weight
+    vector — fetched once per actor in ``__init__`` (zero-copy from
+    the local object store on every node that runs a scoring task),
+    NOT per batch. Pass ``weights_ref=None`` for the deterministic
+    default table (built locally, no broadcast needed at 512 KiB).
+    """
+
+    def __init__(
+        self,
+        weights_ref=None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: int = 0,
+    ):
+        if weights_ref is None:
+            self.w = clf_default_weights()
+        else:
+            import ray
+
+            self.w = ray.get(weights_ref)
+        self.n_buckets = np.uint64(len(self.w))
+        self.id_col, self.text_col = id_col, text_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.dedupe import _token_hashes_batch
+
+        texts = batch[self.text_col].to_pylist()
+        th, counts = _token_hashes_batch(texts)
+        bucket = (th % self.n_buckets).astype(np.int64)
+        tok_w = self.w[bucket]
+        # Segmented per-doc sum: reduceat over the flat token weights.
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        scores = np.zeros(len(texts), dtype=np.int64)
+        nz = counts > 0
+        if nz.any():
+            # reduceat needs strictly valid start offsets; compute on
+            # the non-empty docs only (empty docs keep score 0).
+            scores[nz] = np.add.reduceat(tok_w, starts[nz].astype(np.int64))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_toks": pa.array(counts),
+                "clf_score": pa.array(scores),
+                "clf_label": pa.array(scores > self.threshold),
+            }
+        )
+
+
+def classifier_scores(
+    ds,
+    weights: np.ndarray | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: int = 0,
+):
+    """Score every document with the hashed linear model (see
+    HashedLinearScorer). ``weights`` (optional) is broadcast once via
+    ``ray.put``; omitted -> the deterministic default table."""
+    import ray
+
+    ref = ray.put(weights) if weights is not None else None
+    return ds.map_batches(
+        HashedLinearScorer,
+        fn_constructor_kwargs=dict(
+            weights_ref=ref, id_col=id_col, text_col=text_col, threshold=threshold
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

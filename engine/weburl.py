@@ -287,3 +287,226 @@ def urls_corpus_parquet(n: int) -> str:
     pq.write_table(make_messy_urls_table(n), path)
     open(done, "w").write("ok")
     return path
+
+
+# ----------------- domain blocklist filtering (X43, round 4)
+#
+# The URL-level safety/quality filter every web pipeline runs before
+# touching text (CCNet/RefinedWeb drop UT1-blocklisted domains):
+# a host is blocked iff it EQUALS a blocklisted registrable domain or
+# is a subdomain of one (label-boundary suffix: host == d or host
+# ends with "." + d — "notads.example" must NOT match "ads.example").
+#
+# Scale design: real blocklists are ~100k-4M domains — far under the
+# broadcast bound — so the list ships ONCE as a sorted uint64 array of
+# label-Horner digests (ray.put / actor state; the dedup keeper-set
+# precedent). Per batch the engine computes EVERY label-suffix digest
+# of every host in one backward vectorized Horner pass over the
+# split-label FNV hashes (O(total labels), never materializing suffix
+# strings), membership-tests them with one searchsorted, and
+# literal-verifies the rare hits (collision-proof: a digest hit only
+# flags a candidate; the match is confirmed bytewise). The DuckDB
+# mirror works on LITERAL suffix strings, cross-checking the digest
+# reduction end to end (the canonical_urls precedent).
+
+BLOCKLIST_DEFAULT = [
+    "ads.example",        # blocks ads.example and *.ads.example
+    "bad.ads.example",    # nested under the previous (longest match)
+    "tracker.io",
+    "site3.example",      # one whole site from the site pool
+    "evil.test",
+]
+
+
+def _label_suffix_digests(
+    label_hashes: np.ndarray, offsets: np.ndarray
+) -> np.ndarray:
+    """Backward Horner over per-label FNV hashes: for a host with
+    labels l_i..l_{d-1} at flat positions [o, o+d), the suffix digest
+    at position o+i is S(i) = fnv(l_i) + PRIME * S(i+1) (mod 2^64),
+    S(d-1) = fnv(l_{d-1}). One vectorized pass per DEPTH LEVEL (hosts
+    have <= ~6 labels), O(total labels) work overall."""
+    from engine.dedupe import FNV_PRIME
+
+    n_rows = len(offsets) - 1
+    depths = np.diff(offsets)
+    out = np.zeros(len(label_hashes), dtype=np.uint64)
+    if len(label_hashes) == 0:
+        return out
+    max_d = int(depths.max())
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        # level j counts from the END of each host's label list.
+        for j in range(max_d):
+            rows = np.flatnonzero(depths > j)
+            pos = starts[rows] + (depths[rows] - 1 - j)
+            if j == 0:
+                out[pos] = label_hashes[pos]
+            else:
+                out[pos] = label_hashes[pos] + FNV_PRIME * out[pos + 1]
+    return out
+
+
+def _domain_digest(domain: str) -> np.uint64:
+    """Digest of one blocklist domain under the same suffix rule."""
+    from engine.dedupe import FNV_PRIME, _fnv1a_tokens
+
+    labels = domain.encode("utf-8").split(b".")
+    lh = _fnv1a_tokens(labels)
+    acc = lh[-1]
+    with np.errstate(over="ignore"):
+        for h in lh[-2::-1]:
+            acc = h + FNV_PRIME * acc
+    return acc
+
+
+def blocklist_filter(
+    ds: Dataset,
+    blocklist: list[str] | None = None,
+    id_col: str = "page_id",
+    host_col: str = "host",
+) -> Dataset:
+    """Annotate every row with ``blocked`` (any label-suffix of the
+    host is a blocklisted domain) and ``matched_domain`` (the LONGEST
+    matching domain, null when clean). Zero shuffles: the blocklist
+    digest array broadcasts once, hosts never move."""
+    import pyarrow.compute as pc
+
+    from engine.dedupe import _fnv1a_tokens
+
+    bl = list(BLOCKLIST_DEFAULT if blocklist is None else blocklist)
+    dig = np.array([_domain_digest(d) for d in bl], dtype=np.uint64)
+    order = np.argsort(dig)
+    dig_sorted = dig[order]
+    domains_sorted = np.array(bl, dtype=object)[order]
+    if len(np.unique(dig_sorted)) != len(bl):
+        # 64-bit digests of a deduplicated blocklist collide with
+        # probability ~n^2/2^65; fail loudly rather than mis-verify.
+        raise ValueError("blocklist digest collision — use a wider digest")
+
+    def annotate(b: pa.Table) -> pa.Table:
+        hosts = b[host_col]
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        if len(dig_sorted) == 0:  # empty blocklist: everything clean
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    host_col: hosts,
+                    "blocked": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                    "matched_domain": pa.array([None] * b.num_rows, pa.string()),
+                }
+            )
+        labels = pc.split_pattern(hosts, ".")
+        flat = labels.values
+        offsets = labels.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lh = _fnv1a_tokens([s.encode("utf-8") for s in flat.to_pylist()])
+        sh = _label_suffix_digests(lh, offsets)
+        idx = np.searchsorted(dig_sorted, sh)
+        idx_c = np.minimum(idx, len(dig_sorted) - 1)
+        cand = dig_sorted[idx_c] == sh  # flat positions whose digest hits
+        blocked = np.zeros(b.num_rows, dtype=bool)
+        matched = np.full(b.num_rows, None, dtype=object)
+        if cand.any():
+            host_py = hosts.to_pylist()
+            flat_rows = np.repeat(
+                np.arange(b.num_rows, dtype=np.int64), np.diff(offsets)
+            )
+            # Candidate-scale literal verify, ascending flat position
+            # per row => the FIRST confirmed hit is the longest suffix.
+            for p in np.flatnonzero(cand):
+                r = int(flat_rows[p])
+                if blocked[r]:
+                    continue
+                i = int(p - offsets[r])
+                suffix = ".".join(host_py[r].split(".")[i:])
+                d = domains_sorted[int(idx_c[p])]
+                if suffix == d:
+                    blocked[r] = True
+                    matched[r] = d
+        return pa.table(
+            {
+                id_col: b[id_col],
+                host_col: hosts,
+                "blocked": pa.array(blocked),
+                "matched_domain": pa.array(matched, pa.string()),
+            }
+        )
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def make_hosts_table(n: int, seed: int = 31) -> pa.Table:
+    """Deterministic host corpus for the blocklist gate: a mix of
+    clean sites, blocked sites, subdomains of blocked domains (1-3
+    levels), nested-blocklist hits, and the adversarial boundary
+    cases (notads.example; tracker.io as a NON-suffix infix). Truth
+    columns (t_blocked / t_matched) are computed by the scalar rule
+    at generation time — the pages-table idiom."""
+    rng = np.random.default_rng(seed)
+    hosts = []
+    for i in range(n):
+        k = i % 17
+        if k < 4:
+            h = f"site{i % 7}.example"           # site3.* blocked
+        elif k < 6:
+            h = f"www.site{i % 7}.example"
+        elif k == 6:
+            h = f"cdn{i % 3}.ads.example"
+        elif k == 7:
+            h = "ads.example"
+        elif k == 8:
+            h = "bad.ads.example"
+        elif k == 9:
+            h = f"x{i % 5}.bad.ads.example"
+        elif k == 10:
+            h = "notads.example"                  # boundary: clean
+        elif k == 11:
+            h = f"n{i % 4}.notads.example"        # boundary: clean
+        elif k == 12:
+            h = f"t{i % 4}.tracker.io"
+        elif k == 13:
+            h = "tracker.io.example"              # infix, not suffix: clean
+        elif k == 14:
+            h = f"sub{i % 3}.evil.test"
+        elif k == 15:
+            h = "xevil.test"                      # boundary: clean
+        else:
+            h = f"a{int(rng.integers(0, 9))}.b.site{i % 5}.example"
+        hosts.append(h)
+
+    def truth(h: str):
+        best = None
+        for d in BLOCKLIST_DEFAULT:
+            if h == d or h.endswith("." + d):
+                if best is None or len(d) > len(best):
+                    best = d
+        return best
+
+    t_matched = [truth(h) for h in hosts]
+    return pa.table(
+        {
+            "page_id": pa.array(np.arange(n, dtype=np.int64)),
+            "host": pa.array(hosts, pa.string()),
+            "t_blocked": pa.array([m is not None for m in t_matched]),
+            "t_matched": pa.array(t_matched, pa.string()),
+        }
+    )
+
+
+def hosts_corpus_parquet(n: int) -> str:
+    """Persist (once, cached) the hosts gate corpus so BOTH engines
+    read identical bytes (the urls_corpus_parquet idiom)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/geokit_webhosts/n{n}"
+    path = os.path.join(root, "hosts.parquet")
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return path
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(make_hosts_table(n), path)
+    open(done, "w").write("ok")
+    return path

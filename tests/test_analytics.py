@@ -369,3 +369,77 @@ def test_distinct_users_partitioning_invariance(ray_session):
         Q._read = orig
     assert (base.n_users.to_numpy() == alt.n_users.to_numpy()).all()
     assert (base.event_type.to_numpy() == alt.event_type.to_numpy()).all()
+
+
+# ------------- deterministic global shuffle + sharding (X42, round 4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_shuffle_matches_scalar_oracle():
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.analytics import shard_shuffle, shuffle_key
+
+    ids = np.array(
+        [0, 1, 5, 17, 999_983, 2**40 + 3, 123456789, 42, 7, 8, 2**55, 3],
+        dtype=np.int64,
+    )
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = (
+        shard_shuffle(ds, shard_size=3, num_partitions=4, seed=99)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sk = shuffle_key(ids, 99)
+    order = np.argsort(sk)
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids), dtype=np.int64)
+    exp = (
+        pd.DataFrame(
+            {
+                "doc_id": ids,
+                "skey": sk,
+                "shard_id": rank // 3,
+                "pos_in_shard": rank % 3,
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp[out.columns.tolist()])
+    # keys are bijective -> every shard except possibly the last is full
+    sizes = out.groupby("shard_id").size()
+    assert (sizes.iloc[:-1] == 3).all() if len(sizes) > 1 else True
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_shuffle_block_layout_invariant():
+    import ray.data as rd
+
+    from engine.analytics import shard_shuffle
+
+    ids = np.arange(1000, dtype=np.int64) * 13 + 5
+    t = pa.table({"doc_id": pa.array(ids)})
+    a = (
+        shard_shuffle(rd.from_arrow(t), shard_size=64, seed=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        shard_shuffle(rd.from_arrow(t).repartition(7), shard_size=64, seed=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (a.values == b.values).all()
+    # a different seed is a different permutation
+    c = (
+        shard_shuffle(rd.from_arrow(t), shard_size=64, seed=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (a["shard_id"].values != c["shard_id"].values).any()

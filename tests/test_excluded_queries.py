@@ -70,6 +70,9 @@ SQL_EXCLUDED = [
         "pivot_orders",
         "graph_components",
         "pagerank_personalized",
+        "geoid_bilinear",
+        "aft_roundtrip",
+        "semi_anti_orders",
     ]
 
 

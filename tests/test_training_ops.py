@@ -1850,3 +1850,54 @@ def test_decontam_docs_query_matches_duckdb_oracle(ray_session):
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         assert av.dtype.kind == bv.dtype.kind, (c, av.dtype, bv.dtype)
         assert (av == bv).all(), c
+
+
+# ------------- hashed linear classifier scoring (X41, round 4)
+
+
+def _scalar_fnv(tok: bytes) -> int:
+    h = 14695981039346656037
+    for byte in tok:
+        h = ((h ^ byte) * 1099511628211) % 2**64
+    return h
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_classifier_scores_matches_scalar_oracle():
+    from engine.textops import CLF_BUCKETS, classifier_scores, clf_default_weights
+
+    docs = ["the quick brown fox", "", "a a a", "zzz 123 !!", "one-token", "  pad  "]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)), "text": pa.array(docs)}
+    )
+    out = (
+        classifier_scores(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    w = clf_default_weights()
+    for i, d in enumerate(docs):
+        toks = d.split()
+        score = sum(int(w[_scalar_fnv(x.encode()) % CLF_BUCKETS]) for x in toks)
+        assert out.n_toks[i] == len(toks)
+        assert out.clf_score[i] == score
+        assert bool(out.clf_label[i]) == (score > 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_classifier_custom_weights_broadcast_once():
+    from engine.textops import CLF_BUCKETS, classifier_scores
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], type=pa.int64()), "text": pa.array(["a b c", ""])}
+    )
+    w = np.ones(CLF_BUCKETS, dtype=np.int64)  # all-ones -> score == n_toks
+    out = (
+        classifier_scores(rd.from_arrow(t), weights=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.clf_score.tolist() == [3, 0]
+    assert out.clf_label.tolist() == [True, False]

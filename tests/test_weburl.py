@@ -131,3 +131,66 @@ def test_dedup_broadcast_guard_raises():
     ds = ray.data.from_arrow(tbl)
     with pytest.raises(ValueError, match="max_broadcast"):
         canonical_url_dedup(ds, num_partitions=2, max_broadcast=3).to_pandas()
+
+
+# ----------------- domain blocklist filtering (X43, round 4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocklist_filter_matches_truth_columns():
+    import ray.data as rd
+
+    from engine.weburl import blocklist_filter, make_hosts_table
+
+    t = make_hosts_table(600)
+    out = (
+        blocklist_filter(rd.from_arrow(t.select(["page_id", "host"])))
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    tr = t.to_pandas().sort_values("page_id").reset_index(drop=True)
+    assert (out.blocked.to_numpy() == tr.t_blocked.to_numpy()).all()
+    assert (out.matched_domain.fillna("-") == tr.t_matched.fillna("-")).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocklist_edge_semantics():
+    import ray.data as rd
+
+    from engine.weburl import blocklist_filter
+
+    hosts = [
+        "ads.example",            # exact match
+        "deep.a.b.ads.example",   # deep subdomain
+        "notads.example",         # label boundary: clean
+        "ads.example.org",        # blocked domain as INFIX: clean
+        "x",                      # single label: clean
+        "tracker.io",
+    ]
+    t = pa.table(
+        {"page_id": pa.array(np.arange(len(hosts), dtype=np.int64)), "host": pa.array(hosts)}
+    )
+    out = (
+        blocklist_filter(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert out.blocked.tolist() == [True, True, False, False, False, True]
+    # empty blocklist -> everything clean
+    out2 = blocklist_filter(rd.from_arrow(t), blocklist=[]).to_pandas()
+    assert not out2.blocked.any()
+    # nested blocklist entries -> the LONGEST matching domain wins
+    out3 = (
+        blocklist_filter(rd.from_arrow(t), blocklist=["example", "ads.example"])
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert out3.matched_domain.tolist()[:4] == [
+        "ads.example",
+        "ads.example",
+        "example",
+        None,
+    ]
