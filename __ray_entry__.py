@@ -342,6 +342,15 @@ _DRIVER_EXCLUDED = {
     # matching via broadcast digests, the URL-level safety filter);
     # semi_anti_orders stays SQL-exact in the excluded test.
     "semi_anti_orders",
+    # langid -> the one-RE2-pass zero-shuffle per-doc text-analysis
+    # shape stays VALUE-checked in-window by quality_scores +
+    # repetition_signals + pii_scrub (all the same textops family),
+    # and langid itself stays SQL-exact in the excluded test. Slot
+    # goes to html_extract_docs (X44 HTML -> text boilerplate strip —
+    # the stage that OPENS every webtext pipeline, previously
+    # uncovered; a strictly richer per-doc RE2 chain: 14 kernel steps
+    # vs langid's 2, compared text-verbatim).
+    "langid",
     # geo_muni_rollup_sql -> the muni PIP assignment is VALUE-checked
     # PER ROW in-window inside geo_enriched (muni_id column over the
     # whole pages corpus), and the grouped-rollup machinery is

@@ -150,6 +150,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "classifier_scores",
             "shard_shuffle_docs",
             "blocklist_docs",
+            "html_extract_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

@@ -3205,3 +3205,74 @@ def _blocklist_sql_gate() -> str:
 
 
 REGISTRY.update({"blocklist_docs": (q_blocklist_docs, _blocklist_sql_gate())})
+
+
+# ----------------------------------------- HTML text extraction (X44)
+
+
+def q_html_extract_docs(sf_dir: str) -> Dataset:
+    """HTML -> text extraction (X44, engine/webhtml.py): the
+    boilerplate-strip stage that opens every webtext pipeline —
+    script/style/comment drop, block tags -> newline, inline tags ->
+    space, fixed entity decode ('&amp;' last), whitespace collapse —
+    one zero-shuffle vectorized RE2 chain over the cached messy-HTML
+    corpus both engines share."""
+    import ray.data as rd
+
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+    from engine.webhtml import html_corpus_parquet, html_extract
+
+    n = max(200, sf_to_n_rows(sf_dir) // 10)
+    path = html_corpus_parquet(n)
+    cols = ["page_id", "html"]
+    # Split the single cache file so the regex chain parallelizes.
+    ds = rd.read_parquet(
+        path,
+        columns=cols,
+        schema=clean_read_schema(path, cols),
+        override_num_blocks=max(4, n // 8_192),
+    )
+    return html_extract(ds)
+
+
+def _sql_html_extract(path: str) -> str:
+    """DuckDB mirror BUILT FROM the same step constants as the engine
+    kernel (engine/webhtml.py — change together): the identical
+    regexp_replace / replace chain in the identical order, newline
+    replacements spelled chr(10). Compares extracted text verbatim
+    plus the exact n_chars/n_tags ints."""
+    from engine.webhtml import (
+        HTML_ENTITY_STEPS,
+        HTML_REGEX_STEPS,
+        HTML_WS_STEPS,
+        RE_ANY_TAG,
+    )
+
+    expr = "html"
+    for pat, rep in HTML_REGEX_STEPS:
+        r = "chr(10)" if rep == "\n" else f"'{rep}'"
+        expr = f"regexp_replace({expr}, '{pat}', {r}, 'g')"
+    for lit, rep in HTML_ENTITY_STEPS:
+        expr = f"replace({expr}, '{lit}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    for pat, rep in HTML_WS_STEPS:
+        r = "chr(10)" if rep == "\n" else f"'{rep}'"
+        expr = f"regexp_replace({expr}, '{pat}', {r}, 'g')"
+    return f"""
+WITH x AS (
+  SELECT page_id, html, {expr} AS text
+  FROM read_parquet('{path}'))
+SELECT page_id, text,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(html, '{RE_ANY_TAG}')) AS BIGINT) AS n_tags
+FROM x
+"""
+
+
+def _html_extract_sql_gate() -> str:
+    # Driver gate runs at sf0.01 (n=5000); the Ray query materializes
+    # the cached corpus before the oracle runs (urls-corpus idiom).
+    return _sql_html_extract("/tmp/geokit_webhtml/n5000/html.parquet")
+
+
+REGISTRY.update({"html_extract_docs": (q_html_extract_docs, _html_extract_sql_gate())})

@@ -73,6 +73,7 @@ SQL_EXCLUDED = [
         "geoid_bilinear",
         "aft_roundtrip",
         "semi_anti_orders",
+        "langid",
     ]
 
 
