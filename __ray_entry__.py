@@ -351,6 +351,16 @@ _DRIVER_EXCLUDED = {
     # uncovered; a strictly richer per-doc RE2 chain: 14 kernel steps
     # vs langid's 2, compared text-verbatim).
     "langid",
+    # set_ops_names -> the per-block distinct partial + keyed distinct
+    # machinery stays VALUE-checked in-window by
+    # distinct_users_per_type (the same two-level distinct shape) and
+    # the semi/anti composition by domain_cap_docs/budget_select_docs;
+    # set_ops_names stays SQL-exact in the excluded test. Slot goes to
+    # snapshot_merge_orders (X45 CDC upsert/snapshot compaction — the
+    # latest-wins MERGE INTO every continuously-ingested corpus runs;
+    # previously uncovered ingest-lifecycle family, and its gate plants
+    # live win/lose/TIE seq races, losing deletes and brand-new keys).
+    "set_ops_names",
     # geo_muni_rollup_sql -> the muni PIP assignment is VALUE-checked
     # PER ROW in-window inside geo_enriched (muni_id column over the
     # whole pages corpus), and the grouped-rollup machinery is

@@ -151,6 +151,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "shard_shuffle_docs",
             "blocklist_docs",
             "html_extract_docs",
+            "snapshot_merge_orders",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

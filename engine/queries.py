@@ -3276,3 +3276,160 @@ def _html_extract_sql_gate() -> str:
 
 
 REGISTRY.update({"html_extract_docs": (q_html_extract_docs, _html_extract_sql_gate())})
+
+
+# ----------------------------------------- CDC snapshot merge (X45)
+
+
+def q_snapshot_merge_orders(sf_dir: str) -> Dataset:
+    """CDC upsert / snapshot compaction (X45, engine/cdc.py): merge
+    the orders snapshot with a synthesized changelog (upserts with
+    winning/losing/TIED seqs, second-generation upserts, deletes that
+    sometimes lose, brand-new keys) under the latest-wins
+    (seq, src, op) rule. The changelog is derived from orders by
+    integer arithmetic (the pii_scrub precedent) so every verdict
+    class is live and the DuckDB mirror rebuilds it exactly."""
+    import ray.data as rd
+
+    from engine.cdc import snapshot_merge
+    from engine.util import clean_read_schema
+
+    path = f"{sf_dir}/orders.parquet"
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+    def to_base(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b["o_orderkey"].to_numpy()
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "seq": pa.array((k % 5).astype(np.int64)),
+                "o_custkey": b["o_custkey"],
+                "o_orderstatus": b["o_orderstatus"],
+                "cents": cents,
+            }
+        )
+
+    def to_changelog(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b["o_orderkey"].to_numpy()
+        ck = b["o_custkey"].to_numpy()
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy()
+        outs = []
+        m1 = k % 7 == 0  # first-gen upserts: lose / TIE / win vs base
+        outs.append(
+            dict(
+                k=k[m1],
+                seq=(k[m1] % 5) + (k[m1] % 3) - 1,
+                ck=ck[m1],
+                st=np.full(m1.sum(), "U1"),
+                c=cents[m1] + 11_111,
+                op=np.full(m1.sum(), "u"),
+            )
+        )
+        m2 = k % 21 == 0  # second-gen upserts: always win
+        outs.append(
+            dict(
+                k=k[m2],
+                seq=(k[m2] % 5) + 7,
+                ck=ck[m2],
+                st=np.full(m2.sum(), "U2"),
+                c=cents[m2] + 222_222,
+                op=np.full(m2.sum(), "u"),
+            )
+        )
+        m3 = k % 11 == 3  # deletes: odd keys win, even keys lose
+        outs.append(
+            dict(
+                k=k[m3],
+                seq=(k[m3] % 5) + (k[m3] % 2) * 3 - 1,
+                ck=ck[m3],
+                st=np.full(m3.sum(), "D"),
+                c=cents[m3],
+                op=np.full(m3.sum(), "d"),
+            )
+        )
+        m4 = k % 13 == 0  # brand-new keys
+        outs.append(
+            dict(
+                k=k[m4] + 100_000_000,
+                seq=np.ones(m4.sum(), np.int64),
+                ck=ck[m4],
+                st=np.full(m4.sum(), "N"),
+                c=cents[m4] + 7,
+                op=np.full(m4.sum(), "u"),
+            )
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([o["k"] for o in outs]).astype(np.int64)
+                ),
+                "seq": pa.array(
+                    np.concatenate([o["seq"] for o in outs]).astype(np.int64)
+                ),
+                "o_custkey": pa.array(
+                    np.concatenate([o["ck"] for o in outs]).astype(np.int64)
+                ),
+                "o_orderstatus": pa.array(
+                    np.concatenate([o["st"] for o in outs]), pa.string()
+                ),
+                "cents": pa.array(
+                    np.concatenate([o["c"] for o in outs]).astype(np.int64)
+                ),
+                "op": pa.array(np.concatenate([o["op"] for o in outs]), pa.string()),
+            }
+        )
+
+    base = rd.read_parquet(
+        path, columns=cols, schema=clean_read_schema(path, cols)
+    ).map_batches(to_base, batch_format="pyarrow")
+    changelog = rd.read_parquet(
+        path, columns=cols, schema=clean_read_schema(path, cols)
+    ).map_batches(to_changelog, batch_format="pyarrow")
+    return snapshot_merge(base, changelog, key="o_orderkey", num_partitions=8)
+
+
+_SQL_SNAPSHOT_MERGE = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS st,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+base AS (
+  SELECT k, k % 5 AS seq, ck, st, cents, 'u' AS op, 0 AS srcr FROM src),
+cl AS (
+  SELECT k, (k % 5) + (k % 3) - 1 AS seq, ck, 'U1' AS st,
+         cents + 11111 AS cents, 'u' AS op, 1 AS srcr
+  FROM src WHERE k % 7 = 0
+  UNION ALL
+  SELECT k, (k % 5) + 7, ck, 'U2', cents + 222222, 'u', 1
+  FROM src WHERE k % 21 = 0
+  UNION ALL
+  SELECT k, (k % 5) + (k % 2) * 3 - 1, ck, 'D', cents, 'd', 1
+  FROM src WHERE k % 11 = 3
+  UNION ALL
+  SELECT k + 100000000, 1, ck, 'N', cents + 7, 'u', 1
+  FROM src WHERE k % 13 = 0),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM cl),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY seq DESC, srcr DESC, op DESC) AS rn
+  FROM allr)
+SELECT k AS o_orderkey, CAST(seq AS BIGINT) AS seq, ck AS o_custkey,
+       st AS o_orderstatus, cents
+FROM w WHERE rn = 1 AND op = 'u'
+"""
+
+
+REGISTRY.update(
+    {"snapshot_merge_orders": (q_snapshot_merge_orders, _SQL_SNAPSHOT_MERGE)}
+)

@@ -74,6 +74,7 @@ SQL_EXCLUDED = [
         "aft_roundtrip",
         "semi_anti_orders",
         "langid",
+        "set_ops_names",
     ]
 
 
