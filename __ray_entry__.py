@@ -361,6 +361,17 @@ _DRIVER_EXCLUDED = {
     # previously uncovered ingest-lifecycle family, and its gate plants
     # live win/lose/TIE seq races, losing deletes and brand-new keys).
     "set_ops_names",
+    # tm_scale_convergence -> the §2.6 TM scalar kernels stay
+    # VALUE-checked in-window FOUR ways (helmert_chain's projection
+    # legs, geo_pipeline_sql's chain columns, geo_enriched's
+    # cm-quantized grids, format_points' printf identity), and
+    # tm_scale_convergence itself stays bitwise SQL-exact in the
+    # excluded test. Slot goes to warc_records (X46 WARC-style
+    # raw-crawl record parsing — the web-scale ingest format,
+    # previously uncovered source family; engine parses by
+    # Content-Length arithmetic, the mirror by independent
+    # marker-split position arithmetic, compared verbatim).
+    "tm_scale_convergence",
     # geo_muni_rollup_sql -> the muni PIP assignment is VALUE-checked
     # PER ROW in-window inside geo_enriched (muni_id column over the
     # whole pages corpus), and the grouped-rollup machinery is

@@ -152,6 +152,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "blocklist_docs",
             "html_extract_docs",
             "snapshot_merge_orders",
+            "warc_records",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

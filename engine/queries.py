@@ -3433,3 +3433,71 @@ FROM w WHERE rn = 1 AND op = 'u'
 REGISTRY.update(
     {"snapshot_merge_orders": (q_snapshot_merge_orders, _SQL_SNAPSHOT_MERGE)}
 )
+
+
+# ----------------------------------------- WARC record parsing (X46)
+
+
+def q_warc_records(sf_dir: str) -> Dataset:
+    """WARC-style raw-crawl record parsing (X46, engine/warc.py): the
+    web-scale ingest format — binary crawl chunks of concatenated
+    WARC/1.0 records exploded one-row-per-record by CONTENT-LENGTH
+    arithmetic (payloads may contain CRLFCRLF / marker lookalikes).
+    The mirror extracts the same records by marker-split + CRLFCRLF
+    POSITION arithmetic — two independent extraction paths compared
+    verbatim on header fields AND payload text."""
+    import ray.data as rd
+
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+    from engine.warc import read_warc, warc_corpus_parquet
+
+    n = max(100, sf_to_n_rows(sf_dir) // 50)
+    path = warc_corpus_parquet(n)
+    cols = ["chunk_id", "data"]
+    ds = rd.read_parquet(
+        path,
+        columns=cols,
+        schema=clean_read_schema(path, cols),
+        override_num_blocks=max(4, n // 256),
+    )
+    return read_warc(ds)
+
+
+def _sql_warc(path: str) -> str:
+    """DuckDB mirror: an INDEPENDENT extraction path — split each
+    chunk on the record marker, then recover headers and payload by
+    first-CRLFCRLF position arithmetic (the engine instead jumps by
+    Content-Length; module docstring documents why both agree on the
+    gate corpus). Payload text compared verbatim."""
+    m = "'WARC/1.0' || chr(13) || chr(10)"
+    sep = "chr(13) || chr(10) || chr(13) || chr(10)"
+    return rf"""
+WITH c AS (
+  SELECT chunk_id, string_split(decode(data), {m}) AS ls
+  FROM read_parquet('{path}')),
+r AS (
+  SELECT chunk_id, CAST(t.i - 2 AS BIGINT) AS rec_index, ls[i] AS piece
+  FROM c, LATERAL unnest(range(2, len(ls) + 1)) AS t(i)),
+p AS (
+  SELECT chunk_id, rec_index, piece,
+         strpos(piece, {sep}) AS pos
+  FROM r)
+SELECT chunk_id, rec_index,
+  regexp_extract(substr(piece, 1, pos - 1), 'WARC-Type: ([^\r\n]*)', 1) AS warc_type,
+  regexp_extract(substr(piece, 1, pos - 1), 'WARC-Target-URI: ([^\r\n]*)', 1) AS target_uri,
+  regexp_extract(substr(piece, 1, pos - 1), 'WARC-Date: ([^\r\n]*)', 1) AS warc_date,
+  CAST(regexp_extract(substr(piece, 1, pos - 1), 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+    AS content_length,
+  substr(piece, pos + 4, length(piece) - pos - 7) AS payload
+FROM p
+"""
+
+
+def _warc_sql_gate() -> str:
+    # Driver gate runs at sf0.01 (n=1000 chunks); the Ray query
+    # materializes the cached corpus before the oracle runs.
+    return _sql_warc("/tmp/geokit_warc/n1000/chunks.parquet")
+
+
+REGISTRY.update({"warc_records": (q_warc_records, _warc_sql_gate())})

@@ -75,6 +75,7 @@ SQL_EXCLUDED = [
         "semi_anti_orders",
         "langid",
         "set_ops_names",
+        "tm_scale_convergence",
     ]
 
 
