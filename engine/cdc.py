@@ -236,8 +236,17 @@ def snapshot_merge(
             "_src", pa.array(np.ones(len(b), np.int8))
         )
 
-    both = base.map_batches(tag_base, batch_format="pyarrow").union(
-        changelog.map_batches(tag_cl, batch_format="pyarrow")
+    # Materialize the union feeding the co-partition sort: Ray 2.49's
+    # streaming executor trickles a Union directly upstream of a sort
+    # under backpressure (measured here: 475 s -> 11.7 s at a 10M-row
+    # base under a 2 GB cap; same wedge documented at
+    # dedupe.both_sides and graph.triangle closure). Bounded DAG
+    # break: both sides are already projected to output columns, and
+    # the sort materializes the same bytes anyway.
+    both = (
+        base.map_batches(tag_base, batch_format="pyarrow")
+        .union(changelog.map_batches(tag_cl, batch_format="pyarrow"))
+        .materialize()
     )
     bs = both.schema()  # arrow (post-map_batches; first block only)
     schema = pa.schema([pa.field(n, t) for n, t in zip(bs.names, bs.types)])
