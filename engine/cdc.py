@@ -84,8 +84,8 @@ def changelog_winners(
 class _MatchedKeys:
     """Actor-pool stage for the broadcast path's pruned key pass."""
 
-    def __init__(self, kref, key):
-        self.wk = ray.get(kref)
+    def __init__(self, kref=None, key="k", wk=None):
+        self.wk = ray.get(kref) if kref is not None else wk
         self.key = key
 
     def __call__(self, b: pa.Table) -> pa.Table:
@@ -101,10 +101,10 @@ class _MergeBlocks:
     changelog winner frame is fetched once per actor in ``__init__``
     (zero-copy from the local store), never per batch."""
 
-    def __init__(self, wref, key, seq_col, op_col, base_cols):
-        w = ray.get(wref)
+    def __init__(self, wref=None, key="k", seq_col="seq", op_col="op", base_cols=(), w=None):
+        w = ray.get(wref) if wref is not None else w
         self.key, self.seq_col, self.op_col = key, seq_col, op_col
-        self.base_cols = base_cols
+        self.base_cols = list(base_cols)
         self.wk = w[key].to_numpy()
         self.ws = w[seq_col].to_numpy()
         self.w = w
@@ -162,39 +162,51 @@ def snapshot_merge(
     if mode == "broadcast":
         wdf = winners.to_pandas().sort_values(key, kind="stable")
         wkeys = wdf[key].to_numpy()
-        wref = ray.put(wdf)
-        kref = ray.put(wkeys)
+
+        # Size-adaptive shipping (the flag_join precedent): a small
+        # winner table rides the serialized task closure — zero
+        # actor-pool startup (measured ~1.2 s across the two pools at
+        # gate scale); a large one broadcasts once via ray.put into
+        # actor pools so it ships per ACTOR, never per task.
+        w_bytes = int(wdf.memory_usage(deep=True).sum())
+        use_actors = w_bytes > (8 << 20)
 
         # Pass A (pruned: the key column only, ~8 B/row leaves
-        # storage): which changed keys exist in the base? Actor pool
-        # so the key array ships once per actor, not per task.
-        matched = (
-            base.select_columns([key])
-            .map_batches(
+        # storage): which changed keys exist in the base?
+        pruned = base.select_columns([key])
+        if use_actors:
+            probe = pruned.map_batches(
                 _MatchedKeys,
-                fn_constructor_kwargs=dict(kref=kref, key=key),
+                fn_constructor_kwargs=dict(kref=ray.put(wkeys), key=key),
                 batch_format="pyarrow",
                 concurrency=(1, 8),
             )
-            .to_pandas()
-        )
+        else:
+            finder = _MatchedKeys(key=key, wk=wkeys)
+            probe = pruned.map_batches(finder.__call__, batch_format="pyarrow")
+        matched = probe.to_pandas()
         matched_keys = np.sort(matched[key].to_numpy())
 
         # Pass B (full): survivors + in-place replacements, emitted
-        # block-locally — the base never shuffles. Actor pool so the
-        # winner table is fetched ONCE per actor, never per batch.
-        merged = base.map_batches(
-            _MergeBlocks,
-            fn_constructor_kwargs=dict(
-                wref=wref,
-                key=key,
-                seq_col=seq_col,
-                op_col=op_col,
-                base_cols=base_cols,
-            ),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        # block-locally — the base never shuffles.
+        if use_actors:
+            merged = base.map_batches(
+                _MergeBlocks,
+                fn_constructor_kwargs=dict(
+                    wref=ray.put(wdf),
+                    key=key,
+                    seq_col=seq_col,
+                    op_col=op_col,
+                    base_cols=base_cols,
+                ),
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+            )
+        else:
+            merger = _MergeBlocks(
+                key=key, seq_col=seq_col, op_col=op_col, base_cols=base_cols, w=wdf
+            )
+            merged = base.map_batches(merger.__call__, batch_format="pyarrow")
 
         # Brand-new keys: changelog upsert winners absent from the base.
         new_rows = wdf[
