@@ -220,6 +220,15 @@ _DRIVER_EXCLUDED = {
     # pytest-checked against the corpora's truth columns and runs
     # rows-only in the excluded test.
     "web_refresh_pipeline",
+    # crawl_ingest_pipeline (X47): composition of FIVE individually
+    # SQL-VALUE-checked in-window stages (warc_records ->
+    # canonical_urls -> blocklist_docs -> html_extract_docs ->
+    # classifier_scores) chained over raw crawl bytes — the X39
+    # precedent; the survivor id set and extracted texts are
+    # pytest-checked against a scalar recomputation from the
+    # generators' truth columns and it runs rows-only in the
+    # excluded test.
+    "crawl_ingest_pipeline",
     # salted_join_revenue (X40): the skew-salted join wrapper around
     # hash_join, whose machinery is VALUE-checked in-window by
     # revenue_by_nation + left_join_f_orders; the wrapper's SQL

@@ -3501,3 +3501,37 @@ def _warc_sql_gate() -> str:
 
 
 REGISTRY.update({"warc_records": (q_warc_records, _warc_sql_gate())})
+
+
+# ---------------------------------------- crawl ingest pipeline (X47)
+
+
+def q_crawl_ingest(sf_dir: str) -> Dataset:
+    """Composed crawl-ingest pipeline (X47, engine/crawl.py): WARC
+    parse -> response filter -> canonical-URL dedup keepers -> domain
+    blocklist -> HTML->text extraction -> classifier scoring, over a
+    cached deterministic raw-crawl corpus whose records carry the
+    messy-URL and messy-HTML corpora (with their truth columns).
+    Driver-excluded rows-only (the X39/X15 composition precedent:
+    every stage is individually SQL-VALUE-checked in-window); pytest
+    cross-checks the survivor id set and extracted texts against a
+    scalar recomputation from the generators' truths."""
+    import ray.data as rd
+
+    from engine.crawl import crawl_corpus_parquet, crawl_ingest
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+
+    n_chunks = max(50, sf_to_n_rows(sf_dir) // 200)
+    path = crawl_corpus_parquet(n_chunks)
+    cols = ["chunk_id", "data"]
+    ds = rd.read_parquet(
+        path,
+        columns=cols,
+        schema=clean_read_schema(path, cols),
+        override_num_blocks=max(4, n_chunks // 128),
+    )
+    return crawl_ingest(ds)
+
+
+REGISTRY.update({"crawl_ingest_pipeline": (q_crawl_ingest, None)})

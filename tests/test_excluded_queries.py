@@ -115,6 +115,7 @@ ROWS_ONLY_EXCLUDED = [
         "geometry_transform",
         "lm_quality_scores",
         "web_refresh_pipeline",
+        "crawl_ingest_pipeline",
         "semantic_clusters",
         # pytest-verified in their own modules (sketch/tdigest/cms
         # error bounds, tfidf scalar-float oracle, curation soaks) —
