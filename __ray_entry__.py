@@ -381,6 +381,15 @@ _DRIVER_EXCLUDED = {
     # Content-Length arithmetic, the mirror by independent
     # marker-split position arithmetic, compared verbatim).
     "tm_scale_convergence",
+    # topk_per_type -> the per-group top-k shape (per-block prune +
+    # small merge on a total order) stays VALUE-checked in-window by
+    # anchor_topk_docs (per-dst top-k over grouped STRING keys, the
+    # strictly richer variant: exact tie order on (cnt DESC, anchor
+    # ASC) after a combiner count shuffle) and vocab_topk (the global
+    # 1-group case); topk_per_type stays SQL-exact in the excluded
+    # test. Slot goes to anchor_topk_docs (X48 inbound anchor-text
+    # aggregation — the web-graph per-target signal family).
+    "topk_per_type",
     # geo_muni_rollup_sql -> the muni PIP assignment is VALUE-checked
     # PER ROW in-window inside geo_enriched (muni_id column over the
     # whole pages corpus), and the grouped-rollup machinery is

@@ -153,6 +153,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "html_extract_docs",
             "snapshot_merge_orders",
             "warc_records",
+            "anchor_topk_docs",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

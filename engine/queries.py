@@ -3535,3 +3535,60 @@ def q_crawl_ingest(sf_dir: str) -> Dataset:
 
 
 REGISTRY.update({"crawl_ingest_pipeline": (q_crawl_ingest, None)})
+
+
+# ------------------------------------- anchor-text aggregation (X48)
+
+
+def q_anchor_topk(sf_dir: str) -> Dataset:
+    """Inbound anchor-text top-k per link target (X48,
+    engine/anchors.py): exact (dst, anchor) counts via the combiner
+    shuffle, then per-dst top-3 on the (cnt DESC, anchor ASC) total
+    order — the web-graph signal that describes each page by how the
+    rest of the web links to it."""
+    import ray.data as rd
+
+    from engine.anchors import anchor_topk, derive_anchor_edges
+    from engine.util import clean_read_schema
+
+    path = f"{sf_dir}/documents.parquet"
+    n = pq.read_metadata(path).num_rows
+    cols = ["doc_id"]
+    nodes = rd.read_parquet(path, columns=cols, schema=clean_read_schema(path, cols))
+    return anchor_topk(derive_anchor_edges(nodes, n), k=3, num_partitions=16)
+
+
+def _sql_anchor_topk(out_degree: int = 4, k: int = 3) -> str:
+    """Mirror of anchors.anchor_topk over derive_anchor_edges: same
+    (A, B) arm constants and the same ANCHOR_VOCAB list (imported —
+    change together), 1-based DuckDB list indexing, ROW_NUMBER on the
+    identical (cnt DESC, anchor ASC) total order."""
+    from engine.anchors import ANCHOR_VOCAB
+    from engine.graph import EDGE_A, EDGE_B
+
+    vocab = "[" + ", ".join(f"'{w}'" for w in ANCHOR_VOCAB) + "]"
+    arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {EDGE_A[j]} + {EDGE_B[j]})"
+        f" % (SELECT n FROM nn) AS dst, {j} AS arm FROM documents"
+        for j in range(out_degree)
+    )
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  {arms}),
+an AS (
+  SELECT dst, ({vocab})[1 + CAST((dst + 13 * ((src + arm) % 5)) % {len(ANCHOR_VOCAB)} AS INT)]
+         AS anchor
+  FROM edges),
+cn AS (
+  SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM an GROUP BY dst, anchor),
+rk AS (
+  SELECT dst, anchor, cnt, CAST(ROW_NUMBER() OVER (
+    PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS BIGINT) AS rank
+  FROM cn)
+SELECT dst, rank, anchor, cnt FROM rk WHERE rank <= {k}
+"""
+
+
+REGISTRY.update({"anchor_topk_docs": (q_anchor_topk, _sql_anchor_topk())})

@@ -76,6 +76,7 @@ SQL_EXCLUDED = [
         "langid",
         "set_ops_names",
         "tm_scale_convergence",
+        "topk_per_type",
     ]
 
 
