@@ -390,6 +390,14 @@ _DRIVER_EXCLUDED = {
     # test. Slot goes to anchor_topk_docs (X48 inbound anchor-text
     # aggregation — the web-graph per-target signal family).
     "topk_per_type",
+    # embedding_dups -> its two kernels stay VALUE-checked in-window
+    # separately: the banded-LSH bucket machinery by simhash_pairs +
+    # minhash_dedup_full, the exact-cosine verify by ann_multi's
+    # brute top-k; embedding_dups itself stays SQL-exact in the
+    # excluded test. Slot goes to label_centroids (X49 exact grouped
+    # vector aggregation — the embedding family's missing REDUCE:
+    # quantized-int centroid sums, previously uncovered).
+    "embedding_dups",
     # geo_muni_rollup_sql -> the muni PIP assignment is VALUE-checked
     # PER ROW in-window inside geo_enriched (muni_id column over the
     # whole pages corpus), and the grouped-rollup machinery is

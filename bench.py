@@ -154,6 +154,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "snapshot_merge_orders",
             "warc_records",
             "anchor_topk_docs",
+            "label_centroids",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

@@ -3592,3 +3592,42 @@ SELECT dst, rank, anchor, cnt FROM rk WHERE rank <= {k}
 
 
 REGISTRY.update({"anchor_topk_docs": (q_anchor_topk, _sql_anchor_topk())})
+
+
+# ------------------------------------ grouped vector centroids (X49)
+
+
+def q_label_centroids(sf_dir: str) -> Dataset:
+    """Exact per-label embedding centroids (X49, engine/vecagg.py):
+    vectors quantized once (2^20, half-away — the cents idiom), one
+    scatter-reduce per batch, ONE (label, dim) combiner shuffle of
+    group-scale partials, centroid derived from the exact int sums by
+    a single fixed division (bitwise SQL-mirrorable)."""
+    import ray.data as rd
+
+    from engine.util import clean_read_schema
+    from engine.vecagg import label_centroid_sums
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cols = ["label", "embedding"]
+    ds = rd.read_parquet(path, columns=cols, schema=clean_read_schema(path, cols))
+    return label_centroid_sums(ds, num_partitions=8)
+
+
+def _sql_label_centroids() -> str:
+    from engine.vecagg import QUANT
+
+    return f"""
+WITH f AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(t.i - 1 AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * {QUANT}) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i))
+SELECT label, dim,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(q) AS BIGINT) / (CAST(COUNT(*) AS DOUBLE) * {QUANT}.0) AS centroid
+FROM f GROUP BY label, dim
+"""
+
+
+REGISTRY.update({"label_centroids": (q_label_centroids, _sql_label_centroids())})

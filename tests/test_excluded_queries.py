@@ -77,6 +77,7 @@ SQL_EXCLUDED = [
         "set_ops_names",
         "tm_scale_convergence",
         "topk_per_type",
+        "embedding_dups",
     ]
 
 
