@@ -406,6 +406,25 @@ _DRIVER_EXCLUDED = {
     # canonicalization + canonical-URL dedup, previously uncovered
     # webtext op family); stays SQL-exact in the excluded test.
     "geo_muni_rollup_sql",
+    # simhash_pairs -> the banded-bucket LSH candidate machinery is
+    # VALUE-checked in-window by minhash_dedup_full AND (since round
+    # 4) incremental_minhash (the same band-bucket co-partition on
+    # both); the hamming-distance verify stays bitwise SQL-exact in
+    # the excluded test. Slot goes to incremental_minhash (X50
+    # incremental MinHash near-dup against a persisted signature
+    # index — the steady-state crawl-ingest near-dup design; the
+    # exact sibling X24/incremental_dedup is already in-window).
+    "simhash_pairs",
+    # blocklist_docs -> robots_filter_urls (X51) is the strictly
+    # richer crawl-policy filter: per-host grouped rules parsed from
+    # robots.txt, exact-agent-vs-'*' group selection, longest-literal-
+    # prefix precedence with Allow winning ties — vs blocklist's
+    # single label-suffix membership test. The broadcast-policy-table
+    # + per-URL vectorized verdict machinery stays VALUE-checked
+    # in-window (robots' broadcast path is the same shape), and
+    # blocklist_docs stays SQL-exact in the excluded test (digest- vs
+    # literal-suffix cross-check included).
+    "blocklist_docs",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -155,6 +155,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "warc_records",
             "anchor_topk_docs",
             "label_centroids",
+            "incremental_minhash",
+            "robots_filter_urls",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

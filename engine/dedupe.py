@@ -149,23 +149,13 @@ def _flat_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     return out, sh_counts
 
 
-def minhash_batch(
-    batch: pa.Table,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
-) -> pa.Table:
-    """Per doc: signature -> band hashes; emits (id, band, band_hash)
-    rows (bands x rows of the input batch). Fully vectorized across
-    the batch: flat shingle array + segment-wise ``minimum.reduceat``
-    per permutation (chunked to bound the (perms, shingles) temporary).
-    Bit-identical to the per-doc scalar path (pytest-checked)."""
+def _sig_matrix(texts: list[str], num_perm: int = 64, shingle_k: int = 3) -> np.ndarray:
+    """(n, num_perm) uint64 minhash signatures for a batch of texts —
+    the vectorized core of ``minhash_batch`` (flat shingle array +
+    segment-wise ``minimum.reduceat`` per permutation, chunked to
+    bound the (perms, shingles) temporary). Docs with zero tokens get
+    the all-MASK64 sentinel signature."""
     a, b = _perm_seeds(num_perm)
-    rows_per_band = num_perm // bands
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
-    texts = batch[text_col].to_pylist()
     n = len(texts)
     sh_flat, sh_counts = _flat_shingles(texts, shingle_k)
     sig = np.full((n, num_perm), MASK64, dtype=np.uint64)
@@ -184,12 +174,41 @@ def minhash_batch(
                 sig[nonempty, s : s + CH] = np.minimum.reduceat(
                     m[: min(CH, num_perm - s)], seg_starts, axis=1
                 ).T
+    return sig
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 LSH band hashes from a signature matrix: FNV
+    Horner over each band's rows, top bit shifted off so the value is
+    a non-negative int64 (the SQL mirror's ``// 2 AS BIGINT``)."""
+    n, num_perm = sig.shape
+    rows_per_band = num_perm // bands
     sb = sig.reshape(n, bands, rows_per_band)
     with np.errstate(over="ignore"):
         h = sb[:, :, 0].copy()
         for j in range(1, rows_per_band):
             h = h * FNV_PRIME + sb[:, :, j]
-    band_hash = (h >> np.uint64(1)).astype(np.int64)
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def minhash_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> pa.Table:
+    """Per doc: signature -> band hashes; emits (id, band, band_hash)
+    rows (bands x rows of the input batch). Fully vectorized across
+    the batch: flat shingle array + segment-wise ``minimum.reduceat``
+    per permutation (chunked to bound the (perms, shingles) temporary).
+    Bit-identical to the per-doc scalar path (pytest-checked)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    sig = _sig_matrix(texts, num_perm=num_perm, shingle_k=shingle_k)
+    band_hash = _band_hashes(sig, bands)
     out_ids = np.repeat(ids, bands)
     out_band = np.tile(np.arange(bands, dtype=np.int32), n)
     return pa.table(
@@ -1513,6 +1532,9 @@ def minhash_dedup_verdict(
         joined = hash_join(ds.select_columns([id_col]), labels, key=id_col, how="left")
 
     def verdict(batch: pa.Table) -> pa.Table:
+        # pyarrow 16.1 pc.coalesce misaligns differently-chunked args
+        # (see broadcast_lookup) — align before the variadic kernel
+        batch = batch.combine_chunks()
         ids = batch[id_col]
         grp = pc.coalesce(batch["group_id"], ids)
         return pa.table(
@@ -2186,3 +2208,281 @@ def exact_substring_dedup(
         })
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------- incremental MinHash near-dup (X50)
+
+SIG_INDEX_SCHEMA = pa.schema(
+    [("keep_id", pa.int64()), ("sig", pa.binary()), ("bh", pa.binary())]
+)
+
+
+def _pack_u64_rows(m: np.ndarray) -> pa.Array:
+    """Pack an (n, w) uint64 matrix as an Arrow binary column (one
+    8*w-byte blob per row) with zero per-row Python: one contiguous
+    data buffer + an arange offset vector. Binary (not fixed_size_list)
+    so the column survives acero hash joins and pandas round-trips
+    untouched."""
+    n, w = m.shape
+    data = pa.py_buffer(np.ascontiguousarray(m).tobytes())
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * (8 * w)).tobytes())
+    return pa.BinaryArray.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def _unpack_u64_rows(arr: pa.Array | pa.ChunkedArray, w: int) -> np.ndarray:
+    """Inverse of _pack_u64_rows: (n, w) uint64 view of a binary
+    column whose rows are all exactly 8*w bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, w), dtype=np.uint64)
+    # offsets buffer is shared on slices: skip arr.offset leading entries
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=4 * arr.offset
+    )
+    widths = np.diff(offs)
+    if not (widths == 8 * w).all():
+        raise ValueError(f"expected uniform {8 * w}-byte rows")
+    flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return (
+        flat[offs[0] : offs[0] + n * 8 * w].view(np.uint64).reshape(n, w)
+    )
+
+
+def minhash_index(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> Dataset:
+    """Persistable near-dup SIGNATURE INDEX: one row per doc —
+    ``(keep_id, sig: binary 8*num_perm B, bh: binary 8*bands B)``.
+    This is the state a continuously-ingested corpus keeps between
+    crawls for NEAR-dup (the exact-dedup sibling is
+    ``exact_dedup_index``): ~(num_perm+bands)*8 B/doc (640 B at the
+    defaults), written once with write_parquet and re-read per
+    increment — the old corpus TEXT is never re-read. Feed it the
+    corpus's KEPT docs (run ``minhash_dedup_verdict`` /
+    ``incremental_minhash_dedup`` first so near-dup groups are already
+    collapsed to their keeper). Zero shuffles: one vectorized map
+    stage (the ``_sig_matrix`` reduceat kernel, bit-identical to
+    ``minhash_batch``)."""
+
+    def build(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        texts = b[text_col].to_pylist()
+        sig = _sig_matrix(texts, num_perm=num_perm, shingle_k=shingle_k)
+        bh = _band_hashes(sig, bands).astype(np.uint64)
+        return pa.table(
+            {
+                "keep_id": pc.cast(ids, pa.int64()),
+                "sig": _pack_u64_rows(sig),
+                "bh": _pack_u64_rows(bh),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def incremental_minhash_dedup(
+    new_ds: Dataset,
+    index: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    rational_threshold: tuple[int, int] = (1, 2),
+    num_partitions: int = 32,
+) -> Dataset:
+    """Near-dup a NEW crawl increment against an EXISTING corpus's
+    persisted minhash signature index WITHOUT re-reading old text —
+    the steady-state web-crawl ingest design (the near-dup sibling of
+    ``incremental_exact_dedup``/X24; RefinedWeb/CCNet run exactly this
+    shape between snapshots).
+
+    Pipeline (all Datasets, every shuffle candidate- or
+    signature-scale):
+      1. signatures+band hashes for the new batch (one map stage);
+      2. LSH candidates: both sides' (band, band_hash, id) rows —
+         17 B/row, bands rows/doc — co-partition on the bucket key;
+         within a partition one pandas hash-merge cross-pairs each
+         bucket's index x new rows; global de-dup of pairs that
+         collide in several bands via ``distinct_pairs``;
+      3. verify: two bucketed hash joins attach both endpoints'
+         signatures (binary blobs, candidate-scale rows only), then a
+         vectorized equal-position count per pair. Decision is the
+         standard MinHash estimate in EXACT integer form:
+         matches/num_perm >= num/den  <=>  den*matches >= num*num_perm
+         — no float compare, so the DuckDB mirror matches bitwise.
+         (The index stores no shingle sets, so the estimate — not
+         exact Jaccard — is the verify rule; with 64 perms the
+         estimator's std-err is ~6% and both engines compute the
+         IDENTICAL rule on IDENTICAL signatures, so the gate is still
+         value-exact. Recall/decision behavior is pytest-checked
+         against per-doc scalar signatures.)
+      4. verdict per new doc: ``keep`` iff no verified index match;
+         ``dup_of`` = MIN matching index keep_id (deterministic), own
+         id when kept.
+
+    Within-batch near-dups are deliberately out of scope here: run
+    ``minhash_dedup_verdict`` on the increment first (compose), then
+    extend the index with ``minhash_index(kept)`` — both documented in
+    tools/ingest_soak.py's lifecycle.
+
+    Empty-token docs carry the all-MASK64 sentinel signature and
+    would all "match" each other; like the in-window minhash mirror,
+    the gate corpus plants none (pre-filter empties upstream).
+
+    Returns Dataset[id_col, keep(bool), dup_of(int64)]."""
+    from engine.joins import broadcast_lookup, hash_join
+    from engine.shuffle import keyed_partition_map
+
+    num, den = rational_threshold
+
+    new_sigs = minhash_index(
+        new_ds, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    ).materialize()  # used twice (band explode + sig attach): signature-scale
+
+    def explode_bands(is_idx: bool):
+        flag = np.uint8(1 if is_idx else 0)
+
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            bh = _unpack_u64_rows(b["bh"], bands).astype(np.int64)
+            ids = b["keep_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    "band_hash": pa.array(bh.ravel()),
+                    "rid": pa.array(np.repeat(ids, bands)),
+                    "is_idx": pa.array(np.full(n * bands, flag)),
+                }
+            )
+
+        return fn
+
+    band_rows = index.map_batches(explode_bands(True), batch_format="pyarrow").union(
+        new_sigs.map_batches(explode_bands(False), batch_format="pyarrow")
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df[df["is_idx"] == 1]
+        new = df[df["is_idx"] == 0]
+        if idx.empty or new.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+            )
+        # one C-speed hash merge == per-(band, band_hash) bucket cross
+        m = idx[["band", "band_hash", "rid"]].merge(
+            new[["band", "band_hash", "rid"]],
+            on=["band", "band_hash"],
+            suffixes=("_i", "_n"),
+        )
+        out = m[["rid_i", "rid_n"]].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "id_a": out["rid_i"].to_numpy().astype(np.int64),
+                "id_b": out["rid_n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    pairs = keyed_partition_map(
+        band_rows,
+        ["band", "band_hash"],
+        bucket_pairs,
+        num_partitions=num_partitions,
+        out_schema=PAIR_SCHEMA,
+    )
+    # candidate-scale DAG break: distinct_pairs' output feeds hash_join
+    # (which must read a schema) and the same pair can surface from
+    # several band partitions
+    pairs = distinct_pairs(pairs, num_partitions=max(4, num_partitions // 2)).materialize()
+
+    def rename_sigs(new_id: str, new_sig: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({new_id: b["keep_id"], new_sig: b["sig"]})
+
+        return fn
+
+    j1 = hash_join(
+        pairs,
+        new_sigs.map_batches(rename_sigs("id_b", "sig_b"), batch_format="pyarrow"),
+        key="id_b",
+        how="inner",
+    ).materialize()
+    j2 = hash_join(
+        j1,
+        index.map_batches(rename_sigs("id_a", "sig_a"), batch_format="pyarrow"),
+        key="id_a",
+        how="inner",
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        sa = _unpack_u64_rows(b["sig_a"], num_perm)
+        sb = _unpack_u64_rows(b["sig_b"], num_perm)
+        matches = (sa == sb).sum(axis=1).astype(np.int64)
+        ok = den * matches >= num * num_perm
+        keep_cols = pa.table({"id_a": b["id_a"], "id_b": b["id_b"]})
+        return keep_cols.filter(pa.array(ok))
+
+    matched = j2.map_batches(verify, batch_format="pyarrow")
+
+    def min_keeper(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id_b", sort=False, as_index=False)["id_a"].min()
+        return pd.DataFrame(
+            {
+                "id_b": g["id_b"].to_numpy().astype(np.int64),
+                "dup_idx": g["id_a"].to_numpy().astype(np.int64),
+            }
+        )
+
+    labels = keyed_partition_map(
+        matched,
+        ["id_b"],
+        min_keeper,
+        num_partitions=max(4, num_partitions // 2),
+        out_schema=pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())]),
+    ).materialize()  # matched-doc scale; hash_join/broadcast read its schema
+
+    new_ids = new_ds.select_columns([id_col])
+    if labels.count() <= 2_000_000:
+        batches = list(labels.iter_batches(batch_size=None, batch_format="pyarrow"))
+        schema = pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())])
+        lab_tbl = (
+            pa.concat_tables(batches, promote_options="default").select(schema.names)
+            if batches
+            else schema.empty_table()
+        )
+        joined = broadcast_lookup(new_ids, lab_tbl, id_col, "id_b", ["dup_idx"], how="left")
+    else:
+        lab = labels.map_batches(
+            lambda b: b.rename_columns([id_col, "dup_idx"]), batch_format="pyarrow"
+        )
+        joined = hash_join(new_ids, lab, key=id_col, how="left")
+
+    def verdict(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # pyarrow 16.1 pc.coalesce misaligns differently-chunked args
+        # (see broadcast_lookup) — align before the variadic kernel
+        b = b.combine_chunks()
+        ids = b[id_col]
+        dup = pc.coalesce(b["dup_idx"], pc.cast(ids, pa.int64()))
+        return pa.table(
+            {
+                id_col: ids,
+                "keep": pc.is_null(b["dup_idx"]),
+                "dup_of": pc.cast(dup, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(verdict, batch_format="pyarrow")

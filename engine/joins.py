@@ -55,6 +55,14 @@ def broadcast_lookup(
             self.types = {c: t.schema.field(c).type for c in take_cols}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # Single-chunk the input before appending single-chunk
+            # lookup columns: pyarrow 16.1's variadic kernels
+            # (pc.coalesce at least) ZIP CHUNKS PAIRWISE when two
+            # ChunkedArray args have different chunk layouts, silently
+            # misaligning rows (reproduced: a 4-chunk key column + a
+            # 1-chunk appended column made downstream coalesce read
+            # other rows' values). Aligning here fixes every consumer.
+            batch = batch.combine_chunks()
             if len(self.sorted_keys) == 0:  # empty small side
                 if how == "inner":
                     return batch.slice(0, 0)

@@ -973,6 +973,15 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 # xor(h%256, byte) == h XOR byte because byte < 256). Tokenization is
 # regexp '\\S+' == Python str.split() on this ASCII corpus (ord ==
 # utf-8 byte; same guarantee the fingerprint oracle relies on).
+def _sql_token_hashes(src: str = "documents") -> str:
+    """The shared token-hash CTE over an arbitrary (doc_id, text)
+    source relation — mirrors that tokenize a DERIVED corpus (e.g. the
+    incremental-minhash index ∪ new-batch union) parameterize ``src``;
+    the module constant below keeps the plain-``documents`` form every
+    existing mirror interpolates."""
+    return _SQL_TOKEN_HASHES.replace("FROM documents,", f"FROM {src},")
+
+
 _SQL_TOKEN_HASHES = r"""
 toks AS (
   SELECT doc_id, p AS pos, regexp_extract_all(text, '\S+')[p] AS tok
@@ -1714,6 +1723,125 @@ FROM documents d LEFT JOIN labels l USING (doc_id)
 # Exact value oracle (round-3): verified pair-for-pair against the
 # candidate stage and verdict-for-verdict against the full pipeline.
 REGISTRY.update({"minhash_dedup_full": (q_minhash_dedup_full, _sql_minhash_dedup_full())})
+
+
+def q_incremental_minhash(sf_dir: str) -> Dataset:
+    """Incremental MinHash near-dup (X50, the steady-state crawl
+    ingest shape): a persisted signature index built from the existing
+    corpus, then a NEW batch near-dup'd against it without re-reading
+    old text. The new batch is synthesized from documents by
+    arithmetic on BOTH sides (the X24 precedent), one class per
+    doc_id % 4 residue: +10000 exact re-carries (64/64 signature
+    matches), +20000 a two-token tail append (high but sub-1.0
+    estimated Jaccard), +30000 upper-cased text (all shingles change
+    — fresh), +40000 a 40-char prefix truncation (partial overlap —
+    whichever side of the threshold each doc lands, both engines
+    compute the identical integer rule)."""
+    from engine.dedupe import incremental_minhash_dedup, minhash_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    # materialized = the parquet-persisted state an ingest would read
+    index = minhash_index(docs).materialize()
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        txt = b["text"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        iv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        m0 = pa.array(iv % 4 == 0)
+        parts.append(
+            pa.table({"doc_id": pc.add(ids.filter(m0), 10000), "text": txt.filter(m0)})
+        )
+        m1 = pa.array(iv % 4 == 1)
+        near = pc.binary_join_element_wise(txt.filter(m1), " zz qq", "")
+        parts.append(pa.table({"doc_id": pc.add(ids.filter(m1), 20000), "text": near}))
+        m2 = pa.array(iv % 4 == 2)
+        parts.append(
+            pa.table(
+                {"doc_id": pc.add(ids.filter(m2), 30000), "text": pc.utf8_upper(txt.filter(m2))}
+            )
+        )
+        m3 = pa.array(iv % 4 == 3)
+        trunc = pc.utf8_slice_codeunits(txt.filter(m3), 0, 40)
+        parts.append(pa.table({"doc_id": pc.add(ids.filter(m3), 40000), "text": trunc}))
+        return pa.concat_tables(parts)
+
+    new = docs.map_batches(make_new, batch_format="pyarrow")
+    return incremental_minhash_dedup(new, index)
+
+
+def _sql_incremental_minhash(threshold_num: int = 1, threshold_den: int = 2) -> str:
+    """Term-for-term mirror of minhash_index +
+    incremental_minhash_dedup: signatures over the index ∪ new-batch
+    union (the shared token-FNV / shingle / 64-permutation CTEs,
+    parameterized to the derived corpus), candidates = shared
+    (band, band_hash) across sides, verify = count of equal signature
+    positions in exact integer form (den*matches >= num*64), verdict
+    per new doc = MIN matching index keeper else keep."""
+    from engine.dedupe import _perm_seeds
+
+    M = "18446744073709551616::HUGEINT"
+    P = "1099511628211"
+    a, b = _perm_seeds(64)
+    perms = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(64)
+    )
+    return f"""
+WITH newb AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL SELECT doc_id + 20000, text || ' zz qq' FROM documents WHERE doc_id % 4 = 1
+  UNION ALL SELECT doc_id + 30000, upper(text) FROM documents WHERE doc_id % 4 = 2
+  UNION ALL SELECT doc_id + 40000, substr(text, 1, 40) FROM documents WHERE doc_id % 4 = 3),
+alldocs AS (
+  SELECT doc_id, text, TRUE AS is_idx FROM documents
+  UNION ALL SELECT doc_id, text, FALSE FROM newb),
+{_sql_token_hashes("alldocs").lstrip()},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+sh3 AS (
+  SELECT a.doc_id, (((a.h * {P} + b.h) % {M}) * {P} + c.h) % {M} AS s
+  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sh1 AS (SELECT th.doc_id, th.h AS s FROM th JOIN cnt USING (doc_id) WHERE cnt.n < 3),
+us AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh1)),
+perms(i, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT us.doc_id, perms.i, MIN((us.s * perms.a + perms.b) % {M}) AS sg
+  FROM us, perms GROUP BY us.doc_id, perms.i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+    CAST(list_reduce(list(sg ORDER BY i), (h, s) -> (h * {P} + s) % {M}) // 2 AS BIGINT) AS band_hash
+  FROM sig GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT i.doc_id AS idx_id, n.doc_id AS new_id
+  FROM bands i
+  JOIN alldocs ai ON ai.doc_id = i.doc_id AND ai.is_idx
+  JOIN bands n ON i.band = n.band AND i.band_hash = n.band_hash
+  JOIN alldocs an ON an.doc_id = n.doc_id AND NOT an.is_idx
+  GROUP BY 1, 2),
+m AS (
+  SELECT c.new_id, c.idx_id, COUNT(*) AS mm
+  FROM cand c
+  JOIN sig sn ON sn.doc_id = c.new_id
+  JOIN sig si ON si.doc_id = c.idx_id AND si.i = sn.i AND si.sg = sn.sg
+  GROUP BY 1, 2),
+ver AS (
+  SELECT new_id, CAST(MIN(idx_id) AS BIGINT) AS dup_of
+  FROM m WHERE {threshold_den} * mm >= {threshold_num} * 64
+  GROUP BY new_id)
+SELECT n.doc_id,
+       (v.new_id IS NULL) AS keep,
+       CAST(COALESCE(v.dup_of, n.doc_id) AS BIGINT) AS dup_of
+FROM newb n LEFT JOIN ver v ON v.new_id = n.doc_id
+"""
+
+
+REGISTRY.update(
+    {"incremental_minhash": (q_incremental_minhash, _sql_incremental_minhash())}
+)
 
 
 def q_jaccard_join(sf_dir: str):
@@ -3205,6 +3333,100 @@ def _blocklist_sql_gate() -> str:
 
 
 REGISTRY.update({"blocklist_docs": (q_blocklist_docs, _blocklist_sql_gate())})
+
+
+def q_robots_filter(sf_dir: str) -> Dataset:
+    """robots.txt crawl-policy filter (X51): parse each host's
+    robots.txt into the group applying to our agent, verdict every
+    candidate URL by longest-literal-prefix precedence (Allow wins
+    ties; no rule / no robots = allowed). Both engines read the same
+    cached robots + urls corpora (the canonical_urls precedent); the
+    DuckDB mirror re-implements the parser with window functions and
+    the verdict with starts_with + MAX/bool_or."""
+    import ray.data as rd
+
+    from engine.pages import sf_to_n_rows
+    from engine.robots import robots_corpus_parquet, robots_filter
+    from engine.util import clean_read_schema
+
+    n_urls = max(200, sf_to_n_rows(sf_dir) // 10)
+    n_hosts = max(40, n_urls // 25)
+    rpath, upath = robots_corpus_parquet(n_hosts, n_urls)
+    ucols = ["url_id", "host", "path"]
+    urls = rd.read_parquet(upath, columns=ucols, schema=clean_read_schema(upath, ucols))
+    rcols = ["host", "robots_txt"]
+    robots = rd.read_parquet(rpath, columns=rcols, schema=clean_read_schema(rpath, rcols))
+    return robots_filter(urls, robots)
+
+
+def _sql_robots_filter(rpath: str, upath: str, agent: str = "graftbot") -> str:
+    """DuckDB mirror of robots.parse_robots_batch + robots_filter,
+    built from the SAME regex constants (engine/robots.py — change
+    them together). Parser: comment strip + CR strip + line split,
+    one regexp per line, LAG/SUM window group segmentation, exact-
+    agent-else-'*' group selection; verdict: literal starts_with,
+    longest prefix, Allow wins length ties."""
+    from engine.robots import COMMENT_RE, DIRECTIVE_RE
+
+    return f"""
+WITH robots AS (SELECT * FROM read_parquet('{rpath}')),
+urls AS (SELECT * FROM read_parquet('{upath}')),
+clean AS (
+  SELECT host,
+         regexp_replace(replace(robots_txt, chr(13), ''), '{COMMENT_RE}', '', 'g') AS txt
+  FROM robots),
+lines AS (
+  SELECT host, p AS ln, string_split(txt, chr(10))[p] AS line
+  FROM clean, LATERAL unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS t(p)),
+dirs AS (
+  SELECT host, ln,
+    lower(regexp_extract(line, '{DIRECTIVE_RE}', 1)) AS d,
+    regexp_extract(line, '{DIRECTIVE_RE}', 2) AS v
+  FROM lines WHERE regexp_matches(line, '{DIRECTIVE_RE}')),
+d2 AS (
+  SELECT *, COALESCE(LAG(d) OVER (PARTITION BY host ORDER BY ln), '') AS pd,
+         SUM(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host ORDER BY ln) AS ua_seen
+  FROM dirs),
+grp AS (
+  SELECT *, SUM(CASE WHEN d = 'user-agent' AND pd <> 'user-agent' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY ln) AS gid
+  FROM d2),
+agents AS (SELECT host, gid, lower(v) AS agent FROM grp WHERE d = 'user-agent'),
+sel AS (SELECT DISTINCT host, gid FROM agents WHERE agent = '{agent}'),
+chosen AS (
+  SELECT * FROM sel
+  UNION
+  SELECT s.host, s.gid FROM (SELECT DISTINCT host, gid FROM agents WHERE agent = '*') s
+  WHERE s.host NOT IN (SELECT host FROM sel)),
+rules AS (
+  SELECT g.host, (g.d = 'allow') AS allow, g.v AS prefix
+  FROM grp g JOIN chosen c ON c.host = g.host AND c.gid = g.gid
+  WHERE g.d IN ('allow', 'disallow') AND g.v <> '' AND g.ua_seen > 0),
+matched AS (
+  SELECT u.url_id, r.allow, len(r.prefix) AS pl
+  FROM urls u JOIN rules r ON r.host = u.host AND starts_with(u.path, r.prefix)),
+best AS (SELECT url_id, MAX(pl) AS bp FROM matched GROUP BY url_id),
+win AS (
+  SELECT m.url_id, bool_or(m.allow) AS allowed, MAX(m.pl) AS pl
+  FROM matched m JOIN best b ON b.url_id = m.url_id AND m.pl = b.bp
+  GROUP BY m.url_id)
+SELECT u.url_id, u.host, u.path,
+       COALESCE(w.allowed, TRUE) AS allowed,
+       CAST(COALESCE(w.pl, -1) AS BIGINT) AS matched_pl
+FROM urls u LEFT JOIN win w ON w.url_id = u.url_id
+"""
+
+
+def _robots_sql_gate() -> str:
+    # Driver gate runs at sf0.01 (n_urls=5000, n_hosts=200); the Ray
+    # query materializes the cached corpora before the oracle runs
+    # (urls-corpus idiom), so only the PATHS are computed here.
+    root = "/tmp/geokit_robots/h200_u5000"
+    return _sql_robots_filter(f"{root}/robots.parquet", f"{root}/urls.parquet")
+
+
+REGISTRY.update({"robots_filter_urls": (q_robots_filter, _robots_sql_gate())})
 
 
 # ----------------------------------------- HTML text extraction (X44)

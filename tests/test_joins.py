@@ -376,3 +376,49 @@ def test_sampled_hot_keys_finds_the_hot_key(ray_session):
     )
     assert len(got) == n
     assert (got.rv.to_numpy() == got.k.to_numpy()).all()
+
+
+def test_broadcast_lookup_multichunk_blocks_align(ray_session):
+    """Regression: pyarrow 16.1's variadic kernels (pc.coalesce) zip
+    chunks pairwise when two ChunkedArray args have different chunk
+    layouts, silently misaligning rows. broadcast_lookup used to
+    append a single-chunk column to multi-chunk input blocks (e.g.
+    blocks built by pa.concat_tables), arming exactly that trap for
+    every downstream coalesce — it now single-chunks the block first.
+    This test feeds 4-chunk blocks through a lookup + coalesce verdict
+    and checks every row."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.joins import broadcast_lookup
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["k"].combine_chunks() if isinstance(b["k"], pa.ChunkedArray) else b["k"]
+        parts = [
+            pa.table({"k": pc.add(ids, off)}) for off in (0, 1000, 2000, 3000)
+        ]
+        return pa.concat_tables(parts)  # deliberately multi-chunk
+
+    base = rd.from_arrow(pa.table({"k": pa.array(np.arange(50, dtype=np.int64))}))
+    ds = base.repartition(2).map_batches(gen, batch_format="pyarrow")
+    small = pa.table(
+        {
+            "k2": pa.array(np.array([0, 1, 2, 1000, 3049], dtype=np.int64)),
+            "v": pa.array(np.array([100, 101, 102, 110, 139], dtype=np.int64)),
+        }
+    )
+    joined = broadcast_lookup(ds, small, "k", "k2", ["v"], how="left")
+
+    def verdict(b: pa.Table) -> pa.Table:
+        out = pc.coalesce(b["v"], pc.cast(b["k"], pa.int64()))
+        return pa.table({"k": b["k"], "r": out})
+
+    got = (
+        joined.map_batches(verdict, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    lut = {0: 100, 1: 101, 2: 102, 1000: 110, 3049: 139}
+    exp = got["k"].map(lambda k: lut.get(k, k)).to_numpy()
+    assert (got["r"].to_numpy() == exp).all()

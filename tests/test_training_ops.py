@@ -1901,3 +1901,85 @@ def test_classifier_custom_weights_broadcast_once():
     )
     assert out.clf_score.tolist() == [3, 0]
     assert out.clf_label.tolist() == [True, False]
+
+
+def test_sig_index_pack_roundtrip():
+    """Binary-blob packing of uint64 matrices (the signature index's
+    storage layout) is exact, including on sliced arrays (nonzero
+    Arrow offsets share the parent's offsets buffer)."""
+    from engine.dedupe import _pack_u64_rows, _unpack_u64_rows
+
+    m = np.random.default_rng(3).integers(0, 1 << 63, (9, 16)).astype(np.uint64)
+    arr = _pack_u64_rows(m)
+    assert (_unpack_u64_rows(arr, 16) == m).all()
+    assert (_unpack_u64_rows(arr.slice(2, 5), 16) == m[2:7]).all()
+    with pytest.raises(ValueError):
+        _unpack_u64_rows(arr, 8)
+
+
+def test_incremental_minhash_matches_scalar_oracle(tmp_path):
+    """X50 steady-state crawl ingest: a new batch near-dup'd against a
+    PERSISTED signature index (parquet round-trip) without re-reading
+    old text. Verdict-for-verdict against a per-doc scalar oracle that
+    recomputes signatures, band collisions and the integer estimate
+    rule directly."""
+    import pyarrow.parquet as pq
+
+    from engine.dedupe import (
+        _band_hashes,
+        _sig_matrix,
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    old_texts = [" ".join(rng.choice(vocab, 40)) for _ in range(120)]
+    old = pa.table(
+        {"doc_id": pa.array(np.arange(120, dtype=np.int64)), "text": pa.array(old_texts)}
+    )
+    # exact re-carries, near-dups (2-token tail), fresh docs
+    new_texts = (
+        old_texts[:40]
+        + [t + " zz qq" for t in old_texts[40:70]]
+        + [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    )
+    new_ids = np.arange(1000, 1100, dtype=np.int64)
+    new = pa.table({"doc_id": pa.array(new_ids), "text": pa.array(new_texts)})
+
+    idx = minhash_index(rd.from_arrow(old).repartition(3))
+    pq.write_table(
+        pa.Table.from_pandas(idx.to_pandas(), preserve_index=False),
+        str(tmp_path / "sig_index.parquet"),
+    )
+    idx2 = rd.read_parquet(str(tmp_path / "sig_index.parquet"))
+
+    res = (
+        incremental_minhash_dedup(
+            rd.from_arrow(new).repartition(4), idx2, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(res) == 100
+
+    sig_old = _sig_matrix(old_texts)
+    sig_new = _sig_matrix(new_texts)
+    bh_old = _band_hashes(sig_old, 16)
+    bh_new = _band_hashes(sig_new, 16)
+    exp_keep, exp_dup = [], []
+    for i in range(100):
+        cands = [
+            j
+            for j in range(120)
+            if any(bh_new[i, b] == bh_old[j, b] for b in range(16))
+        ]
+        ver = [j for j in cands if 2 * int((sig_new[i] == sig_old[j]).sum()) >= 64]
+        exp_keep.append(len(ver) == 0)
+        exp_dup.append(min(ver) if ver else int(new_ids[i]))
+    assert (res["keep"].to_numpy() == np.array(exp_keep)).all()
+    assert (res["dup_of"].to_numpy() == np.array(exp_dup)).all()
+    # the planted classes actually exercise both verdicts
+    assert not res["keep"][:40].any()  # exact re-carries are dups
+    assert res["keep"][70:].all()  # fresh docs are kept
