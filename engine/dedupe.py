@@ -2301,6 +2301,7 @@ def incremental_minhash_dedup(
     shingle_k: int = 3,
     rational_threshold: tuple[int, int] = (1, 2),
     num_partitions: int = 32,
+    max_broadcast_pairs: int = 200_000,
 ) -> Dataset:
     """Near-dup a NEW crawl increment against an EXISTING corpus's
     persisted minhash signature index WITHOUT re-reading old text —
@@ -2314,12 +2315,21 @@ def incremental_minhash_dedup(
       2. LSH candidates: both sides' (band, band_hash, id) rows —
          17 B/row, bands rows/doc — co-partition on the bucket key;
          within a partition one pandas hash-merge cross-pairs each
-         bucket's index x new rows; global de-dup of pairs that
-         collide in several bands via ``distinct_pairs``;
-      3. verify: two bucketed hash joins attach both endpoints'
-         signatures (binary blobs, candidate-scale rows only), then a
-         vectorized equal-position count per pair. Decision is the
-         standard MinHash estimate in EXACT integer form:
+         bucket's index x new rows. Pairs that collide in several
+         bands surface once per band: the verdict is DUPLICATE-
+         INSENSITIVE (verify is per-row deterministic and the final
+         group-min absorbs repeats), so no global pair dedup is paid
+         on the fast path;
+      3. verify: when the candidate set fits the documented guard
+         (``max_broadcast_pairs``), both endpoints' signatures are
+         gathered by an endpoint-restricted filter of the signature
+         tables and broadcast ONCE (ray.put; candidate-endpoint scale
+         — the candidate_docs idiom), and each pair batch verifies by
+         two searchsorted lookups + a vectorized equal-position
+         count; beyond the guard, two bucketed hash joins attach the
+         signature blobs instead (same verdict, zero broadcast).
+         Decision is the standard MinHash estimate in EXACT integer
+         form:
          matches/num_perm >= num/den  <=>  den*matches >= num*num_perm
          — no float compare, so the DuckDB mirror matches bitwise.
          (The index stores no shingle sets, so the estimate — not
@@ -2342,6 +2352,8 @@ def incremental_minhash_dedup(
     the gate corpus plants none (pre-filter empties upstream).
 
     Returns Dataset[id_col, keep(bool), dup_of(int64)]."""
+    import ray
+
     from engine.joins import broadcast_lookup, hash_join
     from engine.shuffle import keyed_partition_map
 
@@ -2372,7 +2384,9 @@ def incremental_minhash_dedup(
 
     band_rows = index.map_batches(explode_bands(True), batch_format="pyarrow").union(
         new_sigs.map_batches(explode_bands(False), batch_format="pyarrow")
-    )
+    ).materialize()  # 17 B/row band rows; Union feeding the co-partition
+    # sort trickles under backpressure (Ray 2.49 — the cdc/both_sides
+    # wedge), and the break is band-row scale, far below text scale
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         idx = df[df["is_idx"] == 1]
@@ -2395,46 +2409,118 @@ def incremental_minhash_dedup(
             }
         )
 
+    # size the bucket co-partition to the KNOWN band-row count so
+    # small inputs don't shatter into sub-100KB inline objects (the
+    # keyed_partition_map sizing rule): ~64k 17-B rows per partition
+    n_band_rows = (index.count() + new_sigs.count()) * bands
+    parts = int(max(8, min(num_partitions, n_band_rows // 65536)))
     pairs = keyed_partition_map(
         band_rows,
         ["band", "band_hash"],
         bucket_pairs,
-        num_partitions=num_partitions,
+        num_partitions=parts,
         out_schema=PAIR_SCHEMA,
-    )
-    # candidate-scale DAG break: distinct_pairs' output feeds hash_join
-    # (which must read a schema) and the same pair can surface from
-    # several band partitions
-    pairs = distinct_pairs(pairs, num_partitions=max(4, num_partitions // 2)).materialize()
+    ).materialize()  # candidate-scale DAG break (count + verify read it)
+    n_pairs = pairs.count()
 
-    def rename_sigs(new_id: str, new_sig: str):
-        def fn(b: pa.Table) -> pa.Table:
-            return pa.table({new_id: b["keep_id"], new_sig: b["sig"]})
+    if n_pairs <= max_broadcast_pairs:
+        # endpoint-restricted signature broadcast: filter each sig
+        # table to the pairs' endpoint ids (one map, no shuffle),
+        # broadcast the two small (ids, sig-matrix) lookups once
+        def _endpoint_ids(col: str) -> np.ndarray:
+            vals = [
+                b[col].to_numpy(zero_copy_only=False)
+                for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow")
+            ]
+            return (
+                np.unique(np.concatenate(vals)) if vals else np.array([], np.int64)
+            )
 
-        return fn
+        def _gather(sig_ds: Dataset, ids_sorted: np.ndarray):
+            def filt(b: pa.Table) -> pa.Table:
+                k = b["keep_id"].to_numpy(zero_copy_only=False)
+                if len(ids_sorted) == 0:
+                    return b.slice(0, 0)
+                pos = np.minimum(
+                    np.searchsorted(ids_sorted, k), len(ids_sorted) - 1
+                )
+                return b.filter(pa.array(ids_sorted[pos] == k))
 
-    j1 = hash_join(
-        pairs,
-        new_sigs.map_batches(rename_sigs("id_b", "sig_b"), batch_format="pyarrow"),
-        key="id_b",
-        how="inner",
-    ).materialize()
-    j2 = hash_join(
-        j1,
-        index.map_batches(rename_sigs("id_a", "sig_a"), batch_format="pyarrow"),
-        key="id_a",
-        how="inner",
-    )
+            tbls = list(
+                sig_ds.map_batches(filt, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            )
+            if not tbls:
+                return np.array([], np.int64), np.zeros((0, num_perm), np.uint64)
+            t = pa.concat_tables(tbls, promote_options="default")
+            ids = t["keep_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            return ids[order], _unpack_u64_rows(t["sig"], num_perm)[order]
 
-    def verify(b: pa.Table) -> pa.Table:
-        sa = _unpack_u64_rows(b["sig_a"], num_perm)
-        sb = _unpack_u64_rows(b["sig_b"], num_perm)
-        matches = (sa == sb).sum(axis=1).astype(np.int64)
-        ok = den * matches >= num * num_perm
-        keep_cols = pa.table({"id_a": b["id_a"], "id_b": b["id_b"]})
-        return keep_cols.filter(pa.array(ok))
+        ai, asig = _gather(index, _endpoint_ids("id_a"))
+        bi, bsig = _gather(new_sigs, _endpoint_ids("id_b"))
+        ref = ray.put((ai, asig, bi, bsig))
 
-    matched = j2.map_batches(verify, batch_format="pyarrow")
+        class _VerifyBroadcast:
+            def __init__(self):
+                self.ai, self.asig, self.bi, self.bsig = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                if b.num_rows == 0:
+                    return b
+                if len(self.ai) == 0 or len(self.bi) == 0:
+                    raise RuntimeError("pair endpoint missing from signature table")
+                ia = b["id_a"].to_numpy(zero_copy_only=False)
+                ib = b["id_b"].to_numpy(zero_copy_only=False)
+                pa_ = np.minimum(np.searchsorted(self.ai, ia), len(self.ai) - 1)
+                pb_ = np.minimum(np.searchsorted(self.bi, ib), len(self.bi) - 1)
+                if (self.ai[pa_] != ia).any() or (self.bi[pb_] != ib).any():
+                    raise RuntimeError("pair endpoint missing from signature table")
+                matches = (self.asig[pa_] == self.bsig[pb_]).sum(axis=1).astype(np.int64)
+                return b.filter(pa.array(den * matches >= num * num_perm))
+
+        matched = pairs.map_batches(
+            _VerifyBroadcast, batch_format="pyarrow", concurrency=(1, 8)
+        )
+    else:
+        # distributed path: global pair dedup bounds the join width
+        # (a pair colliding in many bands would otherwise ship its
+        # signature blobs once per band), then two bucketed hash
+        # joins attach the blobs
+        pairs = distinct_pairs(
+            pairs, num_partitions=max(4, num_partitions // 2)
+        ).materialize()
+
+        def rename_sigs(new_id: str, new_sig: str):
+            def fn(b: pa.Table) -> pa.Table:
+                return pa.table({new_id: b["keep_id"], new_sig: b["sig"]})
+
+            return fn
+
+        j1 = hash_join(
+            pairs,
+            new_sigs.map_batches(rename_sigs("id_b", "sig_b"), batch_format="pyarrow"),
+            key="id_b",
+            how="inner",
+        ).materialize()
+        j2 = hash_join(
+            j1,
+            index.map_batches(rename_sigs("id_a", "sig_a"), batch_format="pyarrow"),
+            key="id_a",
+            how="inner",
+        )
+
+        def verify(b: pa.Table) -> pa.Table:
+            sa = _unpack_u64_rows(b["sig_a"], num_perm)
+            sb = _unpack_u64_rows(b["sig_b"], num_perm)
+            matches = (sa == sb).sum(axis=1).astype(np.int64)
+            ok = den * matches >= num * num_perm
+            keep_cols = pa.table({"id_a": b["id_a"], "id_b": b["id_b"]})
+            return keep_cols.filter(pa.array(ok))
+
+        matched = j2.map_batches(verify, batch_format="pyarrow")
 
     def min_keeper(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("id_b", sort=False, as_index=False)["id_a"].min()
@@ -2449,7 +2535,7 @@ def incremental_minhash_dedup(
         matched,
         ["id_b"],
         min_keeper,
-        num_partitions=max(4, num_partitions // 2),
+        num_partitions=int(max(8, min(num_partitions, n_pairs // 65536))),
         out_schema=pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())]),
     ).materialize()  # matched-doc scale; hash_join/broadcast read its schema
 
