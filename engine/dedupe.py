@@ -2422,6 +2422,14 @@ def incremental_minhash_dedup(
         out_schema=PAIR_SCHEMA,
     ).materialize()  # candidate-scale DAG break (count + verify read it)
     n_pairs = pairs.count()
+    if n_pairs > max_broadcast_pairs:
+        # raw pairs repeat once per colliding band (dup-heavy inputs
+        # inflate them up to bands x): dedup globally, then re-check —
+        # the broadcast verify is usually still viable
+        pairs = distinct_pairs(
+            pairs, num_partitions=max(8, num_partitions // 2)
+        ).materialize()
+        n_pairs = pairs.count()
 
     if n_pairs <= max_broadcast_pairs:
         # endpoint-restricted signature broadcast: filter each sig
@@ -2485,14 +2493,8 @@ def incremental_minhash_dedup(
             _VerifyBroadcast, batch_format="pyarrow", concurrency=(1, 8)
         )
     else:
-        # distributed path: global pair dedup bounds the join width
-        # (a pair colliding in many bands would otherwise ship its
-        # signature blobs once per band), then two bucketed hash
-        # joins attach the blobs
-        pairs = distinct_pairs(
-            pairs, num_partitions=max(4, num_partitions // 2)
-        ).materialize()
-
+        # distributed path (pairs already globally distinct): two
+        # bucketed hash joins attach the signature blobs
         def rename_sigs(new_id: str, new_sig: str):
             def fn(b: pa.Table) -> pa.Table:
                 return pa.table({new_id: b["keep_id"], new_sig: b["sig"]})
@@ -2539,7 +2541,12 @@ def incremental_minhash_dedup(
         out_schema=pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())]),
     ).materialize()  # matched-doc scale; hash_join/broadcast read its schema
 
-    new_ids = new_ds.select_columns([id_col])
+    # derive the id roll from the MATERIALIZED signature table — not
+    # from new_ds, whose lineage would re-execute the whole increment
+    # read/transform just to list its ids
+    new_ids = new_sigs.map_batches(
+        lambda b: pa.table({id_col: b["keep_id"]}), batch_format="pyarrow"
+    )
     if labels.count() <= 2_000_000:
         batches = list(labels.iter_batches(batch_size=None, batch_format="pyarrow"))
         schema = pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())])
