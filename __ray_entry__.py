@@ -137,6 +137,33 @@ _DRIVER_EXCLUDED = {
     # formats); the resize/rms/frame-sample feature stages stay
     # rows-only in the excluded test + pytest-exact decode checks
     "media_features",
+    # vocab_topk -> bpe_merges (X52 round-4 swap): BPE's phase A runs
+    # the IDENTICAL token_count_partials + keyed_partition_map word-
+    # count machinery in-window (and its per-iteration argmax runs the
+    # same per-block-prune topk kernel that topk_per_type's family
+    # covers); vocab_topk stays SQL-exact in the excluded test. Slot
+    # goes to bpe_merges — tokenizer TRAINING, a previously uncovered
+    # op family (iterative merges over the vocab-scale word table).
+    "vocab_topk",
+    # tile_join -> inverted_postings (X53 round-4 swap): tile_join's
+    # bucketed hash_join machinery stays VALUE-checked in-window 3x
+    # (left_join_f_orders LEFT OUTER + revenue_by_nation's two inner
+    # joins) and its tile-key prep is VALUE-checked inside
+    # geo_pipeline_sql's cell assignment; stays SQL-exact in the
+    # excluded test. Slot goes to inverted_postings — posting-list
+    # construction, which also promotes the per-(doc, token) tf
+    # machinery (doc_token_stats / tfidf, both excluded) back to
+    # SQL-value strength in-window.
+    "tile_join",
+    # decontam_docs -> cooc_lift (X54 round-4 swap): decontam's
+    # token-FNV + Horner shingle kernel stays VALUE-checked in-window
+    # 3x (minhash_dedup_full, incremental_minhash, substr_dedup_docs)
+    # and its broadcast-set membership filter in-window via
+    # robots_filter_urls / classifier_scores' broadcast state; stays
+    # SQL-exact in the excluded test. Slot goes to cooc_lift —
+    # windowed co-occurrence association mining (exact integer lift),
+    # a previously uncovered statistical-mining family.
+    "decontam_docs",
     "customer_per_region",
     "grouped_quantiles",
     "sample_lineitem",

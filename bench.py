@@ -157,6 +157,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "label_centroids",
             "incremental_minhash",
             "robots_filter_urls",
+            "bpe_merges",
+            "inverted_postings",
+            "cooc_lift",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

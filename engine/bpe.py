@@ -1,0 +1,234 @@
+"""Distributed BPE tokenizer-training merges (X52).
+
+The tokenizer-training stage of an LLM data pipeline (Sennrich et al.
+2016 byte-pair encoding): iteratively merge the most frequent adjacent
+symbol pair. Scale shape:
+
+- Phase A (the ONLY corpus-scale pass): word counting via the proven
+  ``token_count_partials`` combiner + one keyed partition merge — the
+  shuffle moves per-block vocabulary partials, never occurrences. The
+  distinct-word table (Heaps' law: ~sqrt-ish of corpus size) is
+  materialized ONCE and is the working set for every iteration.
+- Phase B (per merge step, vocab-scale only): pair statistics are
+  per-block (pair, weighted-count) partials merged by
+  ``keyed_partition_map``; the argmax is the existing per-block-prune
+  ``topk`` on the total order (count DESC, pair ASC) with a 1-row
+  driver collect (a scalar — the pagerank-style per-iteration sync).
+  The merge is applied as ONE vectorized ``pc.replace_substring`` over
+  the word table and re-materialized (vocab-scale, the pagerank
+  per-iteration materialization precedent).
+
+Exactness contract (probed, all three engines bitwise): symbol
+sequences are stored with TWO-space separators and two-space sentinels
+(``"  l  o  w  "``) so that the scan-forward non-overlapping substring
+replace — the identical primitive in Python ``str.replace``, pyarrow
+``pc.replace_substring`` and DuckDB ``replace()`` — implements EXACT
+classic greedy-leftmost BPE merging: adjacent merge sites do not share
+a boundary character (``abab -> ab ab`` merges both sites; the
+overlapping run ``aaa -> aa a`` keeps the leftmost, the classic rule).
+With single-space separators the two sites of ``abab`` share the
+middle space and one replace pass would miss the second — the
+double-space encoding removes the shared boundary. Pair statistics
+count overlapping occurrences (``aaa`` contributes (a,a) twice),
+matching the classic ``get_stats``.
+
+Ties: (count DESC, pair string ASC) — a total order, identical to the
+mirror's ``ORDER BY c DESC, pair ASC`` under DuckDB's binary collation.
+
+At 100 TB: the corpus is read once; every iteration touches only the
+distinct-word table (even a 100M-word vocabulary is a few GB across
+the cluster), so n_merges iterations cost n_merges vocab-scale passes,
+not corpus passes — the shape real distributed tokenizer training
+uses. Upstream parity: the reference engine has no tokenizer trainer;
+this extends the SURVEY §2 text-analysis family (token counting,
+vocab_topk) with the training-side op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+__all__ = ["bpe_merges", "sql_bpe_merges", "word_seq_counts"]
+
+
+def _seq_from_tokens(tokens: np.ndarray) -> np.ndarray:
+    """``"low" -> "  l  o  w  "``: two-space separators + sentinels."""
+    joined = np.char.join("  ", tokens.astype(str))
+    return np.char.add(np.char.add("  ", joined), "  ")
+
+
+def word_seq_counts(ds: Dataset, text_col: str = "text", num_partitions: int = 16) -> Dataset:
+    """Distinct-word table ``(seq, cnt)`` — the one corpus-scale pass.
+
+    ``token_count_partials`` (the vocab_topk combiner: lowercase →
+    ``[a-z0-9]+`` → per-block distinct (token, cnt)) then one coarse
+    keyed merge; the symbol-sequence encoding is built vectorized
+    inside the merge (``np.char.join`` — vocab-scale rows only)."""
+    from engine.shuffle import keyed_partition_map
+    from engine.textops import token_count_partials
+
+    partials = ds.map_batches(token_count_partials, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["_cnt"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "seq": _seq_from_tokens(g["token"].to_numpy()),
+                "cnt": g["_cnt"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return keyed_partition_map(
+        partials,
+        ["token"],
+        merge,
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("seq", pa.string()), ("cnt", pa.int64())]),
+    )
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (pair, c) partials: split each word's sequence on the
+    two-space separator, pair adjacent symbols via flat offsets (no
+    Python loop), weight by the word count, combine with one C-speed
+    pandas groupby. Overlapping occurrences all count (classic
+    get_stats)."""
+    seq = batch["seq"]
+    if isinstance(seq, pa.ChunkedArray):
+        seq = seq.combine_chunks()
+    cnt = batch["cnt"]
+    if isinstance(cnt, pa.ChunkedArray):
+        cnt = cnt.combine_chunks()
+    syms = pc.split_pattern(pc.utf8_trim_whitespace(seq), "  ")
+    lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(syms).to_numpy(zero_copy_only=False)
+    if flat.size == 0:
+        return pa.table({"pair": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+    # adjacent positions within each word: drop the last symbol of
+    # every word from the "left" role.
+    ends = np.cumsum(lens)  # one past each word's last flat index
+    keep = np.ones(flat.size, dtype=bool)
+    keep[ends - 1] = False
+    left_idx = np.nonzero(keep)[0]
+    if left_idx.size == 0:
+        return pa.table({"pair": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+    w = np.repeat(cnt.to_numpy(zero_copy_only=False).astype(np.int64), lens)[left_idx]
+    pairs = np.char.add(np.char.add(flat[left_idx].astype(str), " "), flat[left_idx + 1].astype(str))
+    g = pd.DataFrame({"pair": pairs, "w": w}).groupby("pair", sort=False)["w"].sum().reset_index()
+    return pa.table(
+        {
+            "pair": pa.array(g["pair"], pa.string()),
+            "c": pa.array(g["w"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def bpe_merges(
+    ds: Dataset,
+    n_merges: int = 8,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Run ``n_merges`` exact BPE merge steps; returns the merge table
+    ``(step, lhs, rhs, merged, pair_cnt)`` — the trained merge list, in
+    training order. Small by construction (one row per merge)."""
+    from engine.shuffle import keyed_partition_map, topk
+
+    words = word_seq_counts(ds, text_col, num_partitions).materialize()
+
+    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair", sort=False)["c"].sum().reset_index()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    pair_schema = pa.schema([("pair", pa.string()), ("c", pa.int64())])
+    out = {"step": [], "lhs": [], "rhs": [], "merged": [], "pair_cnt": []}
+    for step in range(1, n_merges + 1):
+        partials = words.map_batches(_pair_partials, batch_format="pyarrow")
+        merged = keyed_partition_map(
+            partials, ["pair"], merge_pairs, num_partitions=num_partitions,
+            out_schema=pair_schema,
+        )
+        best = topk(merged, ["c", "pair"], 1, descending=[True, False]).take(1)
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["c"])
+        lhs, rhs = pair.split(" ")
+        out["step"].append(step)
+        out["lhs"].append(lhs)
+        out["rhs"].append(rhs)
+        out["merged"].append(lhs + rhs)
+        out["pair_cnt"].append(cnt)
+        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+
+        def apply(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            seq = batch["seq"]
+            if isinstance(seq, pa.ChunkedArray):
+                seq = seq.combine_chunks()
+            return batch.set_column(
+                batch.schema.get_field_index("seq"),
+                "seq",
+                pc.replace_substring(seq, pattern=pat, replacement=rep),
+            )
+
+        if step < n_merges:
+            words = words.map_batches(apply, batch_format="pyarrow").materialize()
+    return pa.table(
+        {
+            "step": pa.array(out["step"], pa.int64()),
+            "lhs": pa.array(out["lhs"], pa.string()),
+            "rhs": pa.array(out["rhs"], pa.string()),
+            "merged": pa.array(out["merged"], pa.string()),
+            "pair_cnt": pa.array(out["pair_cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_bpe_merges(n_merges: int = 8, table: str = "documents", text_col: str = "text") -> str:
+    """Unrolled per-iteration CTE mirror (the pagerank precedent).
+
+    ``w{i}`` = the word table after i merges (same double-space
+    encoding); ``s{i}`` = pair stats (LATERAL adjacent-position
+    explode, weighted by word count); ``b{i}`` = the argmax under the
+    identical (c DESC, pair ASC) total order; the merge application is
+    the identical ``replace()`` primitive (probed bitwise-equal to
+    pyarrow's)."""
+    parts = [
+        f"""WITH wc AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS tok FROM {table})
+  GROUP BY tok),
+w0 AS MATERIALIZED (SELECT '  ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || '  ' AS seq, cnt FROM wc)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (
+  SELECT ts[p] || ' ' || ts[p + 1] AS pair, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(trim(seq), '  ') AS ts, cnt FROM w{i}),
+       LATERAL unnest(range(1, len(ts))) AS r(p)
+  GROUP BY pair),
+b{i} AS MATERIALIZED (SELECT pair, c FROM s{i} ORDER BY c DESC, pair ASC LIMIT 1)"""
+        )
+        if i < n_merges - 1:
+            parts.append(
+                f""",
+w{i + 1} AS MATERIALIZED (
+  SELECT replace(seq,
+                 ' ' || string_split((SELECT pair FROM b{i}), ' ')[1] || '  '
+                     || string_split((SELECT pair FROM b{i}), ' ')[2] || ' ',
+                 ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ') AS seq,
+         cnt
+  FROM w{i})"""
+            )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step,"
+        f" string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs,"
+        f" replace(pair, ' ', '') AS merged, c AS pair_cnt FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "".join(parts) + "\n" + steps + "\nORDER BY step"

@@ -3853,3 +3853,72 @@ FROM f GROUP BY label, dim
 
 
 REGISTRY.update({"label_centroids": (q_label_centroids, _sql_label_centroids())})
+
+
+# ------------------------------------------- X52: BPE tokenizer training
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer-training merges (X52, engine/bpe.py):
+    ONE corpus-scale word-count combiner pass, then 8 exact greedy
+    merge iterations over the materialized vocab-scale word table
+    (pair-stat partials + keyed merge + per-block-prune argmax; merge
+    applied as one vectorized replace under the double-space encoding
+    that makes scan-forward replace ≡ classic greedy-leftmost BPE —
+    probed bitwise across pyarrow/Python/DuckDB)."""
+    from engine.bpe import bpe_merges
+
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=256)
+    return bpe_merges(ds, n_merges=8)
+
+
+# ---------------------------------------- X53: inverted-index postings
+
+
+def q_inverted_postings(sf_dir: str):
+    """Sharded inverted-index construction (X53, engine/invindex.py):
+    doc_token_tf_partials combiner (the tfidf/doc_token_stats per-
+    (doc, token) tf machinery, promoted back to SQL-value strength
+    in-window), shard key doc_id % 8 attached BEFORE the one
+    (token, shard) co-partition so no hot term ever assembles a
+    corpus-wide posting row."""
+    from engine.invindex import inverted_postings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return inverted_postings(ds, n_shards=8)
+
+
+# ------------------------------------- X54: windowed co-occurrence lift
+
+
+def q_cooc_lift(sf_dir: str):
+    """Windowed co-occurrence association mining (X54, engine/cooc.py):
+    per-block ordered-pair partials (window 3), one (l, r) co-partition
+    merge, vocab-scale marginals broadcast once, exact integer lift_ppm
+    + per-block-prune top-50 on the (lift, cnt, pair) total order."""
+    from engine.cooc import cooc_lift
+
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=256)
+    return cooc_lift(ds, window=3, min_count=5, k=50)
+
+
+def _sql_bpe_merges_gate() -> str:
+    from engine.bpe import sql_bpe_merges
+
+    return sql_bpe_merges(8)
+
+
+def _registry_add_x52_x54() -> None:
+    from engine.cooc import SQL_COOC_LIFT
+    from engine.invindex import SQL_INVERTED_POSTINGS
+
+    REGISTRY.update(
+        {
+            "bpe_merges": (q_bpe_merges, _sql_bpe_merges_gate()),
+            "inverted_postings": (q_inverted_postings, SQL_INVERTED_POSTINGS),
+            "cooc_lift": (q_cooc_lift, SQL_COOC_LIFT),
+        }
+    )
+
+
+_registry_add_x52_x54()

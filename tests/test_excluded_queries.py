@@ -80,6 +80,10 @@ SQL_EXCLUDED = [
         "embedding_dups",
         "simhash_pairs",
         "blocklist_docs",
+        # round-4 X52-X54 swaps
+        "vocab_topk",
+        "tile_join",
+        "decontam_docs",
     ]
 
 
