@@ -91,23 +91,19 @@ def word_seq_counts(ds: Dataset, text_col: str = "text", num_partitions: int = 1
     )
 
 
-def _pair_partials(batch: pa.Table) -> pa.Table:
-    """Per-block (pair, c) partials: split each word's sequence on the
-    two-space separator, pair adjacent symbols via flat offsets (no
-    Python loop), weight by the word count, combine with one C-speed
-    pandas groupby. Overlapping occurrences all count (classic
-    get_stats)."""
-    seq = batch["seq"]
-    if isinstance(seq, pa.ChunkedArray):
-        seq = seq.combine_chunks()
-    cnt = batch["cnt"]
-    if isinstance(cnt, pa.ChunkedArray):
-        cnt = cnt.combine_chunks()
+def _pair_stats(seq: pa.Array, cnt: np.ndarray) -> pd.DataFrame:
+    """(pair, c) stats for one word-table slice: split each word's
+    sequence on the two-space separator, pair adjacent symbols via
+    flat offsets (no Python loop), weight by the word count, combine
+    with one C-speed pandas groupby. Overlapping occurrences all count
+    (classic get_stats). Shared by the distributed per-block partials
+    and the local small-vocab iteration path."""
     syms = pc.split_pattern(pc.utf8_trim_whitespace(seq), "  ")
     lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(syms).to_numpy(zero_copy_only=False)
+    empty = pd.DataFrame({"pair": pd.Series([], dtype=object), "c": pd.Series([], dtype=np.int64)})
     if flat.size == 0:
-        return pa.table({"pair": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        return empty
     # adjacent positions within each word: drop the last symbol of
     # every word from the "left" role.
     ends = np.cumsum(lens)  # one past each word's last flat index
@@ -115,16 +111,69 @@ def _pair_partials(batch: pa.Table) -> pa.Table:
     keep[ends - 1] = False
     left_idx = np.nonzero(keep)[0]
     if left_idx.size == 0:
-        return pa.table({"pair": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
-    w = np.repeat(cnt.to_numpy(zero_copy_only=False).astype(np.int64), lens)[left_idx]
+        return empty
+    w = np.repeat(cnt.astype(np.int64), lens)[left_idx]
     pairs = np.char.add(np.char.add(flat[left_idx].astype(str), " "), flat[left_idx + 1].astype(str))
-    g = pd.DataFrame({"pair": pairs, "w": w}).groupby("pair", sort=False)["w"].sum().reset_index()
+    g = pd.DataFrame({"pair": pairs, "c": w}).groupby("pair", sort=False)["c"].sum().reset_index()
+    g["c"] = g["c"].astype(np.int64)
+    return g
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    """Distributed map side: per-block (pair, c) partials."""
+    seq = batch["seq"]
+    if isinstance(seq, pa.ChunkedArray):
+        seq = seq.combine_chunks()
+    cnt = batch["cnt"]
+    if isinstance(cnt, pa.ChunkedArray):
+        cnt = cnt.combine_chunks()
+    g = _pair_stats(seq, cnt.to_numpy(zero_copy_only=False))
     return pa.table(
         {
             "pair": pa.array(g["pair"], pa.string()),
-            "c": pa.array(g["w"].to_numpy().astype(np.int64)),
+            "c": pa.array(g["c"].to_numpy()),
         }
     )
+
+
+#: Word tables at or below this row count iterate driver-side (the
+#: snapshot_merge size-adaptive precedent): at small vocab the
+#: per-iteration cost is Ray stage dispatch, not data — measured 3.65
+#: s/iter distributed vs ~0.05 s/iter local on an 11k-word table (1M-
+#: doc soak). Above it the distributed path runs unchanged; both paths
+#: share the identical _pair_stats / replace kernels and are
+#: pytest-equal.
+LOCAL_VOCAB_LIMIT = 2_000_000
+
+
+def _bpe_merges_local(words_tbl: pa.Table, n_merges: int) -> dict:
+    """Vocab-scale driver-side iteration: same kernels, zero shuffles."""
+    seq = words_tbl["seq"]
+    if isinstance(seq, pa.ChunkedArray):
+        seq = seq.combine_chunks()
+    cnt = (
+        words_tbl["cnt"].combine_chunks()
+        if isinstance(words_tbl["cnt"], pa.ChunkedArray)
+        else words_tbl["cnt"]
+    ).to_numpy(zero_copy_only=False)
+    out = {"step": [], "lhs": [], "rhs": [], "merged": [], "pair_cnt": []}
+    for step in range(1, n_merges + 1):
+        g = _pair_stats(seq, cnt)
+        if not len(g):
+            break
+        g = g.sort_values(["c", "pair"], ascending=[False, True], kind="mergesort")
+        pair, c = g.iloc[0]["pair"], int(g.iloc[0]["c"])
+        lhs, rhs = pair.split(" ")
+        out["step"].append(step)
+        out["lhs"].append(lhs)
+        out["rhs"].append(rhs)
+        out["merged"].append(lhs + rhs)
+        out["pair_cnt"].append(c)
+        if step < n_merges:
+            seq = pc.replace_substring(
+                seq, pattern=f" {lhs}  {rhs} ", replacement=f" {lhs}{rhs} "
+            )
+    return out
 
 
 def bpe_merges(
@@ -132,13 +181,36 @@ def bpe_merges(
     n_merges: int = 8,
     text_col: str = "text",
     num_partitions: int = 16,
+    mode: str = "auto",
 ) -> pa.Table:
     """Run ``n_merges`` exact BPE merge steps; returns the merge table
     ``(step, lhs, rhs, merged, pair_cnt)`` — the trained merge list, in
-    training order. Small by construction (one row per merge)."""
+    training order. Small by construction (one row per merge).
+
+    ``mode``: "auto" (default) iterates driver-side when the
+    materialized word table is at most ``LOCAL_VOCAB_LIMIT`` rows and
+    distributed otherwise; "local" / "distributed" force a path. Both
+    paths share the same kernels and total order — results identical
+    (pytest-equal)."""
     from engine.shuffle import keyed_partition_map, topk
 
     words = word_seq_counts(ds, text_col, num_partitions).materialize()
+
+    if mode == "local" or (mode == "auto" and words.count() <= LOCAL_VOCAB_LIMIT):
+        # One bounded driver collect of the vocab-scale table.
+        wt = pa.concat_tables(
+            [pa.table(b) for b in words.iter_batches(batch_format="pyarrow")]
+        )
+        out = _bpe_merges_local(wt, n_merges)
+        return pa.table(
+            {
+                "step": pa.array(out["step"], pa.int64()),
+                "lhs": pa.array(out["lhs"], pa.string()),
+                "rhs": pa.array(out["rhs"], pa.string()),
+                "merged": pa.array(out["merged"], pa.string()),
+                "pair_cnt": pa.array(out["pair_cnt"], pa.int64()),
+            }
+        )
 
     def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("pair", sort=False)["c"].sum().reset_index()
