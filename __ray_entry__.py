@@ -164,6 +164,11 @@ _DRIVER_EXCLUDED = {
     # windowed co-occurrence association mining (exact integer lift),
     # a previously uncovered statistical-mining family.
     "decontam_docs",
+    # bpe_encode_docs (X55): excluded-only, NO swap — a composition of
+    # bpe_merges (SQL-value in-window) + the broadcast-lookup counting
+    # shape (classifier_scores in-window); SQL-exact in the excluded
+    # test (the X38/X47 subsumption precedent).
+    "bpe_encode_docs",
     "customer_per_region",
     "grouped_quantiles",
     "sample_lineitem",

@@ -61,13 +61,20 @@ def _seq_from_tokens(tokens: np.ndarray) -> np.ndarray:
     return np.char.add(np.char.add("  ", joined), "  ")
 
 
-def word_seq_counts(ds: Dataset, text_col: str = "text", num_partitions: int = 16) -> Dataset:
+def word_seq_counts(
+    ds: Dataset,
+    text_col: str = "text",
+    num_partitions: int = 16,
+    keep_token: bool = False,
+) -> Dataset:
     """Distinct-word table ``(seq, cnt)`` — the one corpus-scale pass.
 
     ``token_count_partials`` (the vocab_topk combiner: lowercase →
     ``[a-z0-9]+`` → per-block distinct (token, cnt)) then one coarse
     keyed merge; the symbol-sequence encoding is built vectorized
-    inside the merge (``np.char.join`` — vocab-scale rows only)."""
+    inside the merge (``np.char.join`` — vocab-scale rows only).
+    ``keep_token`` additionally carries the original word (the encode
+    path needs the token → final-symbol-count map)."""
     from engine.shuffle import keyed_partition_map
     from engine.textops import token_count_partials
 
@@ -75,19 +82,23 @@ def word_seq_counts(ds: Dataset, text_col: str = "text", num_partitions: int = 1
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", sort=False)["_cnt"].sum().reset_index()
-        return pd.DataFrame(
-            {
-                "seq": _seq_from_tokens(g["token"].to_numpy()),
-                "cnt": g["_cnt"].to_numpy().astype(np.int64),
-            }
-        )
+        out = {
+            "seq": _seq_from_tokens(g["token"].to_numpy()),
+            "cnt": g["_cnt"].to_numpy().astype(np.int64),
+        }
+        if keep_token:
+            out = {"token": g["token"].to_numpy(), **out}
+        return pd.DataFrame(out)
 
+    fields = [("seq", pa.string()), ("cnt", pa.int64())]
+    if keep_token:
+        fields = [("token", pa.string())] + fields
     return keyed_partition_map(
         partials,
         ["token"],
         merge,
         num_partitions=num_partitions,
-        out_schema=pa.schema([("seq", pa.string()), ("cnt", pa.int64())]),
+        out_schema=pa.schema(fields),
     )
 
 
@@ -146,8 +157,12 @@ def _pair_partials(batch: pa.Table) -> pa.Table:
 LOCAL_VOCAB_LIMIT = 2_000_000
 
 
-def _bpe_merges_local(words_tbl: pa.Table, n_merges: int) -> dict:
-    """Vocab-scale driver-side iteration: same kernels, zero shuffles."""
+def _bpe_merges_local(
+    words_tbl: pa.Table, n_merges: int, apply_last: bool = False
+) -> tuple[dict, pa.Array]:
+    """Vocab-scale driver-side iteration: same kernels, zero shuffles.
+    Returns (merge table dict, final seq column — with the last merge
+    applied only when ``apply_last``, which the encode path needs)."""
     seq = words_tbl["seq"]
     if isinstance(seq, pa.ChunkedArray):
         seq = seq.combine_chunks()
@@ -169,11 +184,11 @@ def _bpe_merges_local(words_tbl: pa.Table, n_merges: int) -> dict:
         out["rhs"].append(rhs)
         out["merged"].append(lhs + rhs)
         out["pair_cnt"].append(c)
-        if step < n_merges:
+        if step < n_merges or apply_last:
             seq = pc.replace_substring(
                 seq, pattern=f" {lhs}  {rhs} ", replacement=f" {lhs}{rhs} "
             )
-    return out
+    return out, seq
 
 
 def bpe_merges(
@@ -201,7 +216,7 @@ def bpe_merges(
         wt = pa.concat_tables(
             [pa.table(b) for b in words.iter_batches(batch_format="pyarrow")]
         )
-        out = _bpe_merges_local(wt, n_merges)
+        out, _ = _bpe_merges_local(wt, n_merges)
         return pa.table(
             {
                 "step": pa.array(out["step"], pa.int64()),
@@ -304,3 +319,181 @@ w{i + 1} AS MATERIALIZED (
         for i in range(n_merges)
     )
     return "".join(parts) + "\n" + steps + "\nORDER BY step"
+
+
+def bpe_token_counts(
+    ds: Dataset,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+    broadcast_limit: int = 50_000_000,
+) -> Dataset:
+    """Train-then-APPLY (X55): per-doc BPE token counts under the
+    ``n_merges`` merges trained on the same corpus — the encode side
+    of the tokenizer lifecycle. Returns (doc_id, n_words,
+    n_bpe_tokens); zero-token docs drop out (the SQL-join semantics).
+
+    Scale shape: ONE corpus-scale word-count pass (shared with
+    training), vocab-scale merge iterations (local under
+    LOCAL_VOCAB_LIMIT, else the distributed loop), then the
+    token → final-symbol-count map — vocab-scale — broadcasts once
+    (guarded; the documented swap beyond broadcast size is a bucketed
+    hash join of the exploded doc tokens against the map, the
+    engine/joins.py machinery) into ONE corpus-scale counting pass
+    (searchsorted lookup + reduceat per batch). The corpus text moves
+    twice total (count pass + encode pass), never shuffles."""
+    import ray
+
+    from engine.shuffle import keyed_partition_map, topk
+
+    words = word_seq_counts(
+        ds, text_col, num_partitions, keep_token=True
+    ).materialize()
+
+    if words.count() <= LOCAL_VOCAB_LIMIT:
+        wt = pa.concat_tables(
+            [pa.table(b) for b in words.iter_batches(batch_format="pyarrow")]
+        )
+        _, final_seq = _bpe_merges_local(wt, n_merges, apply_last=True)
+        tok_arr = wt["token"]
+        if isinstance(tok_arr, pa.ChunkedArray):
+            tok_arr = tok_arr.combine_chunks()
+        toks = tok_arr.to_numpy(zero_copy_only=False).astype(str)
+        nsyms = pc.list_value_length(
+            pc.split_pattern(pc.utf8_trim_whitespace(final_seq), "  ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        # Distributed training loop on the token-preserving table (the
+        # bpe_merges loop, with the LAST merge applied too).
+        def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("pair", sort=False)["c"].sum().reset_index()
+            g["c"] = g["c"].astype(np.int64)
+            return g
+
+        pair_schema = pa.schema([("pair", pa.string()), ("c", pa.int64())])
+        for step in range(1, n_merges + 1):
+            partials = words.map_batches(_pair_partials, batch_format="pyarrow")
+            merged = keyed_partition_map(
+                partials, ["pair"], merge_pairs,
+                num_partitions=num_partitions, out_schema=pair_schema,
+            )
+            best = topk(merged, ["c", "pair"], 1, descending=[True, False]).take(1)
+            if not best:
+                break
+            lhs, rhs = best[0]["pair"].split(" ")
+            pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+
+            def apply(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
+                seq = batch["seq"]
+                if isinstance(seq, pa.ChunkedArray):
+                    seq = seq.combine_chunks()
+                return batch.set_column(
+                    batch.schema.get_field_index("seq"),
+                    "seq",
+                    pc.replace_substring(seq, pattern=pat, replacement=rep),
+                )
+
+            words = words.map_batches(apply, batch_format="pyarrow").materialize()
+        wt = pa.concat_tables(
+            [pa.table(b) for b in words.iter_batches(batch_format="pyarrow")]
+        )
+        if wt.num_rows > broadcast_limit:
+            raise ValueError(
+                f"vocab of {wt.num_rows} rows exceeds broadcast_limit; swap in "
+                "the bucketed hash join path (engine/joins.py) for the lookup"
+            )
+        seq_col = wt["seq"]
+        if isinstance(seq_col, pa.ChunkedArray):
+            seq_col = seq_col.combine_chunks()
+        tok_arr = wt["token"]
+        if isinstance(tok_arr, pa.ChunkedArray):
+            tok_arr = tok_arr.combine_chunks()
+        toks = tok_arr.to_numpy(zero_copy_only=False).astype(str)
+        nsyms = pc.list_value_length(
+            pc.split_pattern(pc.utf8_trim_whitespace(seq_col), "  ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.argsort(toks, kind="stable")
+    map_ref = ray.put((toks[order], nsyms[order]))
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        sorted_toks, sorted_n = ray.get(map_ref)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tl = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+        lens = pc.list_value_length(tl).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(tl).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        mask = flat != ""
+        flat, doc_idx = flat[mask], doc_idx[mask]
+        pos = np.searchsorted(sorted_toks, flat)
+        # every corpus token is in the vocab by construction (the vocab
+        # was counted from this corpus) — assert, don't silently drop
+        assert (pos < sorted_toks.size).all()
+        assert (sorted_toks[pos] == flat).all()
+        per_tok_n = sorted_n[pos]
+        n_words = np.bincount(doc_idx, minlength=lens.size).astype(np.int64)
+        n_bpe = np.bincount(doc_idx, weights=per_tok_n, minlength=lens.size).astype(np.int64)
+        keep = n_words > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids.to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "n_words": pa.array(n_words[keep]),
+                "n_bpe_tokens": pa.array(n_bpe[keep]),
+            }
+        )
+
+    return ds.map_batches(count_batch, batch_format="pyarrow")
+
+
+def sql_bpe_encode(n_merges: int = 8, table: str = "documents", text_col: str = "text") -> str:
+    """Mirror of bpe_token_counts: the identical unrolled training CTEs
+    carrying ``tok`` through every merge application (ALL ``n_merges``
+    applied), then the token → symbol-count map joined against the
+    exploded doc tokens. Zero-token docs drop out of the join on both
+    sides."""
+    parts = [
+        f"""WITH wc AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS tok FROM {table})
+  GROUP BY tok),
+w0 AS MATERIALIZED (SELECT tok, '  ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || '  ' AS seq, cnt FROM wc)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (
+  SELECT ts[p] || ' ' || ts[p + 1] AS pair, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(trim(seq), '  ') AS ts, cnt FROM w{i}),
+       LATERAL unnest(range(1, len(ts))) AS r(p)
+  GROUP BY pair),
+b{i} AS MATERIALIZED (SELECT pair, c FROM s{i} ORDER BY c DESC, pair ASC LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT tok, replace(seq,
+                 ' ' || string_split((SELECT pair FROM b{i}), ' ')[1] || '  '
+                     || string_split((SELECT pair FROM b{i}), ' ')[2] || ' ',
+                 ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ') AS seq,
+         cnt
+  FROM w{i})"""
+        )
+    parts.append(
+        f""",
+nmap AS MATERIALIZED (
+  SELECT tok, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n FROM w{n_merges}),
+dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS tok
+  FROM {table})
+SELECT dt.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(nmap.n) AS BIGINT) AS n_bpe_tokens
+FROM dt JOIN nmap ON dt.tok = nmap.tok
+GROUP BY dt.doc_id"""
+    )
+    return "".join(parts)

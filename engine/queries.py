@@ -3922,3 +3922,30 @@ def _registry_add_x52_x54() -> None:
 
 
 _registry_add_x52_x54()
+
+
+# ---------------------------------------- X55: BPE encode (train→apply)
+
+
+def q_bpe_encode_docs(sf_dir: str):
+    """Tokenizer lifecycle encode side (X55, engine/bpe.py): per-doc
+    BPE token counts under the 8 merges trained on the same corpus —
+    one corpus-scale count pass (shared with training), vocab-scale
+    iterations, the token→symbol-count map broadcast once, one
+    corpus-scale counting pass. Excluded from the driver window (no
+    swap): a composition of bpe_merges (SQL-value in-window) + the
+    broadcast-lookup counting shape (classifier_scores in-window);
+    stays SQL-exact in the excluded-queries test."""
+    from engine.bpe import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    return bpe_token_counts(ds, n_merges=8)
+
+
+def _sql_bpe_encode_gate() -> str:
+    from engine.bpe import sql_bpe_encode
+
+    return sql_bpe_encode(8)
+
+
+REGISTRY.update({"bpe_encode_docs": (q_bpe_encode_docs, _sql_bpe_encode_gate())})

@@ -117,6 +117,61 @@ def test_bpe_sql_mirror_sf0001(ray_session):
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
 
 
+def ref_encode_counts(texts: list[str], n_merges: int) -> pd.DataFrame:
+    """Classic BPE train + apply: per-doc (n_words, n_bpe_tokens)."""
+    wc = Counter()
+    docs = []
+    for t in texts:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        docs.append(toks)
+        wc.update(toks)
+    words = {w: list(w) for w in wc}
+    for _ in range(n_merges):
+        stats = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    n_map = {w: len(s) for w, s in words.items()}
+    recs = [
+        (i, len(toks), sum(n_map[t] for t in toks))
+        for i, toks in enumerate(docs)
+        if toks
+    ]
+    return pd.DataFrame(recs, columns=["doc_id", "n_words", "n_bpe_tokens"])
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    from engine.bpe import bpe_token_counts
+
+    texts = ADVERSARIAL * 2 + ["", "!!!", "single"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(4)
+    got = (
+        bpe_token_counts(ds, n_merges=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = ref_encode_counts(texts, 5)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # zero-token docs must be absent (SQL-join semantics)
+    assert len(got) == len(texts) - 2
+
+
 # ------------------------------------------- scalar reference postings
 
 

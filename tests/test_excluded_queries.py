@@ -84,6 +84,7 @@ SQL_EXCLUDED = [
         "vocab_topk",
         "tile_join",
         "decontam_docs",
+        "bpe_encode_docs",
     ]
 
 
