@@ -169,6 +169,12 @@ _DRIVER_EXCLUDED = {
     # shape (classifier_scores in-window); SQL-exact in the excluded
     # test (the X38/X47 subsumption precedent).
     "bpe_encode_docs",
+    # pq_ann (X56): excluded-only, NO swap — approximate by design
+    # (float k-means + quantization error; the ann_ivf precedent, and
+    # ann_ivf already holds the window's approximate-op slot); recall,
+    # ADC exactness, determinism and the parquet index round-trip are
+    # pytest-bounded in tests/test_pq.py.
+    "pq_ann",
     "customer_per_region",
     "grouped_quantiles",
     "sample_lineitem",

@@ -3949,3 +3949,34 @@ def _sql_bpe_encode_gate() -> str:
 
 
 REGISTRY.update({"bpe_encode_docs": (q_bpe_encode_docs, _sql_bpe_encode_gate())})
+
+
+# --------------------------------------------- X56: product quantization
+
+
+def q_pq_ann(sf_dir: str):
+    """PQ-compressed ANN (X56, engine/pq.py): per-subspace codebooks
+    trained on the distributed hash-stratum sample, one corpus-scale
+    encode pass to m uint8 codes, ADC top-10 via broadcast distance
+    tables (m gathers + adds per vector). Approximate by design (the
+    ann_ivf precedent) — excluded rows-only; recall/exactness are
+    pytest-bounded (tests/test_pq.py)."""
+    import pyarrow.parquet as pq_
+
+    from engine.pq import pq_encode, pq_topk, train_codebook
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = train_codebook(ds, m=16, k=64)
+    codes = pq_encode(ds, cb)
+    # deterministic query: the vec_id == 7 vector (tiny pruned read)
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc_
+
+    row = t.filter(pc_.equal(t["vec_id"], 7))
+    q = np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+    return pq_topk(codes, cb, q, k=10, rerank_ds=ds, rerank=50)
+
+
+REGISTRY.update({"pq_ann": (q_pq_ann, None)})

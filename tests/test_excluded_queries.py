@@ -152,6 +152,7 @@ ROWS_ONLY_EXCLUDED = [
         "quantile_sketch_orders",
         "tfidf_top_terms",
         "curation_pipeline",
+        "pq_ann",
     ]
 
 
