@@ -55,16 +55,54 @@ def _doc_word_ids(i: np.ndarray, j: np.ndarray) -> np.ndarray:
     return (raw * raw) % V
 
 
+def doc_layout(n_docs: int):
+    """(lens, doc_idx, pos, ids): the corpus as flat arithmetic —
+    shared by the truth computations here and in the invindex soak."""
+    lens = 20 + (np.arange(n_docs, dtype=np.int64) % 41)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    pos = np.concatenate([np.arange(l, dtype=np.int64) for l in lens])
+    ids = _doc_word_ids(doc_idx, pos)
+    return lens, doc_idx, pos, ids
+
+
+def corpus_parquet(n_docs: int) -> str:
+    """Build (cached) the deterministic soak corpus; returns the file."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/geokit_bpe/n{n_docs}"
+    f = f"{path}/docs.parquet"
+    if os.path.exists(f):
+        return f
+    os.makedirs(path, exist_ok=True)
+    words = _word_strings()
+    lens, _, _, _ = doc_layout(n_docs)
+    texts = []
+    chunk = 100_000
+    for lo in range(0, n_docs, chunk):
+        hi = min(lo + chunk, n_docs)
+        li = lens[lo:hi]
+        di = np.repeat(np.arange(lo, hi, dtype=np.int64), li)
+        po = np.concatenate([np.arange(l, dtype=np.int64) for l in li])
+        wi = words[_doc_word_ids(di, po)]
+        s = pd.Series(wi).groupby(di).agg(" ".join)
+        texts.append(pa.table({"doc_id": s.index.to_numpy(), "text": s.to_numpy()}))
+    # 64k-row row groups so Ray can split the read into parallel
+    # tasks (a single default row group serializes the whole map side)
+    pq.write_table(pa.concat_tables(texts), f, row_group_size=65536)
+    return f
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cap_gb = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
 
     # ---- scalar truth: global word counts by pure arithmetic --------
     words = _word_strings()
-    lens = 20 + (np.arange(n_docs, dtype=np.int64) % 41)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-    pos = np.concatenate([np.arange(l, dtype=np.int64) for l in lens])
-    ids = _doc_word_ids(doc_idx, pos)
+    lens, doc_idx, pos, ids = doc_layout(n_docs)
     counts = np.bincount(ids, minlength=V).astype(np.int64)
     wc = {words[k]: int(counts[k]) for k in range(V) if counts[k]}
     n_occ = int(counts.sum())
@@ -94,28 +132,7 @@ def main() -> None:
     ref_sec = round(time.time() - t0, 2)
 
     # ---- build the corpus parquet (cached) --------------------------
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import os
-
-    path = f"/tmp/geokit_bpe/n{n_docs}"
-    if not os.path.exists(f"{path}/docs.parquet"):
-        os.makedirs(path, exist_ok=True)
-        # per-doc text = space-joined words (vectorized per chunk)
-        texts = []
-        chunk = 100_000
-        for lo in range(0, n_docs, chunk):
-            hi = min(lo + chunk, n_docs)
-            li = lens[lo:hi]
-            di = np.repeat(np.arange(lo, hi, dtype=np.int64), li)
-            po = np.concatenate([np.arange(l, dtype=np.int64) for l in li])
-            wi = words[_doc_word_ids(di, po)]
-            # join per doc: offsets + reduce via pandas
-            import pandas as pd
-
-            s = pd.Series(wi).groupby(di).agg(" ".join)
-            texts.append(pa.table({"doc_id": s.index.to_numpy(), "text": s.to_numpy()}))
-        pq.write_table(pa.concat_tables(texts), f"{path}/docs.parquet")
+    f_corpus = corpus_parquet(n_docs)
     gen_done = time.time()
 
     # ---- engine run under the cap -----------------------------------
@@ -137,8 +154,9 @@ def main() -> None:
     from engine.bpe import bpe_merges, word_seq_counts
     from engine.util import clean_read_schema
 
-    f = f"{path}/docs.parquet"
-    ds = rd.read_parquet(f, columns=["text"], schema=clean_read_schema(f, ["text"]))
+    ds = rd.read_parquet(
+        f_corpus, columns=["text"], schema=clean_read_schema(f_corpus, ["text"])
+    )
 
     t0 = time.time()
     wtab = word_seq_counts(ds, num_partitions=16).materialize()
