@@ -227,6 +227,17 @@ _DRIVER_EXCLUDED = {
     # cleaning — the five Raffel-et-al heuristics over a cached
     # messy-lines corpus, previously uncovered webtext op family).
     "repetition_signals",
+    # quality_scores -> gopher_quality_docs (X57 round-4 swap): the
+    # identical one-RE2-count-pass-per-doc exact-int machinery stays
+    # VALUE-checked in-window by gopher_quality_docs (eight count
+    # kernels on a multi-line corpus — a strict superset of
+    # quality_scores' five) and by langid (the same
+    # count_substring_regex family); quality_scores stays SQL-exact in
+    # the excluded-queries test. Slot goes to gopher_quality_docs —
+    # the Gopher document-level quality filter (Rae et al. 2021),
+    # the remaining uncovered third of the Gopher rule set
+    # (weblines = line half, repetition_signals = repetition half).
+    "quality_scores",
     # pivot_orders -> its first pass IS the grouped_count_sums
     # combiner, VALUE-checked in-window by lineitem_agg /
     # cell_rollup_sql / rollup_lineitem; the widening second pass is

@@ -3980,3 +3980,80 @@ def q_pq_ann(sf_dir: str):
 
 
 REGISTRY.update({"pq_ann": (q_pq_ann, None)})
+
+
+# ------------------------------------ X57: Gopher document quality
+
+
+def q_gopher_quality_docs(sf_dir: str) -> Dataset:
+    """Gopher document-level quality rules (X57, engine/gopher.py):
+    the Rae et al. 2021 per-document filter — word count, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word ratio, stopword
+    presence — every rule an exact integer cross-multiply, one
+    zero-shuffle vectorized pass over the cached multi-line corpus
+    both engines share (the weblines idiom)."""
+    import ray.data as rd
+
+    from engine.gopher import gopher_corpus_parquet, gopher_quality
+    from engine.pages import sf_to_n_rows
+    from engine.util import clean_read_schema
+
+    n = max(200, sf_to_n_rows(sf_dir) // 10)
+    path = gopher_corpus_parquet(n)
+    cols = ["page_id", "text"]
+    ds = rd.read_parquet(
+        path,
+        columns=cols,
+        schema=clean_read_schema(path, cols),
+        override_num_blocks=max(4, n // 8_192),
+    )
+    return gopher_quality(ds)
+
+
+def _sql_gopher(path: str) -> str:
+    """Mirror of gopher.gopher_stats_batch, built from the SAME
+    constants (change together). Engine↔DuckDB RE2 agreement for all
+    patterns (incl. (?m) multiline) probed bitwise in tests."""
+    from engine import gopher as g
+
+    counts = ",\n    ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in g.COUNT_COLS
+    )
+    stop = " + ".join(
+        f"(CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in g.STOPWORDS
+    )
+    keep = (
+        f"(n_words >= {g.MIN_WORDS} AND n_words <= {g.MAX_WORDS}"
+        f" AND {g.MIN_MEAN_WL} * n_words <= n_nonspace"
+        f" AND n_nonspace <= {g.MAX_MEAN_WL} * n_words"
+        f" AND {g.SYM_DEN} * (n_hash + n_ellipsis) <= {g.SYM_NUM} * n_words"
+        f" AND {g.BULLET_DEN} * n_bullet_lines <= {g.BULLET_NUM} * n_lines"
+        f" AND {g.ELL_DEN} * n_ell_lines <= {g.ELL_NUM} * n_lines"
+        f" AND {g.ALPHA_DEN} * n_alpha_words >= {g.ALPHA_NUM} * n_words"
+        f" AND n_stop >= {g.MIN_STOP})"
+    )
+    return f"""
+WITH c AS (
+  SELECT page_id,
+    {counts},
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST({stop} AS BIGINT) AS n_stop
+  FROM read_parquet('{path}'))
+SELECT page_id, n_words, n_nonspace, n_hash, n_ellipsis, n_lines,
+       n_bullet_lines, n_ell_lines, n_alpha_words, n_stop,
+       {keep} AS keep
+FROM c
+"""
+
+
+def _gopher_sql_gate() -> str:
+    # Driver gate runs at sf0.01 (50k docs -> n=5000); the Ray query
+    # materializes the cache before the oracle runs (weblines idiom).
+    return _sql_gopher("/tmp/geokit_gopher/n5000/docs.parquet")
+
+
+REGISTRY.update(
+    {"gopher_quality_docs": (q_gopher_quality_docs, _gopher_sql_gate())}
+)

@@ -85,6 +85,8 @@ SQL_EXCLUDED = [
         "tile_join",
         "decontam_docs",
         "bpe_encode_docs",
+        # round-4 X57 swap (slot -> gopher_quality_docs)
+        "quality_scores",
     ]
 
 
