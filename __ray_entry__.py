@@ -238,6 +238,16 @@ _DRIVER_EXCLUDED = {
     # the remaining uncovered third of the Gopher rule set
     # (weblines = line half, repetition_signals = repetition half).
     "quality_scores",
+    # sessionize -> funnel_events (X58 round-4 swap): the identical
+    # per-user keyed_partition_map co-partition + ts-ordered
+    # vectorized-scan machinery stays VALUE-checked in-window by
+    # funnel_events (and the gap-window family by hopping_window /
+    # asof_events); the gap-session rule itself stays SQL-exact in
+    # the excluded-queries test (running_totals likewise). Slot goes
+    # to funnel_events — ordered conversion-funnel matching
+    # (MATCH_RECOGNIZE / windowFunnel), a previously uncovered
+    # sequence-analytics family.
+    "sessionize",
     # pivot_orders -> its first pass IS the grouped_count_sums
     # combiner, VALUE-checked in-window by lineitem_agg /
     # cell_rollup_sql / rollup_lineitem; the widening second pass is

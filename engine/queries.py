@@ -4057,3 +4057,27 @@ def _gopher_sql_gate() -> str:
 REGISTRY.update(
     {"gopher_quality_docs": (q_gopher_quality_docs, _gopher_sql_gate())}
 )
+
+
+# ----------------------------------------- X58: funnel analysis
+
+
+def q_funnel_events(sf_dir: str) -> Dataset:
+    """Ordered conversion funnel (X58, engine/funnel.py): per-user
+    greedy staged matching view -> click -> purchase with strict-
+    inequality advancement; exact int64 epoch-µs stage times (0
+    sentinel for absent stages). One pruned read + per-block type
+    filter + one user co-partition."""
+    from engine.funnel import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel(ds)
+
+
+def _funnel_sql_gate() -> str:
+    from engine.funnel import sql_funnel
+
+    return sql_funnel()
+
+
+REGISTRY.update({"funnel_events": (q_funnel_events, _funnel_sql_gate())})

@@ -87,6 +87,8 @@ SQL_EXCLUDED = [
         "bpe_encode_docs",
         # round-4 X57 swap (slot -> gopher_quality_docs)
         "quality_scores",
+        # round-4 X58 swap (slot -> funnel_events)
+        "sessionize",
     ]
 
 
