@@ -474,6 +474,17 @@ _DRIVER_EXCLUDED = {
     # index — the steady-state crawl-ingest near-dup design; the
     # exact sibling X24/incremental_dedup is already in-window).
     "simhash_pairs",
+    # pack_shards_docs -> zorder_points (X59 round-4 swap): the
+    # distributed global-prefix-sum rank machinery (pack_shards) stays
+    # VALUE-checked in-window TWICE — shard_shuffle_docs (unit weights
+    # over the permutation key) and zorder_points (unit weights over
+    # the Morton key with extra_cols passthrough) — and the weighted
+    # running-sum cutoff rule by budget_select_docs; pack_shards_docs
+    # stays SQL-exact in the excluded test. Slot goes to zorder_points
+    # — Z-order spatial storage layout (Morton interleave + exact
+    # rank partitioning), the data-skipping layout family previously
+    # uncovered.
+    "pack_shards_docs",
     # blocklist_docs -> robots_filter_urls (X51) is the strictly
     # richer crawl-policy filter: per-host grouped rules parsed from
     # robots.txt, exact-agent-vs-'*' group selection, longest-literal-

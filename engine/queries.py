@@ -4081,3 +4081,28 @@ def _funnel_sql_gate() -> str:
 
 
 REGISTRY.update({"funnel_events": (q_funnel_events, _funnel_sql_gate())})
+
+
+# ------------------------------------------ X59: z-order spatial layout
+
+
+def q_zorder_points(sf_dir: str) -> Dataset:
+    """Z-order spatial layout assignment (X59, engine/zorder.py):
+    deterministic 20-bit grid coords from event ids -> Morton bit
+    interleave -> exact global (zkey, id)-rank partition/position via
+    the distributed prefix sum. The SQL mirror recomputes the
+    identical bit-spread chain (shared SPREAD_STEPS constants) and the
+    ROW_NUMBER rank rule."""
+    from engine.zorder import zorder_points
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    return zorder_points(ds)
+
+
+def _zorder_sql_gate() -> str:
+    from engine.zorder import sql_zorder_points
+
+    return sql_zorder_points()
+
+
+REGISTRY.update({"zorder_points": (q_zorder_points, _zorder_sql_gate())})

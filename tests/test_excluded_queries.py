@@ -34,6 +34,7 @@ def _excluded():
 # lists (SQL-value-checked here, or rows-only-run here) — enforced by
 # test_every_exclusion_is_verified below.
 SQL_EXCLUDED = [
+        "pack_shards_docs",
         "doc_quality",
         "supplier_nation",
         "customer_per_region",
