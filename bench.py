@@ -160,6 +160,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "bpe_merges",
             "inverted_postings",
             "cooc_lift",
+            "zorder_points",
+            "gopher_quality_docs",
+            "funnel_events",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

@@ -126,11 +126,21 @@ def zorder_assign(
     iy_col: str = "iy",
     part_size: int = 512,
     num_partitions: int = 16,
+    id_bits: int = ID_BITS,
 ) -> Dataset:
     """Per-row layout assignment: (id, ix, iy, zkey, pid, pos) where
     pid/pos come from the row's exact global rank in (zkey, id)
-    order. Input must be the PRUNED (id, ix, iy) projection."""
+    order. Input must be the PRUNED (id, ix, iy) projection.
+
+    ``id_bits``: ids must fit [0, 2^id_bits). When
+    2*GRID_BITS + id_bits > 62 the rank key COARSENS the zkey by the
+    overflow (drops its lowest bits): ordering becomes "z-order at a
+    coarser cell, id-tiebroken within" — layout quality is unchanged
+    (a coarse cell is 4^drop adjacent fine cells) and determinism is
+    exact; manifest pruning always uses FULL-resolution zkeys."""
     from engine.analytics import pack_shards
+
+    drop = max(0, 2 * GRID_BITS + id_bits - 62)
 
     def key(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -138,10 +148,10 @@ def zorder_assign(
         iy = b[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
         side = 1 << GRID_BITS
         if len(ids):
-            if ids.min() < 0 or ids.max() >= (1 << ID_BITS):
+            if ids.min() < 0 or ids.max() >= (1 << id_bits):
                 raise ValueError(
-                    f"{id_col} outside [0, 2^{ID_BITS}) — densify ids "
-                    "or use the ds.sort ranking alternative"
+                    f"{id_col} outside [0, 2^{id_bits}) — densify ids, "
+                    "raise id_bits, or use the ds.sort alternative"
                 )
             if (
                 ix.min() < 0
@@ -151,7 +161,7 @@ def zorder_assign(
             ):
                 raise ValueError(f"grid coords outside [0, 2^{GRID_BITS})")
         zkey = morton_key(ix, iy).astype(np.int64)
-        okey = (zkey << np.int64(ID_BITS)) | ids
+        okey = ((zkey >> np.int64(drop)) << np.int64(id_bits)) | ids
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -201,6 +211,7 @@ def zorder_layout(
     iy_col: str = "iy",
     part_size: int = 65_536,
     num_partitions: int = 16,
+    id_bits: int = ID_BITS,
 ) -> dict:
     """Write the z-ordered layout: one parquet file per pid (rows
     sorted by zkey within the file) + ``manifest.json`` with per-file
@@ -209,7 +220,7 @@ def zorder_layout(
 
     os.makedirs(out_dir, exist_ok=True)
     assigned = zorder_assign(
-        ds, id_col, ix_col, iy_col, part_size, num_partitions
+        ds, id_col, ix_col, iy_col, part_size, num_partitions, id_bits
     )
 
     def write_part(df: pd.DataFrame) -> pd.DataFrame:
