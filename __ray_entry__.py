@@ -495,6 +495,17 @@ _DRIVER_EXCLUDED = {
     # blocklist_docs stays SQL-exact in the excluded test (digest- vs
     # literal-suffix cross-check included).
     "blocklist_docs",
+    # hopping_window -> dbscan_events (X60 round-4 swap): hopping's
+    # machinery stays VALUE-checked in-window — the constant-factor
+    # np.repeat replication shape by dbscan_events itself (the 9x cell
+    # stencil) and the combiner rollup by winsorized_events /
+    # cell_rollup_sql / rollup_lineitem; the time-window family keeps
+    # funnel_events + interval_bands in-window. hopping_window stays
+    # SQL-exact in the excluded test. Slot goes to dbscan_events —
+    # exact grid-accelerated DBSCAN density clustering, the spatial-
+    # clustering member of the §2.4 join family (PIP groups by
+    # polygon, kNN by reference points, X60 by density).
+    "hopping_window",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

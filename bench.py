@@ -163,6 +163,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "zorder_points",
             "gopher_quality_docs",
             "funnel_events",
+            "dbscan_events",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

@@ -4106,3 +4106,35 @@ def _zorder_sql_gate() -> str:
 
 
 REGISTRY.update({"zorder_points": (q_zorder_points, _zorder_sql_gate())})
+
+
+# ------------------------------------------ X60: grid-accelerated DBSCAN
+
+
+def q_dbscan_events(sf_dir: str) -> Dataset:
+    """Exact DBSCAN spatial clustering (X60, engine/dbscan.py):
+    deterministic planted-blob points from event ids -> 3x3 cell
+    stencil co-partition (complete local neighborhoods -> exact
+    degrees + eps-pairs in ONE pass) -> core/border/noise verdicts
+    with min-label connected components. The SQL mirror recomputes
+    the identical integer derivation (shared constants) and the
+    proven recursive min-reachable-label CC."""
+    from engine.dbscan import EPS, MIN_PTS, dbscan, synth_points
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    ev = _read(sf_dir, "events", ["event_id"])
+    pts = synth_points(ev, n)
+    out = dbscan(pts, EPS, MIN_PTS)
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "x", "y", "is_core", "cluster"]),
+        batch_format="pyarrow",
+    )
+
+
+def _dbscan_sql_gate() -> str:
+    from engine.dbscan import sql_dbscan_events
+
+    return sql_dbscan_events()
+
+
+REGISTRY.update({"dbscan_events": (q_dbscan_events, _dbscan_sql_gate())})

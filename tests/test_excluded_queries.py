@@ -58,6 +58,7 @@ SQL_EXCLUDED = [
         "doc_token_stats",
         "dedup_documents",
         "corpus_diff_docs",
+        "hopping_window",
         "aft_transform",
         "segment_revenue",
         "fingerprint_docs",
