@@ -495,6 +495,19 @@ _DRIVER_EXCLUDED = {
     # blocklist_docs stays SQL-exact in the excluded test (digest- vs
     # literal-suffix cross-check included).
     "blocklist_docs",
+    # rollup_lineitem -> tile_pyramid_events (X61 round-4 swap): the
+    # hierarchical re-aggregation machinery (grouping-sets levels
+    # derived from one base aggregate) stays VALUE-checked in-window
+    # by tile_pyramid_events — NINE exact re-aggregation levels (each
+    # parent tile = the integer sum of its four children, checked
+    # against a mirror that re-aggregates every level independently
+    # from the base) vs ROLLUP's three — and the grouped_count_sums
+    # combiner stays VALUE-checked in-window by lineitem_agg /
+    # cell_rollup_sql / zonal_stats; rollup_lineitem stays SQL-exact
+    # in the excluded test. Slot goes to tile_pyramid_events — the
+    # web-map tile-pyramid build (slippy-map z/x/y heatmap levels),
+    # the hierarchical member of the spatial cell-assignment family.
+    "rollup_lineitem",
     # hopping_window -> dbscan_events (X60 round-4 swap): hopping's
     # machinery stays VALUE-checked in-window — the constant-factor
     # np.repeat replication shape by dbscan_events itself (the 9x cell

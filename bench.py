@@ -164,6 +164,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "gopher_quality_docs",
             "funnel_events",
             "dbscan_events",
+            "tile_pyramid_events",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

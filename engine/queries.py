@@ -4138,3 +4138,32 @@ def _dbscan_sql_gate() -> str:
 
 
 REGISTRY.update({"dbscan_events": (q_dbscan_events, _dbscan_sql_gate())})
+
+
+# ------------------------------------- X61: tile-pyramid aggregation
+
+
+def q_tile_pyramid_events(sf_dir: str) -> Dataset:
+    """Multi-resolution tile-pyramid aggregation (X61,
+    engine/pyramid.py): deterministic 20-bit grid coords from event
+    ids (the zorder synthetic-grid constants), floor-cent weights,
+    one corpus-scale combiner rollup at the finest zoom, then every
+    coarser level derived exactly from the level below (each parent =
+    sum of its four children). The SQL mirror re-aggregates each
+    level independently from the same base GROUP BY — the two
+    derivations agree iff the level-by-level coarsening is exact."""
+    from engine.pyramid import tile_pyramid_events
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return tile_pyramid_events(ds)
+
+
+def _pyramid_sql_gate() -> str:
+    from engine.pyramid import sql_tile_pyramid_events
+
+    return sql_tile_pyramid_events()
+
+
+REGISTRY.update(
+    {"tile_pyramid_events": (q_tile_pyramid_events, _pyramid_sql_gate())}
+)

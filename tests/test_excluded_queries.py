@@ -91,6 +91,8 @@ SQL_EXCLUDED = [
         "quality_scores",
         # round-4 X58 swap (slot -> funnel_events)
         "sessionize",
+        # round-4 X61 swap (slot -> tile_pyramid_events)
+        "rollup_lineitem",
     ]
 
 
