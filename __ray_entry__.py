@@ -495,6 +495,19 @@ _DRIVER_EXCLUDED = {
     # blocklist_docs stays SQL-exact in the excluded test (digest- vs
     # literal-suffix cross-check included).
     "blocklist_docs",
+    # interval_bands -> rect_join_orders (X62 round-4 swap): the 1-D
+    # interval-overlap join is the axis-restricted special case of
+    # X62's 2-D rectangle overlap — the identical closed-interval
+    # max/min predicate, bin/tile replication and within-group
+    # vectorized pair test stay VALUE-checked in-window by
+    # rect_join_orders (whose reference-point dedup is the strictly
+    # harder variant: intervals replicate to bins, rects to 2-D
+    # tiles), and the time-window family keeps funnel_events +
+    # asof_events in-window; interval_bands stays SQL-exact in the
+    # excluded test. Slot goes to rect_join_orders — bbox
+    # intersection join (PBSM + reference-point dedup), the
+    # region-region member of the §2.4 spatial-join family.
+    "interval_bands",
     # rollup_lineitem -> tile_pyramid_events (X61 round-4 swap): the
     # hierarchical re-aggregation machinery (grouping-sets levels
     # derived from one base aggregate) stays VALUE-checked in-window
@@ -513,7 +526,7 @@ _DRIVER_EXCLUDED = {
     # np.repeat replication shape by dbscan_events itself (the 9x cell
     # stencil) and the combiner rollup by winsorized_events /
     # cell_rollup_sql / rollup_lineitem; the time-window family keeps
-    # funnel_events + interval_bands in-window. hopping_window stays
+    # funnel_events + asof_events in-window. hopping_window stays
     # SQL-exact in the excluded test. Slot goes to dbscan_events —
     # exact grid-accelerated DBSCAN density clustering, the spatial-
     # clustering member of the §2.4 join family (PIP groups by

@@ -165,6 +165,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "funnel_events",
             "dbscan_events",
             "tile_pyramid_events",
+            "rect_join_orders",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

@@ -4167,3 +4167,31 @@ def _pyramid_sql_gate() -> str:
 REGISTRY.update(
     {"tile_pyramid_events": (q_tile_pyramid_events, _pyramid_sql_gate())}
 )
+
+
+# ---------------------------------- X62: rectangle-overlap spatial join
+
+
+def q_rect_join_orders(sf_dir: str) -> Dataset:
+    """Exact rectangle-overlap spatial join (X62, engine/rectjoin.py):
+    two rect sets derived from order/part keys by shared LCG
+    constants, PBSM tile replication + reference-point dedup (each
+    qualifying pair emitted only by the tile holding the
+    intersection's min corner), exact closed-interval intersection
+    areas. The SQL mirror runs the plain cross-join overlap predicate
+    — no tiles, no replication — so agreement checks the dedup rule
+    itself."""
+    from engine.rectjoin import rect_join_gate
+
+    o = _read(sf_dir, "orders", ["o_orderkey"])
+    p = _read(sf_dir, "part", ["p_partkey"])
+    return rect_join_gate(o, p)
+
+
+def _rect_join_sql_gate() -> str:
+    from engine.rectjoin import sql_rect_join
+
+    return sql_rect_join()
+
+
+REGISTRY.update({"rect_join_orders": (q_rect_join_orders, _rect_join_sql_gate())})

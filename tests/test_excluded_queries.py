@@ -93,6 +93,8 @@ SQL_EXCLUDED = [
         "sessionize",
         # round-4 X61 swap (slot -> tile_pyramid_events)
         "rollup_lineitem",
+        # round-4 X62 swap (slot -> rect_join_orders)
+        "interval_bands",
     ]
 
 
