@@ -495,6 +495,19 @@ _DRIVER_EXCLUDED = {
     # blocklist_docs stays SQL-exact in the excluded test (digest- vs
     # literal-suffix cross-check included).
     "blocklist_docs",
+    # distinct_users_per_type -> cohort_retention (X63 round-4 swap):
+    # the exact grouped COUNT(DISTINCT) machinery — per-block distinct
+    # pairs, one pair co-partition, additive count merge — stays
+    # VALUE-checked in-window by cohort_retention, whose second phase
+    # runs the identical shape per (cohort, offset) AFTER fusing a
+    # per-user grouped-MIN first-touch join into the same user
+    # co-partition (the strictly richer composition; the mirror runs
+    # the unfused DISTINCT+MIN+JOIN+COUNT plan, so the gate checks
+    # the fusion); distinct_users_per_type stays SQL-exact in the
+    # excluded test. Slot goes to cohort_retention — the retention-
+    # triangle event-analytics family (first-touch cohort ageing),
+    # previously uncovered.
+    "distinct_users_per_type",
     # interval_bands -> rect_join_orders (X62 round-4 swap): the 1-D
     # interval-overlap join is the axis-restricted special case of
     # X62's 2-D rectangle overlap — the identical closed-interval

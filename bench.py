@@ -166,6 +166,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "dbscan_events",
             "tile_pyramid_events",
             "rect_join_orders",
+            "cohort_retention",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()

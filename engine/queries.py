@@ -4195,3 +4195,28 @@ def _rect_join_sql_gate() -> str:
 
 
 REGISTRY.update({"rect_join_orders": (q_rect_join_orders, _rect_join_sql_gate())})
+
+
+# ---------------------------------------- X63: cohort retention triangle
+
+
+def q_cohort_retention(sf_dir: str) -> Dataset:
+    """Cohort retention analysis (X63, engine/cohort.py): day-period
+    first-touch cohorts over events, distinct-active counts per
+    (cohort, offset) — the engine fuses distinct pairs + per-user MIN
+    + offset emit into ONE user co-partition; the DuckDB mirror runs
+    the four-op relational plan (DISTINCT, MIN, JOIN, COUNT), so
+    agreement checks the fusion."""
+    from engine.cohort import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds)
+
+
+def _cohort_sql_gate() -> str:
+    from engine.cohort import sql_cohort_retention
+
+    return sql_cohort_retention()
+
+
+REGISTRY.update({"cohort_retention": (q_cohort_retention, _cohort_sql_gate())})

@@ -95,6 +95,8 @@ SQL_EXCLUDED = [
         "rollup_lineitem",
         # round-4 X62 swap (slot -> rect_join_orders)
         "interval_bands",
+        # round-4 X63 swap (slot -> cohort_retention)
+        "distinct_users_per_type",
     ]
 
 
