@@ -545,6 +545,20 @@ _DRIVER_EXCLUDED = {
     # clustering member of the §2.4 join family (PIP groups by
     # polygon, kNN by reference points, X60 by density).
     "hopping_window",
+    # winsorized_events -> skyline_events (X64 round-4 swap): the
+    # selection family splits by criterion — winsorize selects by
+    # RANK (exact quantile_disc clamp bounds), and that exact-rank
+    # machinery stays SQL-exact in the excluded test twice over
+    # (winsorized_events AND grouped_quantiles, the same keyed
+    # co-partition + rank rule), while its clamped-sum combiner
+    # rollup stays VALUE-checked in-window by lineitem_agg /
+    # cell_rollup_sql / cohort_retention / tile_pyramid_events. Slot
+    # goes to skyline_events — multi-objective Pareto-DOMINANCE
+    # selection (local-prune partials + segmented-prefix-max kernel),
+    # a previously uncovered selection criterion no single sort key
+    # or rank rule can express; its mirror is the quadratic NOT
+    # EXISTS dominance anti-join, so the gate checks the kernel.
+    "winsorized_events",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -4220,3 +4220,27 @@ def _cohort_sql_gate() -> str:
 
 
 REGISTRY.update({"cohort_retention": (q_cohort_retention, _cohort_sql_gate())})
+
+
+# ---------------------------------------- X64: grouped Pareto skyline
+
+
+def q_skyline_events(sf_dir: str) -> Dataset:
+    """Grouped 2-D Pareto skyline (X64, engine/skyline.py): per
+    event_type, the dominance frontier of (value-cents, epoch-us) —
+    local-prune partials + segmented-prefix-max kernel in one group
+    co-partition; the DuckDB mirror is the quadratic NOT EXISTS
+    dominance anti-join, so agreement checks the kernel itself."""
+    from engine.skyline import skyline_events
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
+    return skyline_events(ds)
+
+
+def _skyline_sql_gate() -> str:
+    from engine.skyline import sql_skyline_events
+
+    return sql_skyline_events()
+
+
+REGISTRY.update({"skyline_events": (q_skyline_events, _skyline_sql_gate())})

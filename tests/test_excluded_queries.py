@@ -97,6 +97,8 @@ SQL_EXCLUDED = [
         "interval_bands",
         # round-4 X63 swap (slot -> cohort_retention)
         "distinct_users_per_type",
+        # round-4 X64 swap (slot -> skyline_events)
+        "winsorized_events",
     ]
 
 
