@@ -4244,3 +4244,27 @@ def _skyline_sql_gate() -> str:
 
 
 REGISTRY.update({"skyline_events": (q_skyline_events, _skyline_sql_gate())})
+
+
+# ---------------------------------------- X65: interval-concurrency sweep
+
+
+def q_sweep_concurrency(sf_dir: str) -> Dataset:
+    """Interval-concurrency sweep (X65, engine/sweep.py): per-day max
+    simultaneously-open intervals over events — two-pass global-carry
+    prefix sum (range partials -> driver bases -> one co-partition);
+    the DuckDB mirror runs ONE globally ordered window (the plan the
+    engine avoids), so agreement checks the carry."""
+    from engine.sweep import sweep_concurrency_events
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return sweep_concurrency_events(ds)
+
+
+def _sweep_sql_gate() -> str:
+    from engine.sweep import sql_sweep_concurrency
+
+    return sql_sweep_concurrency()
+
+
+REGISTRY.update({"sweep_concurrency": (q_sweep_concurrency, _sweep_sql_gate())})

@@ -99,6 +99,8 @@ SQL_EXCLUDED = [
         "distinct_users_per_type",
         # round-4 X64 swap (slot -> skyline_events)
         "winsorized_events",
+        # round-4 X65 swap (slot -> sweep_concurrency)
+        "shard_shuffle_docs",
     ]
 
 
