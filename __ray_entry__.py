@@ -573,6 +573,21 @@ _DRIVER_EXCLUDED = {
     # cross-partition carry, previously uncovered; its mirror is one
     # globally ordered window, the plan the engine avoids.
     "shard_shuffle_docs",
+    # jaccard_join -> edit_join_docs (X66 round-4 swap): the
+    # similarity-join family splits by metric — jaccard's inverted-
+    # index candidate machinery (shingle buckets, partial
+    # intersections, exact verify) stays VALUE-checked in-window by
+    # minhash_dedup_full (shingle-bucket candidates + distributed
+    # exact-Jaccard verify) and inverted_postings (posting-list
+    # construction), and jaccard_join itself (both the df-capped and
+    # the fully-exact PREFIX-filtered path) stays SQL-exact in the
+    # excluded test + the no-cap brute pytest. Slot goes to
+    # edit_join_docs — the EDIT-metric member (PassJoin pigeonhole
+    # segments + position windows + vectorized exact-DP verify),
+    # previously uncovered: a single character insertion shifts every
+    # downstream shingle, so no set-overlap join can express it; its
+    # mirror is the brute levenshtein() self-join.
+    "jaccard_join",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -85,15 +85,19 @@ def _prefix_hashes(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     (uint64 wraparound); substring hash = H[e] - H[s] * FNV^(e-s)."""
     n, L = mat.shape
     H = np.zeros((n, L + 1), np.uint64)
-    for j in range(L):
-        H[:, j + 1] = H[:, j] * _FNV + mat[:, j].astype(np.uint64) + np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for j in range(L):
+            H[:, j + 1] = (
+                H[:, j] * _FNV + mat[:, j].astype(np.uint64) + np.uint64(1)
+            )
     return H
 
 
 def _pow_table(L: int) -> np.ndarray:
     p = np.ones(L + 1, np.uint64)
-    for i in range(1, L + 1):
-        p[i] = p[i - 1] * _FNV
+    with np.errstate(over="ignore"):
+        for i in range(1, L + 1):
+            p[i] = p[i - 1] * _FNV
     return p
 
 
@@ -184,11 +188,13 @@ def edit_distance_join(
 
         def sub_hash(rows, start, ln):
             e = start + ln
-            return H[rows, e] - H[rows, start] * POW[ln]
+            with np.errstate(over="ignore"):
+                return H[rows, e] - H[rows, start] * POW[ln]
 
         def pack(h, i, l):
-            mix = h ^ (np.uint64(i + 1) * np.uint64(0x9E3779B97F4A7C15))
-            mix ^= l.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            with np.errstate(over="ignore"):
+                mix = h ^ (np.uint64(i + 1) * np.uint64(0x9E3779B97F4A7C15))
+                mix ^= l.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
             return mix.astype(np.int64)
 
         rows_all = np.arange(len(keys))
@@ -251,9 +257,8 @@ def edit_distance_join(
             pairs_b.append(ks[ib])
         rest = df[df.role != 2]
         if len(rest):
-            g = rest.groupby("hk", sort=False)
-            # vectorized per-group cross of (index rows x probe rows):
-            # per hk, sorted block with role 0 first
+            # per-(hk) group cross of (index rows x probe rows); the
+            # loop is over CANDIDATE segment groups, not corpus rows
             rest = rest.sort_values(["hk", "role"], kind="stable")
             hk = rest.hk.to_numpy()
             role = rest.role.to_numpy()

@@ -4268,3 +4268,27 @@ def _sweep_sql_gate() -> str:
 
 
 REGISTRY.update({"sweep_concurrency": (q_sweep_concurrency, _sweep_sql_gate())})
+
+
+# ---------------------------------------- X66: exact edit-distance join
+
+
+def q_edit_join_docs(sf_dir: str) -> Dataset:
+    """Exact edit-distance similarity join (X66, engine/editjoin.py):
+    PassJoin pigeonhole segments + position-window probes + one
+    segment co-partition + vectorized exact-DP verify over distinct
+    blocking keys; the DuckDB mirror is the brute levenshtein()
+    self-join, so agreement checks the whole candidate machinery."""
+    from engine.editjoin import edit_join_docs
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return edit_join_docs(ds)
+
+
+def _edit_join_sql_gate() -> str:
+    from engine.editjoin import sql_edit_join_docs
+
+    return sql_edit_join_docs()
+
+
+REGISTRY.update({"edit_join_docs": (q_edit_join_docs, _edit_join_sql_gate())})

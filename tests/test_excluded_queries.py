@@ -101,6 +101,8 @@ SQL_EXCLUDED = [
         "winsorized_events",
         # round-4 X65 swap (slot -> sweep_concurrency)
         "shard_shuffle_docs",
+        # round-4 X66 swap (slot -> edit_join_docs)
+        "jaccard_join",
     ]
 
 
