@@ -368,9 +368,10 @@ _DRIVER_EXCLUDED = {
     "segment_revenue",
     # moment_stats_events -> the same grouped_count_sums combiner on
     # integer power-sum partials, VALUE-checked in-window by
-    # lineitem_agg / cell_rollup_sql / rollup_lineitem (and on events
-    # by winsorized_events + hopping_window); the higher-moment
-    # power-sum columns stay SQL-exact in the excluded-queries test.
+    # lineitem_agg / cell_rollup_sql (and on events by
+    # cohort_retention / tile_pyramid_events / json_props_stats);
+    # the higher-moment power-sum columns stay SQL-exact in the
+    # excluded-queries test.
     # Slot goes to revenue_by_nation (X34 Q5-shaped six-table join
     # pipeline: broadcast dims + two bucketed big-big hash joins +
     # same-nation filter — the multi-join composition was previously
@@ -476,9 +477,10 @@ _DRIVER_EXCLUDED = {
     "simhash_pairs",
     # pack_shards_docs -> zorder_points (X59 round-4 swap): the
     # distributed global-prefix-sum rank machinery (pack_shards) stays
-    # VALUE-checked in-window TWICE — shard_shuffle_docs (unit weights
-    # over the permutation key) and zorder_points (unit weights over
-    # the Morton key with extra_cols passthrough) — and the weighted
+    # VALUE-checked in-window TWICE — sweep_concurrency (the same
+    # two-pass carry with a SIGNED running level) and zorder_points
+    # (unit weights over the Morton key with extra_cols passthrough,
+    # the rank itself) — and the weighted
     # running-sum cutoff rule by budget_select_docs; pack_shards_docs
     # stays SQL-exact in the excluded test. Slot goes to zorder_points
     # — Z-order spatial storage layout (Morton interleave + exact
@@ -537,9 +539,9 @@ _DRIVER_EXCLUDED = {
     # hopping_window -> dbscan_events (X60 round-4 swap): hopping's
     # machinery stays VALUE-checked in-window — the constant-factor
     # np.repeat replication shape by dbscan_events itself (the 9x cell
-    # stencil) and the combiner rollup by winsorized_events /
-    # cell_rollup_sql / rollup_lineitem; the time-window family keeps
-    # funnel_events + asof_events in-window. hopping_window stays
+    # stencil) and the combiner rollup by lineitem_agg /
+    # cell_rollup_sql / tile_pyramid_events; the time-window family
+    # keeps funnel_events + asof_events + sweep_concurrency in-window. hopping_window stays
     # SQL-exact in the excluded test. Slot goes to dbscan_events —
     # exact grid-accelerated DBSCAN density clustering, the spatial-
     # clustering member of the §2.4 join family (PIP groups by
@@ -588,6 +590,19 @@ _DRIVER_EXCLUDED = {
     # downstream shingle, so no set-overlap join can express it; its
     # mirror is the brute levenshtein() self-join.
     "jaccard_join",
+    # json_props_stats -> snm_pairs_docs (X67 round-4 swap): the
+    # one-RE2-pass field-extraction machinery stays VALUE-checked
+    # in-window by html_extract_docs / pii_scrub /
+    # gopher_quality_docs (the same compiled-kernel extraction
+    # family) and its grouped combiner rollup by lineitem_agg /
+    # cell_rollup_sql / cohort_retention; json_props_stats stays
+    # SQL-exact in the excluded test. Slot goes to snm_pairs_docs —
+    # sorted-neighborhood ER blocking (two-pass global rank + halo-
+    # replicated rank blocks, the windowed self-join on a GLOBAL
+    # order), a previously uncovered join/partitioning pattern: tiles
+    # replicate by space, bins by value, SNM by RANK; its mirror is
+    # the one-global-sort ROW_NUMBER band join the engine avoids.
+    "json_props_stats",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

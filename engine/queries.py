@@ -4292,3 +4292,27 @@ def _edit_join_sql_gate() -> str:
 
 
 REGISTRY.update({"edit_join_docs": (q_edit_join_docs, _edit_join_sql_gate())})
+
+
+# ---------------------------------------- X67: sorted-neighborhood blocking
+
+
+def q_snm_pairs_docs(sf_dir: str) -> Dataset:
+    """Sorted-neighborhood blocking (X67, engine/snm.py): ER candidate
+    pairs within a w=5 window of the global (n_chars, doc_id) order —
+    two-pass distributed rank + halo-replicated rank blocks; the
+    DuckDB mirror runs ONE global ROW_NUMBER sort + rank-band
+    self-join, so agreement checks the rank and the halo rule."""
+    from engine.snm import snm_pairs_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return snm_pairs_docs(ds)
+
+
+def _snm_sql_gate() -> str:
+    from engine.snm import sql_snm_pairs_docs
+
+    return sql_snm_pairs_docs()
+
+
+REGISTRY.update({"snm_pairs_docs": (q_snm_pairs_docs, _snm_sql_gate())})

@@ -103,6 +103,8 @@ SQL_EXCLUDED = [
         "shard_shuffle_docs",
         # round-4 X66 swap (slot -> edit_join_docs)
         "jaccard_join",
+        # round-4 X67 swap (slot -> snm_pairs_docs)
+        "json_props_stats",
     ]
 
 
