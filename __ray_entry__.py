@@ -603,6 +603,20 @@ _DRIVER_EXCLUDED = {
     # replicate by space, bins by value, SNM by RANK; its mirror is
     # the one-global-sort ROW_NUMBER band join the engine avoids.
     "json_props_stats",
+    # stratified_sample -> string_agg_orders (X68 round-4 swap): the
+    # mixing sampler's machinery stays VALUE-checked in-window — the
+    # constant-factor np.repeat replication shape by dbscan_events /
+    # rect_join_orders (stencil/tile replication is the identical
+    # kernel) and the reproducible hash-rate rule by hash_sample's
+    # SQL-exact excluded check plus the same FNV row-hash family in
+    # classifier_scores; stratified_sample itself stays SQL-exact in
+    # the excluded test (LATERAL-unnest mirror). Slot goes to
+    # string_agg_orders — ORDER-SENSITIVE grouped aggregation
+    # (string_agg with ORDER BY), the non-commutative aggregate kind
+    # every other aggregate in the window lacks: block partials
+    # cannot merge orderlessly, so the engine's co-partition lexsort
+    # + Arrow list-join is new machinery, not a combiner variant.
+    "stratified_sample",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

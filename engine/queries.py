@@ -4316,3 +4316,27 @@ def _snm_sql_gate() -> str:
 
 
 REGISTRY.update({"snm_pairs_docs": (q_snm_pairs_docs, _snm_sql_gate())})
+
+
+# ---------------------------------------- X68: ordered grouped aggregation
+
+
+def q_string_agg_orders(sf_dir: str) -> Dataset:
+    """Order-sensitive grouped aggregation (X68, engine/ordagg.py):
+    per order-priority, string_agg of order keys in ascending order —
+    the NON-COMMUTATIVE aggregate kind (block partials cannot merge
+    orderlessly); one key co-partition + vectorized lexsort + a
+    single Arrow binary_join over group offsets."""
+    from engine.ordagg import string_agg_orders
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey"])
+    return string_agg_orders(ds)
+
+
+def _string_agg_sql_gate() -> str:
+    from engine.ordagg import sql_string_agg_orders
+
+    return sql_string_agg_orders()
+
+
+REGISTRY.update({"string_agg_orders": (q_string_agg_orders, _string_agg_sql_gate())})

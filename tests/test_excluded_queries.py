@@ -105,6 +105,8 @@ SQL_EXCLUDED = [
         "jaccard_join",
         # round-4 X67 swap (slot -> snm_pairs_docs)
         "json_props_stats",
+        # round-4 X68 swap (slot -> string_agg_orders)
+        "stratified_sample",
     ]
 
 
