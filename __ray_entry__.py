@@ -617,6 +617,19 @@ _DRIVER_EXCLUDED = {
     # cannot merge orderlessly, so the engine's co-partition lexsort
     # + Arrow list-join is new machinery, not a combiner variant.
     "stratified_sample",
+    # asof_events -> global_kth_events (X69 round-4 swap): the as-of
+    # join's sorted-merge-inside-a-key-co-partition machinery stays
+    # VALUE-checked in-window by funnel_events (ordered staged
+    # matching in the identical user co-partition + searchsorted
+    # shape), and asof_events stays SQL-exact in the excluded test
+    # against DuckDB's NATIVE ASOF JOIN plus the O(n*m) brute pytest.
+    # Slot goes to global_kth_events — exact distributed selection by
+    # driver-coordinated iterative histogram narrowing, previously
+    # uncovered machinery: the ONE-GIANT-GROUP rank case that no
+    # group co-partition (grouped_quantiles/winsorize) can place and
+    # that would otherwise need the global sort the engine avoids;
+    # its mirror runs that sort plan per rank.
+    "asof_events",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

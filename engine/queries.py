@@ -4340,3 +4340,26 @@ def _string_agg_sql_gate() -> str:
 
 
 REGISTRY.update({"string_agg_orders": (q_string_agg_orders, _string_agg_sql_gate())})
+
+
+# ---------------------------------------- X69: exact global k-th selection
+
+
+def q_global_kth_events(sf_dir: str):
+    """Exact distributed global selection (X69, engine/kselect.py):
+    p25/p50/p75/p99 of events value-milli by iterative histogram
+    narrowing (no global sort; <= 7 driver-synced rounds); the DuckDB
+    mirror runs the ORDER BY + OFFSET sort plan per rank."""
+    from engine.kselect import global_kth_events
+
+    ds = _read(sf_dir, "events", ["value"])
+    return global_kth_events(ds)
+
+
+def _global_kth_sql_gate() -> str:
+    from engine.kselect import sql_global_kth_events
+
+    return sql_global_kth_events()
+
+
+REGISTRY.update({"global_kth_events": (q_global_kth_events, _global_kth_sql_gate())})

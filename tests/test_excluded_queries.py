@@ -107,6 +107,8 @@ SQL_EXCLUDED = [
         "json_props_stats",
         # round-4 X68 swap (slot -> string_agg_orders)
         "stratified_sample",
+        # round-4 X69 swap (slot -> global_kth_events)
+        "asof_events",
     ]
 
 
