@@ -101,6 +101,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "minhash_dedup",
             "ann_bruteforce",
             "helmert_chain",
+            "skyline_events",
+            "sweep_concurrency",
+            "edit_join_docs",
+            "snm_pairs_docs",
+            "string_agg_orders",
+            "global_kth_events",
         ]:
             fn, _ = Q.REGISTRY[name]
             t0 = time.time()
