@@ -630,6 +630,14 @@ _DRIVER_EXCLUDED = {
     # that would otherwise need the global sort the engine avoids;
     # its mirror runs that sort plan per rank.
     "asof_events",
+    # transitions_events (X70): excluded-only, NO swap — the X55/X56
+    # precedent. The Markov transition matrix composes machinery that
+    # is in-window already (the user co-partition + lexsort ordered
+    # kernel via funnel_events / cohort_retention, the combiner rollup
+    # everywhere); its LAG-adjacency shift-mask is SQL-exact in the
+    # excluded test against DuckDB's LAG window plan, plus a brute
+    # pytest.
+    "transitions_events",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

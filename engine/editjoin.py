@@ -60,6 +60,14 @@ from ray.data import Dataset
 _FNV = np.uint64(1099511628211)
 _KEY_CAP = 64
 _SHORT_CAP = 100_000
+# loud ceiling on one (hash, seg, len) group's candidate cross — hit
+# only by corpora where huge key sets share an identical segment at
+# the same position (e.g. sequential zero-padded ids: every key's
+# first segment is the constant prefix). That case is quadratic for
+# ANY segment-pigeonhole filter; the mitigation is a key transform
+# (hash/reverse the constant prefix away), so fail with the message
+# rather than silently grinding.
+_GROUP_CROSS_CAP = 50_000_000
 
 
 def _pad_matrix(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -279,6 +287,14 @@ def edit_distance_join(
                     continue
                 ik = np.unique(key[s:e][r == 0])
                 pk = np.unique(key[s:e][r == 1])
+                if len(ik) * len(pk) > _GROUP_CROSS_CAP:
+                    raise ValueError(
+                        "editjoin: one segment group would cross "
+                        f"{len(ik)}x{len(pk)} candidates — a huge key set "
+                        "shares an identical segment (constant prefix?); "
+                        "transform keys (hash/strip the shared prefix) "
+                        "before joining"
+                    )
                 a = np.repeat(ik, len(pk))
                 bb = np.tile(pk, len(ik))
                 keep = a != bb

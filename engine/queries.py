@@ -4363,3 +4363,28 @@ def _global_kth_sql_gate() -> str:
 
 
 REGISTRY.update({"global_kth_events": (q_global_kth_events, _global_kth_sql_gate())})
+
+
+# ---------------------------------------- X70: Markov transition counts
+
+
+def q_transitions_events(sf_dir: str) -> Dataset:
+    """Markov transition counts (X70, engine/transitions.py): per-user
+    adjacent event-type bigrams under the (ts, event_id) order — one
+    user co-partition, lexsort + shift-mask adjacency (no per-user
+    loop); the DuckDB mirror runs the LAG window plan."""
+    from engine.transitions import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds)
+
+
+def _transitions_sql_gate() -> str:
+    from engine.transitions import sql_transition_counts
+
+    return sql_transition_counts()
+
+
+REGISTRY.update(
+    {"transitions_events": (q_transitions_events, _transitions_sql_gate())}
+)

@@ -109,6 +109,8 @@ SQL_EXCLUDED = [
         "stratified_sample",
         # round-4 X69 swap (slot -> global_kth_events)
         "asof_events",
+        # round-4 X70: excluded-only addition (no swap)
+        "transitions_events",
     ]
 
 
