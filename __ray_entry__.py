@@ -638,6 +638,13 @@ _DRIVER_EXCLUDED = {
     # excluded test against DuckDB's LAG window plan, plus a brute
     # pytest.
     "transitions_events",
+    # rolling_active_users (X71): excluded-only, NO swap — the X55/X70
+    # precedent. The trailing-window distinct count composes in-window
+    # machinery (the cohort packed-unique distinct-pair kernel, the
+    # dbscan/rect-join bounded np.repeat replication); its sliding-
+    # window semantics are SQL-exact in the excluded test against the
+    # unnest-replication + COUNT(DISTINCT) plan, plus a brute pytest.
+    "rolling_active_users",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

@@ -4388,3 +4388,28 @@ def _transitions_sql_gate() -> str:
 REGISTRY.update(
     {"transitions_events": (q_transitions_events, _transitions_sql_gate())}
 )
+
+
+# ---------------------------------------- X71: rolling-window distinct users
+
+
+def q_rolling_active_users(sf_dir: str) -> Dataset:
+    """Rolling 7-day active users (X71, engine/rolling.py): trailing-
+    window distinct counts — deduped (user, day) pairs replicated x7,
+    one window-day co-partition with packed-unique re-dedup; the
+    DuckDB mirror replicates via unnest(range) + COUNT(DISTINCT)."""
+    from engine.rolling import rolling_active_users
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_active_users(ds)
+
+
+def _rolling_sql_gate() -> str:
+    from engine.rolling import sql_rolling_active_users
+
+    return sql_rolling_active_users()
+
+
+REGISTRY.update(
+    {"rolling_active_users": (q_rolling_active_users, _rolling_sql_gate())}
+)

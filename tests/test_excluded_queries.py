@@ -111,6 +111,8 @@ SQL_EXCLUDED = [
         "asof_events",
         # round-4 X70: excluded-only addition (no swap)
         "transitions_events",
+        # round-4 X71: excluded-only addition (no swap)
+        "rolling_active_users",
     ]
 
 
