@@ -645,6 +645,14 @@ _DRIVER_EXCLUDED = {
     # window semantics are SQL-exact in the excluded test against the
     # unnest-replication + COUNT(DISTINCT) plan, plus a brute pytest.
     "rolling_active_users",
+    # sorted_export_events (X72): excluded-only, NO swap — the
+    # X55/X70/X71 precedent. The ORDER BY sink: sampled-split range
+    # partitioning (the TeraSort shape; equal-width ranges hot-spot on
+    # skew) + per-partition sort + file-order = global-order parquet
+    # export, rank map SQL-exact in the excluded test against
+    # ROW_NUMBER() OVER (ORDER BY key); the tools/sortout_soak.py Zipf
+    # soak shows the balance the sampled splits buy.
+    "sorted_export_events",
 }
 
 # Flagship geo pipelines enumerate FIRST so the driver always checks

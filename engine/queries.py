@@ -4413,3 +4413,58 @@ def _rolling_sql_gate() -> str:
 REGISTRY.update(
     {"rolling_active_users": (q_rolling_active_users, _rolling_sql_gate())}
 )
+
+
+# ---------------------------------------- X72: sorted export (ORDER BY sink)
+
+
+def q_sorted_export_events(sf_dir: str):
+    """Globally-sorted export (X72, engine/sortout.py): events written
+    as range-partitioned sorted parquet via SAMPLED splits (TeraSort
+    shape — equal-width ranges would hot-spot on skew), then read back
+    with the global rank attached; the DuckDB mirror recomputes the
+    rank as ROW_NUMBER() OVER (ORDER BY key), value-checking the
+    write -> read -> rank chain end to end. Sort key = unique packed
+    (value_milli, event_id), so the rank map is layout-independent."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from engine.sortout import ranked_rows, sorted_export
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.cast(
+            pc.round(pc.multiply(b["value"], 1000.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        e = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(e) and (e.min() < 0 or e.max() >= (1 << 25) or m.min() < 0):
+            raise ValueError("sorted_export gate: packing contract")
+        return pa.table({"key": m * (1 << 25) + e, "event_id": e})
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+    out_dir = f"/tmp/geokit_sorted_export/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = sorted_export(
+        keyed, col="key", out_dir=out_dir, num_partitions=16,
+        keep_cols=["event_id"],
+    )
+    return ranked_rows(out_dir, manifest, "key", ["event_id"])
+
+
+def _sorted_export_sql_gate() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, CAST(ROUND(value * 1000) AS BIGINT) AS m FROM events)
+SELECT m * 33554432 + event_id AS key, event_id,
+       ROW_NUMBER() OVER (ORDER BY m * 33554432 + event_id) - 1 AS "rank"
+FROM v
+"""
+
+
+REGISTRY.update(
+    {"sorted_export_events": (q_sorted_export_events, _sorted_export_sql_gate())}
+)

@@ -113,6 +113,8 @@ SQL_EXCLUDED = [
         "transitions_events",
         # round-4 X71: excluded-only addition (no swap)
         "rolling_active_users",
+        # round-4 X72: excluded-only addition (no swap)
+        "sorted_export_events",
     ]
 
 
