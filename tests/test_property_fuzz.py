@@ -220,3 +220,99 @@ def test_fuzz_y4m_roundtrip(n, h, w, seed):
     back, num, den = parse_y4m(encode_y4m(frames, (10, 1)))
     assert (num, den) == (10, 1)
     np.testing.assert_array_equal(back, frames)
+
+
+# ---------------- session-12 pure kernels (X64 / X65 / X66), no Ray
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_mask_matches_brute(data):
+    """X64: the segmented-prefix-max skyline kernel equals the O(n²)
+    dominance definition on arbitrary small groups (ties/duplicates
+    included)."""
+    from engine.skyline import skyline_mask
+
+    g = np.array([t[0] for t in data], np.int64)
+    x = np.array([t[1] for t in data], np.int64)
+    y = np.array([t[2] for t in data], np.int64)
+    keep = skyline_mask(g, x, y)
+    for i in range(len(x)):
+        dominated = bool(
+            (
+                (g == g[i])
+                & (x >= x[i])
+                & (y >= y[i])
+                & ((x > x[i]) | (y > y[i]))
+            ).any()
+        )
+        assert keep[i] == (not dominated)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    a=st.text(alphabet="abcd", max_size=12),
+    b=st.text(alphabet="abcd", max_size=12),
+)
+def test_levenshtein_batch_matches_scalar(a, b):
+    """X66: the pair-axis-vectorized DP equals the scalar DP on
+    arbitrary short strings (empties included)."""
+    from engine.editjoin import _pad_matrix, levenshtein_batch
+
+    am, al = _pad_matrix(np.array([a], object))
+    bm, bl = _pad_matrix(np.array([b], object))
+    got = int(levenshtein_batch(am, al, bm, bl)[0])
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp = dp, [i] + [0] * lb
+        for j in range(1, lb + 1):
+            dp[j] = min(
+                prev[j] + 1, dp[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+    assert got == dp[lb]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=1, max_value=80),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sweep_plateau_rule_matches_instant_scan(iv):
+    """X65: the max(run, run - d) per-boundary rule equals a direct
+    per-instant open-interval count (half-open [s, e)) evaluated at
+    every boundary and just before it."""
+    s = np.array([t[0] for t in iv], np.int64)
+    e = s + np.array([t[1] for t in iv], np.int64)
+    bounds = np.concatenate(
+        [np.stack([s, np.ones_like(s)], 1), np.stack([e, -np.ones_like(e)], 1)]
+    )
+    order = np.lexsort((bounds[:, 1], bounds[:, 0]))
+    b = bounds[order]
+    run = np.cumsum(b[:, 1])
+    m = np.maximum(run, run - b[:, 1])
+
+    def level(t):  # direct definition
+        return int(((s <= t) & (t < e)).sum())
+
+    got = int(m.max())
+    probes = set(b[:, 0].tolist())
+    probes |= {t - 1 for t in list(probes)}
+    exp = max(level(t) for t in probes if t >= 0)
+    assert got == exp
