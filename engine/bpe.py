@@ -328,6 +328,7 @@ def bpe_token_counts(
     text_col: str = "text",
     num_partitions: int = 16,
     broadcast_limit: int = 50_000_000,
+    mode: str = "auto",
 ) -> Dataset:
     """Train-then-APPLY (X55): per-doc BPE token counts under the
     ``n_merges`` merges trained on the same corpus — the encode side
@@ -337,21 +338,31 @@ def bpe_token_counts(
     Scale shape: ONE corpus-scale word-count pass (shared with
     training), vocab-scale merge iterations (local under
     LOCAL_VOCAB_LIMIT, else the distributed loop), then the
-    token → final-symbol-count map — vocab-scale — broadcasts once
-    (guarded; the documented swap beyond broadcast size is a bucketed
-    hash join of the exploded doc tokens against the map, the
-    engine/joins.py machinery) into ONE corpus-scale counting pass
-    (searchsorted lookup + reduceat per batch). The corpus text moves
-    twice total (count pass + encode pass), never shuffles."""
+    token → final-symbol-count map — vocab-scale.  ``mode='broadcast'``
+    ships it once (``ray.put``) into ONE corpus-scale counting pass
+    (searchsorted lookup + reduceat per batch); the corpus text moves
+    twice total (count pass + encode pass), never shuffles.
+    ``mode='partition'`` (the beyond-broadcast swap, auto-engaged above
+    ``broadcast_limit`` vocab rows): per-block (doc, token, c) partials
+    bucket-hash-join against the vocab map on token
+    (:func:`engine.joins.hash_join` — the driver never sees the
+    vocab), then one doc-keyed co-partition sums n_words / n_bpe per
+    doc. Both paths are bit-identical (pytest-forced equivalence)."""
     import ray
 
     from engine.shuffle import keyed_partition_map, topk
 
+    if mode not in ("auto", "broadcast", "partition"):
+        raise ValueError(f"unknown mode {mode!r}")
+
     words = word_seq_counts(
         ds, text_col, num_partitions, keep_token=True
     ).materialize()
+    n_vocab = words.count()
+    if mode == "auto":
+        mode = "broadcast" if n_vocab <= broadcast_limit else "partition"
 
-    if words.count() <= LOCAL_VOCAB_LIMIT:
+    if n_vocab <= LOCAL_VOCAB_LIMIT:
         wt = pa.concat_tables(
             [pa.table(b) for b in words.iter_batches(batch_format="pyarrow")]
         )
@@ -395,24 +406,96 @@ def bpe_token_counts(
                 )
 
             words = words.map_batches(apply, batch_format="pyarrow").materialize()
-        wt = pa.concat_tables(
-            [pa.table(b) for b in words.iter_batches(batch_format="pyarrow")]
-        )
-        if wt.num_rows > broadcast_limit:
-            raise ValueError(
-                f"vocab of {wt.num_rows} rows exceeds broadcast_limit; swap in "
-                "the bucketed hash join path (engine/joins.py) for the lookup"
+        toks = nsyms = None
+        if mode == "broadcast":
+            wt = pa.concat_tables(
+                [pa.table(b) for b in words.iter_batches(batch_format="pyarrow")]
             )
-        seq_col = wt["seq"]
-        if isinstance(seq_col, pa.ChunkedArray):
-            seq_col = seq_col.combine_chunks()
-        tok_arr = wt["token"]
-        if isinstance(tok_arr, pa.ChunkedArray):
-            tok_arr = tok_arr.combine_chunks()
-        toks = tok_arr.to_numpy(zero_copy_only=False).astype(str)
-        nsyms = pc.list_value_length(
-            pc.split_pattern(pc.utf8_trim_whitespace(seq_col), "  ")
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
+            seq_col = wt["seq"]
+            if isinstance(seq_col, pa.ChunkedArray):
+                seq_col = seq_col.combine_chunks()
+            tok_arr = wt["token"]
+            if isinstance(tok_arr, pa.ChunkedArray):
+                tok_arr = tok_arr.combine_chunks()
+            toks = tok_arr.to_numpy(zero_copy_only=False).astype(str)
+            nsyms = pc.list_value_length(
+                pc.split_pattern(pc.utf8_trim_whitespace(seq_col), "  ")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if mode == "partition":
+        import ray.data as _rd
+
+        from engine.joins import hash_join
+
+        if toks is not None:
+            vocab_ds = _rd.from_arrow(
+                pa.table(
+                    {"token": pa.array(toks, pa.string()),
+                     "nsym": pa.array(nsyms, pa.int64())}
+                )
+            )
+        else:
+            def vocab_rows(b: pa.Table) -> pa.Table:
+                seq = b["seq"]
+                if isinstance(seq, pa.ChunkedArray):
+                    seq = seq.combine_chunks()
+                nsym = pc.list_value_length(
+                    pc.split_pattern(pc.utf8_trim_whitespace(seq), "  ")
+                )
+                return pa.table(
+                    {"token": b["token"], "nsym": pc.cast(nsym, pa.int64())}
+                )
+
+            vocab_ds = words.map_batches(vocab_rows, batch_format="pyarrow")
+
+        def doc_tok_partials(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            text = batch[text_col]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            tl = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+            lens = pc.list_value_length(tl).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(tl).to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+            m = flat != ""
+            flat, doc_idx = flat[m], doc_idx[m]
+            g = (
+                pd.DataFrame({"doc_id": idv[doc_idx], "token": flat})
+                .groupby(["doc_id", "token"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            return pa.table(
+                {"doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+                 "token": pa.array(g["token"], pa.string()),
+                 "c": pa.array(g["c"].to_numpy().astype(np.int64))}
+            )
+
+        tok_rows = ds.map_batches(doc_tok_partials, batch_format="pyarrow")
+        joined = hash_join(
+            tok_rows, vocab_ds, "token", num_buckets=num_partitions, how="inner"
+        )
+
+        def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+            nb = df["c"].to_numpy() * df["nsym"].to_numpy()
+            g = pd.DataFrame({"doc_id": df["doc_id"], "c": df["c"], "nb": nb})
+            out = g.groupby("doc_id", sort=False).agg(
+                n_words=("c", "sum"), n_bpe_tokens=("nb", "sum")
+            ).reset_index()
+            out["n_words"] = out["n_words"].astype(np.int64)
+            out["n_bpe_tokens"] = out["n_bpe_tokens"].astype(np.int64)
+            return out
+
+        return keyed_partition_map(
+            joined, ["doc_id"], per_doc, num_partitions=num_partitions,
+            out_schema=pa.schema(
+                [("doc_id", pa.int64()), ("n_words", pa.int64()),
+                 ("n_bpe_tokens", pa.int64())]
+            ),
+        )
 
     order = np.argsort(toks, kind="stable")
     map_ref = ray.put((toks[order], nsyms[order]))

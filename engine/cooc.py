@@ -92,9 +92,22 @@ def cooc_lift(
     text_col: str = "text",
     num_partitions: int = 32,
     broadcast_limit: int = 8_000_000,
+    mode: str = "auto",
 ) -> Dataset:
-    """Top-k windowed co-occurrence pairs by exact integer lift."""
+    """Top-k windowed co-occurrence pairs by exact integer lift.
+
+    ``mode='broadcast'`` ships the two vocab-scale marginal tables once
+    via ``ray.put``; ``mode='partition'`` (the beyond-broadcast swap,
+    auto-engaged above ``broadcast_limit`` marginal rows) replaces each
+    broadcast lookup with a bucketed :func:`engine.joins.hash_join` of
+    the pair table against its marginal on ``l`` then ``r`` — the
+    driver never materializes the marginals and the joins ship
+    (token, n) rows only. Both paths are bit-identical (pytest-forced
+    equivalence, the robots broadcast≡partition template)."""
     from engine.shuffle import keyed_partition_map, topk
+
+    if mode not in ("auto", "broadcast", "partition"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     partials = ds.map_batches(_pair_partials_factory(window, text_col), batch_format="pyarrow")
 
@@ -108,25 +121,73 @@ def cooc_lift(
         partials, ["l", "r"], merge, num_partitions=num_partitions, out_schema=pair_schema
     ).materialize()
 
-    def marg(col: str) -> pd.DataFrame:
+    def marg_ds(col: str, out_name: str) -> Dataset:
         def m(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(col, sort=False)["c"].sum().reset_index(name="n")
-            g["n"] = g["n"].astype(np.int64)
+            g = df.groupby(col, sort=False)["c"].sum().reset_index(name=out_name)
+            g[out_name] = g[out_name].astype(np.int64)
             return g
 
-        out = keyed_partition_map(
+        return keyed_partition_map(
             pairs, [col], m, num_partitions=8,
-            out_schema=pa.schema([(col, pa.string()), ("n", pa.int64())]),
-        ).to_pandas()
-        if len(out) > broadcast_limit:
-            raise ValueError(
-                f"marginal table for {col!r} has {len(out)} rows > broadcast_limit; "
-                "swap in the bucketed join path (engine/joins.py) for this corpus"
-            )
-        return out.sort_values(col, kind="mergesort").reset_index(drop=True)
+            out_schema=pa.schema([(col, pa.string()), (out_name, pa.int64())]),
+        ).materialize()
 
-    nl, nr = marg("l"), marg("r")
-    n_total = int(nl["n"].sum())
+    nl_ds, nr_ds = marg_ds("l", "n_l"), marg_ds("r", "n_r")
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if max(nl_ds.count(), nr_ds.count()) <= broadcast_limit
+            else "partition"
+        )
+    n_total = int(pairs.sum("c"))
+
+    if mode == "partition":
+        from engine.joins import hash_join
+
+        kept = pairs.filter(expr=f"c >= {int(min_count)}")
+        joined = hash_join(kept, nl_ds, "l", num_buckets=num_partitions)
+        joined = hash_join(joined, nr_ds, "r", num_buckets=num_partitions)
+
+        def score_join(batch: pa.Table) -> pa.Table:
+            c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(c) == 0:
+                return pa.table(
+                    {"left_tok": pa.array([], pa.string()),
+                     "right_tok": pa.array([], pa.string()),
+                     "pair_cnt": pa.array([], pa.int64()),
+                     "lift_ppm": pa.array([], pa.int64())}
+                )
+            a = batch["n_l"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = batch["n_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if int(c.max()) * n_total >= 2**63 // 1_000_000:
+                raise OverflowError("lift numerator exceeds int64; use the 128-bit path")
+            if int(a.max()) * int(bb.max()) >= 2**63:
+                raise OverflowError("lift denominator exceeds int64; use the 128-bit path")
+            lift = (1_000_000 * c * n_total) // (a * bb)
+            return pa.table(
+                {"left_tok": pc.cast(batch["l"], pa.string()),
+                 "right_tok": pc.cast(batch["r"], pa.string()),
+                 "pair_cnt": pa.array(c), "lift_ppm": pa.array(lift)}
+            )
+
+        scored = joined.map_batches(score_join, batch_format="pyarrow")
+        return topk(
+            scored, ["lift_ppm", "pair_cnt", "left_tok", "right_tok"], k,
+            descending=[True, True, False, False],
+        )
+
+    nl = (
+        nl_ds.to_pandas()
+        .rename(columns={"n_l": "n"})
+        .sort_values("l", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    nr = (
+        nr_ds.to_pandas()
+        .rename(columns={"n_r": "n"})
+        .sort_values("r", kind="mergesort")
+        .reset_index(drop=True)
+    )
     import ray
 
     nl_ref = ray.put((nl["l"].to_numpy().astype(str), nl["n"].to_numpy()))

@@ -398,20 +398,13 @@ _CAND_SCHEMA = pa.schema(
 )
 
 
-def _shingle_df_broadcast(rows: Dataset, num_partitions: int = 64,
-                          max_broadcast_df: int = 4_000_000):
-    """Global shingle document frequencies as a broadcast ref of
-    (sorted shingle hashes, df) for df >= 2 ONLY — a shingle absent
-    from the map has df == 1 by construction, so the full global order
-    (df, s) is derivable from this duplicate-vocab-scale map. Combiner
-    shape: per-block unique-counts pre-aggregate, one coarse shuffle of
-    (s, partial) int64 rows, then a bounded driver collect (the same
-    broadcast policy as line_dedup's drop keys: beyond
-    ``max_broadcast_df`` this RAISES — the documented swap is a
-    hash-partitioned df join against the prefix stage, deliberately
-    not silently engaged)."""
-    import ray
-
+def _shingle_df_table(rows: Dataset, num_partitions: int = 64) -> Dataset:
+    """Global shingle document frequencies as a Dataset[s, c] holding
+    df >= 2 ONLY — a shingle absent from the table has df == 1 by
+    construction, so the full global order (df, s) is derivable from
+    this duplicate-vocab-scale table. Combiner shape: per-block
+    unique-counts pre-aggregate, one coarse shuffle of (s, partial)
+    int64 rows."""
     from engine.shuffle import keyed_partition_map
 
     def pre(b: pa.Table) -> pa.Table:
@@ -426,20 +419,23 @@ def _shingle_df_broadcast(rows: Dataset, num_partitions: int = 64,
         g = df.groupby("s", sort=False)["c"].sum().reset_index()
         return g.loc[g["c"] >= 2]
 
-    dfs = keyed_partition_map(
+    return keyed_partition_map(
         partials, ["s"], sum_df, num_partitions=num_partitions, out_schema=df_schema
     )
+
+
+def _collect_df_ref(dfs: Dataset):
+    """Driver-collect a (sorted shingle hashes, df) pair from the df
+    table and ``ray.put`` it once — the broadcast leg; routing happens
+    in the caller (jaccard_similarity_join_prefix mode switch)."""
+    import ray
+
     parts_s, parts_c = [], []
     for b in dfs.iter_batches(batch_format="pyarrow"):
         parts_s.append(b["s"].to_numpy(zero_copy_only=False))
         parts_c.append(b["c"].to_numpy(zero_copy_only=False))
     s_all = np.concatenate(parts_s) if parts_s else np.zeros(0, dtype=np.int64)
     c_all = np.concatenate(parts_c) if parts_c else np.zeros(0, dtype=np.int64)
-    if len(s_all) > max_broadcast_df:
-        raise ValueError(
-            f"{len(s_all)} shared shingles exceed max_broadcast_df="
-            f"{max_broadcast_df}; use the hash-partitioned df-join variant"
-        )
     order = np.argsort(s_all)
     return ray.put((s_all[order], c_all[order]))
 
@@ -458,6 +454,7 @@ def jaccard_similarity_join_prefix(
     threshold: tuple[int, int] = (1, 2),
     num_partitions: int = 64,
     max_broadcast_df: int = 4_000_000,
+    mode: str = "auto",
 ) -> Dataset:
     """Exact Jaccard self-join via PREFIX FILTERING (Bayardo et al.
     'Scaling Up All Pairs Similarity Search', WWW'07; Xiao et al.
@@ -474,7 +471,15 @@ def jaccard_similarity_join_prefix(
     Stages (text never enters a shuffle until the endpoint-filtered
     verify):
       1. df pass — per-block shingle counts, one (s, partial) int64
-         shuffle, df>=2 map broadcast once (``ray.put``);
+         shuffle; under ``mode='broadcast'`` the df>=2 map broadcasts
+         once (``ray.put``), under ``mode='partition'`` (the
+         beyond-broadcast swap, auto-engaged above ``max_broadcast_df``
+         shared shingles) it stays distributed and the df lookup is a
+         bucketed LEFT :func:`engine.joins.hash_join` of the shingle
+         rows on s (absent ⇒ df=1), followed by one doc-keyed
+         co-partition that re-groups each doc's annotated shingles to
+         cut its prefix — two extra int-row shuffles, no driver
+         collect; both legs bit-identical (pytest-forced equivalence);
       2. prefix pass — re-shingle per block, per-doc lexsort by
          (df, s), emit only prefix (id, s, n, pos) rows (pos = the
          shingle's 0-based position in the doc's full sorted order);
@@ -504,6 +509,9 @@ def jaccard_similarity_join_prefix(
 
     from engine.shuffle import keyed_partition_map
 
+    if mode not in ("auto", "broadcast", "partition"):
+        raise ValueError(f"unknown mode {mode!r}")
+
     num, den = threshold
     src = ds.select_columns([id_col, text_col])
     rows = src.map_batches(
@@ -511,7 +519,10 @@ def jaccard_similarity_join_prefix(
         batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, text_col=text_col, shingle_k=shingle_k),
     )
-    ref = _shingle_df_broadcast(rows, num_partitions, max_broadcast_df)
+    dfs = _shingle_df_table(rows, num_partitions).materialize()
+    if mode == "auto":
+        mode = "broadcast" if dfs.count() <= max_broadcast_df else "partition"
+    ref = _collect_df_ref(dfs) if mode == "broadcast" else None
 
     def prefix_rows(b: pa.Table) -> pa.Table:
         t = shingle_set_rows(b, id_col, text_col, shingle_k)
@@ -547,7 +558,58 @@ def jaccard_similarity_join_prefix(
             }
         )
 
-    prefix = src.map_batches(prefix_rows, batch_format="pyarrow")
+    if mode == "broadcast":
+        prefix = src.map_batches(prefix_rows, batch_format="pyarrow")
+    else:
+        # Hash-partitioned df-join leg: LEFT join shingle rows against
+        # the df table on s (absent => df 1), then co-partition by doc
+        # to rebuild each doc's rarest-first order and cut its prefix.
+        from engine.joins import hash_join
+        from engine.shuffle import keyed_partition_map
+
+        annotated = hash_join(
+            rows, dfs, "s", num_buckets=num_partitions, how="left"
+        )
+
+        prefix_schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("s", pa.int64()),
+                ("n", pa.int64()),
+                ("pos", pa.int64()),
+            ]
+        )
+
+        def prefix_part(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype=np.int64) for f in prefix_schema}
+                )
+            dfv = df["c"].fillna(1).to_numpy().astype(np.int64)
+            work = pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy().astype(np.int64),
+                    "s": df["s"].to_numpy().astype(np.int64),
+                    "n": df["n"].to_numpy().astype(np.int64),
+                    "dfv": dfv,
+                }
+            ).sort_values([id_col, "dfv", "s"], kind="stable")
+            ids = work[id_col].to_numpy()
+            change = np.concatenate([[True], ids[1:] != ids[:-1]])
+            seg = np.cumsum(change) - 1
+            counts = np.bincount(seg)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            rank = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, counts)
+            p = _prefix_len(counts.astype(np.int64), num, den)
+            keep = rank < p[seg]
+            out = work.loc[keep, [id_col, "s", "n"]].copy()
+            out["pos"] = rank[keep]
+            return out
+
+        prefix = keyed_partition_map(
+            annotated, [id_col], prefix_part,
+            num_partitions=num_partitions, out_schema=prefix_schema,
+        )
 
     def prefix_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df, bounds = _bucket_runs(df, ["s"], id_col)
@@ -1616,6 +1678,7 @@ def line_dedup(
     token_width: int | None = None,
     num_partitions: int = 32,
     max_broadcast_drops: int = 4_000_000,
+    mode: str = "auto",
 ) -> Dataset:
     """Corpus-wide line-level exact dedup (the C4 rule: a line that
     occurs more than once in the corpus survives only at its FIRST
@@ -1640,10 +1703,17 @@ def line_dedup(
        searchsorted, the contamination_flags pattern); each doc block
        re-derives its lines LOCALLY and rejoins the kept ones. Doc
        text never moves; only digests and drop keys do. Beyond
-       ``max_broadcast_drops`` this raises — the swap is an exploded
-       (line-row) hash ANTI join + doc-keyed reassembly shuffle
-       (Bloom is NOT valid for anti), deliberately not silently
-       engaged.
+       ``max_broadcast_drops`` (or with ``mode='partition'`` forced)
+       the BEYOND-BROADCAST path engages instead: drop keys co-group
+       per doc into one packed int64 blob row (duplicate-doc-scale),
+       a bucketed :func:`engine.joins.hash_join` LEFT-joins the corpus
+       against that blob table on doc id (one doc-keyed reassembly
+       shuffle — the only path in which doc text moves, and only
+       once), and the rebuild decodes each doc's own blob locally.
+       Bloom is NOT valid for this anti semantics (false positives
+       would delete innocent lines); the join is exact.  Both paths
+       are bit-identical (pytest-forced equivalence, robots
+       broadcast≡partition template).
     """
     import ray
     import pyarrow.compute as pc
@@ -1711,35 +1781,16 @@ def line_dedup(
         losers,
         num_partitions=num_partitions,
         out_schema=pa.schema([("drop_key", pa.int64())]),
-    )
-    parts = [
-        b["drop_key"].to_numpy(zero_copy_only=False)
-        for b in drop_ds.iter_batches(batch_format="pyarrow")
-    ]
-    drops = np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
-    if len(drops) > max_broadcast_drops:
-        raise ValueError(
-            f"{len(drops)} drop keys exceed max_broadcast_drops="
-            f"{max_broadcast_drops}; use the exploded hash-anti path"
-        )
-    ref = ray.put(drops)
+    ).materialize()
 
-    def rebuild(b: pa.Table) -> pa.Table:
-        dr = ray.get(ref)
-        ids = b[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
-        _check_ids(idv)
-        lines, nl = _doc_lines(b[text_col], token_width)
-        nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
-        line_no = np.arange(len(lines), dtype=np.int64) - np.repeat(nl_start, nl)
-        keys = (np.repeat(idv, nl) << _LINE_NO_BITS) | line_no
-        if len(dr) and len(keys):
-            pos = np.clip(np.searchsorted(dr, keys), 0, len(dr) - 1)
-            dropped = dr[pos] == keys
-        else:
-            dropped = np.zeros(len(keys), dtype=bool)
+    if mode == "auto":
+        mode = (
+            "broadcast" if drop_ds.count() <= max_broadcast_drops else "partition"
+        )
+    if mode not in ("broadcast", "partition"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _finish(ids: pa.Array, nl: np.ndarray, lines, dropped: np.ndarray):
         kept = lines.filter(pa.array(~dropped))
         n_drop = np.bincount(
             np.repeat(np.arange(len(nl)), nl)[dropped], minlength=len(nl)
@@ -1758,6 +1809,93 @@ def line_dedup(
                 "text_dedup": pc.fill_null(text_dedup, ""),
             }
         )
+
+    if mode == "partition":
+        # Beyond-broadcast path: per-doc blob of dropped line numbers,
+        # bucketed left hash join on doc id, local blob decode.
+        from engine.joins import hash_join
+
+        def add_doc(b: pa.Table) -> pa.Table:
+            dk = b["drop_key"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_doc", pa.array((dk >> _LINE_NO_BITS).astype(np.int64))
+            )
+
+        tagged = drop_ds.map_batches(add_doc, batch_format="pyarrow")
+
+        def pack(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                     "_drop_blob": pd.Series(dtype=object)})
+            dk = np.sort(df["drop_key"].to_numpy())
+            doc = (dk >> _LINE_NO_BITS).astype(np.int64)
+            ln = (dk & ((1 << _LINE_NO_BITS) - 1)).astype(np.int64)
+            change = np.concatenate([[True], doc[1:] != doc[:-1]])
+            starts = np.flatnonzero(change)
+            counts = np.diff(np.append(starts, len(doc)))
+            blobs = [
+                ln[s : s + c].tobytes() for s, c in zip(starts, counts)
+            ]
+            return pd.DataFrame({id_col: doc[starts], "_drop_blob": blobs})
+
+        drop_tbl = keyed_partition_map(
+            tagged,
+            ["_doc"],
+            pack,
+            num_partitions=num_partitions,
+            out_schema=pa.schema([(id_col, pa.int64()), ("_drop_blob", pa.binary())]),
+        )
+        joined = hash_join(
+            ds.select_columns([id_col, text_col]), drop_tbl, id_col, how="left"
+        )
+
+        def rebuild_join(b: pa.Table) -> pa.Table:
+            ids = b[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            _check_ids(idv)
+            lines, nl = _doc_lines(b[text_col], token_width)
+            blobs = b["_drop_blob"].to_pylist()
+            n_per = np.array(
+                [0 if x is None else len(x) // 8 for x in blobs], dtype=np.int64
+            )
+            dropped = np.zeros(len(lines), dtype=bool)
+            if n_per.sum():
+                flat_ln = np.frombuffer(
+                    b"".join(x for x in blobs if x), dtype=np.int64
+                )
+                nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
+                row_of = np.repeat(np.arange(len(blobs)), n_per)
+                dropped[nl_start[row_of] + flat_ln] = True
+            return _finish(ids, nl, lines, dropped)
+
+        return joined.map_batches(rebuild_join, batch_format="pyarrow")
+
+    parts = [
+        b["drop_key"].to_numpy(zero_copy_only=False)
+        for b in drop_ds.iter_batches(batch_format="pyarrow")
+    ]
+    drops = np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+    ref = ray.put(drops)
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        dr = ray.get(ref)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_ids(idv)
+        lines, nl = _doc_lines(b[text_col], token_width)
+        nl_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
+        line_no = np.arange(len(lines), dtype=np.int64) - np.repeat(nl_start, nl)
+        keys = (np.repeat(idv, nl) << _LINE_NO_BITS) | line_no
+        if len(dr) and len(keys):
+            pos = np.clip(np.searchsorted(dr, keys), 0, len(dr) - 1)
+            dropped = dr[pos] == keys
+        else:
+            dropped = np.zeros(len(keys), dtype=bool)
+        return _finish(ids, nl, lines, dropped)
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
 
@@ -2028,6 +2166,7 @@ def exact_substring_dedup(
     L: int = 15,
     num_partitions: int = 32,
     max_broadcast: int = 4_000_000,
+    mode: str = "auto",
 ) -> Dataset:
     """Remove every duplicated L-token span from all but its canonical
     first occurrence.  Output per doc: ``id_col, n_toks, n_removed,
@@ -2056,9 +2195,20 @@ def exact_substring_dedup(
        once via ray.put; a final map pass over the corpus marks
        covered positions with a difference array (+1 at start, -1 at
        min(start+L, n)) and rebuilds kept text zero-copy (ListArray
-       offsets + binary_join).  Raises above ``max_broadcast`` — the
-       documented swap is the exploded hash-anti join, same as
-       line_dedup.
+       offsets + binary_join).
+
+    Beyond ``max_broadcast`` (or ``mode='partition'`` forced) each
+    broadcast set independently swaps to its co-partitioned variant:
+    the dup-digest probe of pass 2 becomes a bucketed
+    :func:`engine.analytics.flag_join` of ALL window rows against the
+    dup-digest table on h1 (token-scale shuffle — the honest cost of
+    outgrowing the broadcast; the flag routing itself re-routes
+    broadcast-vs-hash_join by key count), and the pass-3 removal spans
+    co-group per doc into one packed int64 blob row joined back on doc
+    id via :func:`engine.joins.hash_join` (the line_dedup reassembly
+    shape — the only path where doc text enters a shuffle, once).
+    ``mode='auto'`` routes each set by its own size; both paths are
+    bit-identical (pytest-forced equivalence).
 
     Exactness is digest-level (two independent 64-bit rolling hashes,
     the dedup_documents/content_digests precedent); the DuckDB mirror
@@ -2093,25 +2243,30 @@ def exact_substring_dedup(
         cnt = np.diff(np.append(starts, len(v))).astype(np.int64)
         return pa.table({"h1": pa.array(v[starts]), "cnt": pa.array(cnt)})
 
+    if mode not in ("auto", "broadcast", "partition"):
+        raise ValueError(f"unknown mode {mode!r}")
+
     partials = ds.map_batches(win_partials, batch_format="pyarrow")
     totals = grouped_count_sums(partials, "h1", sum_cols=["cnt"],
                                 num_partitions=num_partitions)
-    dup_parts = [
-        b["h1"].to_numpy(zero_copy_only=False)
-        for b in totals.filter(
-            expr="sum_cnt >= 2").select_columns(["h1"]).iter_batches(
-            batch_size=None, batch_format="pyarrow")
-    ]
-    dup_h1 = (np.sort(np.concatenate(dup_parts)) if dup_parts
-              else np.zeros(0, dtype=np.int64))
-    if len(dup_h1) > max_broadcast:
-        raise ValueError(
-            f"{len(dup_h1)} dup digests exceed max_broadcast="
-            f"{max_broadcast}; use the exploded hash-anti path")
-    dup_ref = ray.put(dup_h1)
+    dup_tbl = totals.filter(expr="sum_cnt >= 2").select_columns(["h1"]).materialize()
+    dup_mode = mode
+    if dup_mode == "auto":
+        dup_mode = "broadcast" if dup_tbl.count() <= max_broadcast else "partition"
+
+    if dup_mode == "broadcast":
+        dup_parts = [
+            b["h1"].to_numpy(zero_copy_only=False)
+            for b in dup_tbl.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        dup_h1 = (np.sort(np.concatenate(dup_parts)) if dup_parts
+                  else np.zeros(0, dtype=np.int64))
+        dup_ref = ray.put(dup_h1)
+    else:
+        dup_ref = None  # co-partitioned flag_join path below
 
     def occurrences(b: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)
+        dup = ray.get(dup_ref) if dup_ref is not None else None
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -2124,7 +2279,9 @@ def exact_substring_dedup(
         th = _fnv1a_tokens(pc.cast(flat, pa.binary()).to_pylist())
         h1, h2, wc = _window_digests(th, counts, L)
         v1 = h1.view(np.int64)
-        if len(dup) and len(v1):
+        if dup is None:
+            hit = np.ones(len(v1), dtype=bool)  # flag_join filters later
+        elif len(dup) and len(v1):
             pos = np.clip(np.searchsorted(dup, v1), 0, len(dup) - 1)
             hit = dup[pos] == v1
         else:
@@ -2137,6 +2294,15 @@ def exact_substring_dedup(
                          "span_key": pa.array(key[hit])})
 
     occ = ds.map_batches(occurrences, batch_format="pyarrow")
+    if dup_mode == "partition":
+        from engine.analytics import flag_join
+
+        # Forced-partition mode pushes flag_join's own routing to the
+        # hash_join path too (broadcast_max=0); auto keeps the cap.
+        occ = flag_join(
+            occ, dup_tbl, "h1", "h1", "_dup",
+            broadcast_max=0 if mode == "partition" else max_broadcast,
+        ).filter(expr="_dup").select_columns(["h1", "h2", "span_key"])
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
         order = df.sort_values(["h1", "h2", "span_key"], kind="stable")
@@ -2149,16 +2315,102 @@ def exact_substring_dedup(
     drop_ds = keyed_partition_map(
         occ, ["h1", "h2"], losers, num_partitions=num_partitions,
         out_schema=pa.schema([("span_key", pa.int64())]),
-    )
+    ).materialize()
+
+    span_mode = mode
+    if span_mode == "auto":
+        span_mode = (
+            "broadcast" if drop_ds.count() <= max_broadcast else "partition"
+        )
+
+    def _finish_sub(ids, counts: np.ndarray, flat, removed: np.ndarray):
+        kept = flat.filter(pa.array(~removed))
+        n_rm = np.bincount(
+            np.repeat(np.arange(len(counts)), counts)[removed],
+            minlength=len(counts)).astype(np.int64)
+        kept_n = counts - n_rm
+        offsets = np.append(
+            np.concatenate([[0], np.cumsum(kept_n)[:-1]]), len(kept)
+        ).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()), kept)
+        kept_text = pc.fill_null(pc.binary_join(lists, " "), "")
+        return pa.table({
+            id_col: ids,
+            "n_toks": pa.array(counts),
+            "n_removed": pa.array(n_rm),
+            "kept_text": kept_text,
+            "kept_chars": pc.cast(pc.utf8_length(kept_text), pa.int64()),
+        })
+
+    if span_mode == "partition":
+        # Beyond-broadcast spans: per-doc blob of local start positions,
+        # bucketed left hash join on doc id, local difference-array mark.
+        from engine.joins import hash_join
+
+        def add_doc(b: pa.Table) -> pa.Table:
+            sk = b["span_key"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_doc", pa.array((sk >> _WIN_POS_BITS).astype(np.int64))
+            )
+
+        tagged = drop_ds.map_batches(add_doc, batch_format="pyarrow")
+
+        def pack(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                     "_span_blob": pd.Series(dtype=object)})
+            sk = np.sort(df["span_key"].to_numpy())
+            doc = (sk >> _WIN_POS_BITS).astype(np.int64)
+            st = (sk & ((1 << _WIN_POS_BITS) - 1)).astype(np.int64)
+            change = np.concatenate([[True], doc[1:] != doc[:-1]])
+            starts = np.flatnonzero(change)
+            cnts = np.diff(np.append(starts, len(doc)))
+            blobs = [st[s : s + c].tobytes() for s, c in zip(starts, cnts)]
+            return pd.DataFrame({id_col: doc[starts], "_span_blob": blobs})
+
+        span_tbl = keyed_partition_map(
+            tagged, ["_doc"], pack, num_partitions=num_partitions,
+            out_schema=pa.schema(
+                [(id_col, pa.int64()), ("_span_blob", pa.binary())]
+            ),
+        )
+        joined = hash_join(
+            ds.select_columns([id_col, text_col]), span_tbl, id_col, how="left"
+        )
+
+        def rebuild_join(b: pa.Table) -> pa.Table:
+            ids = b[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            flat, counts = _doc_tokens_arrow(b[text_col])
+            total = int(counts.sum())
+            doc_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            blobs = b["_span_blob"].to_pylist()
+            n_per = np.array(
+                [0 if x is None else len(x) // 8 for x in blobs], dtype=np.int64
+            )
+            removed = np.zeros(total, dtype=bool)
+            if n_per.sum():
+                s = np.frombuffer(
+                    b"".join(x for x in blobs if x), dtype=np.int64
+                )
+                doc_of_sp = np.repeat(np.arange(len(blobs)), n_per)
+                ds_ = doc_starts[doc_of_sp]
+                e = np.minimum(s + L, counts[doc_of_sp])
+                diff = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(diff, ds_ + s, 1)
+                np.add.at(diff, ds_ + e, -1)
+                removed = np.cumsum(diff[:-1]) > 0
+            return _finish_sub(ids, counts, flat, removed)
+
+        return joined.map_batches(rebuild_join, batch_format="pyarrow")
+
     parts = [
         b["span_key"].to_numpy(zero_copy_only=False)
         for b in drop_ds.iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     spans = np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
-    if len(spans) > max_broadcast:
-        raise ValueError(
-            f"{len(spans)} removal spans exceed max_broadcast="
-            f"{max_broadcast}; use the exploded hash-anti path")
     span_ref = ray.put(spans)
 
     def rebuild(b: pa.Table) -> pa.Table:
@@ -2188,24 +2440,7 @@ def exact_substring_dedup(
                 np.add.at(diff, ds_ + s, 1)
                 np.add.at(diff, ds_ + e, -1)
                 removed = np.cumsum(diff[:-1]) > 0
-        kept = flat.filter(pa.array(~removed))
-        n_rm = np.bincount(
-            np.repeat(np.arange(len(counts)), counts)[removed],
-            minlength=len(counts)).astype(np.int64)
-        kept_n = counts - n_rm
-        offsets = np.append(
-            np.concatenate([[0], np.cumsum(kept_n)[:-1]]), len(kept)
-        ).astype(np.int64)
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), pa.int32()), kept)
-        kept_text = pc.fill_null(pc.binary_join(lists, " "), "")
-        return pa.table({
-            id_col: ids,
-            "n_toks": pa.array(counts),
-            "n_removed": pa.array(n_rm),
-            "kept_text": kept_text,
-            "kept_chars": pc.cast(pc.utf8_length(kept_text), pa.int64()),
-        })
+        return _finish_sub(ids, counts, flat, removed)
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
 

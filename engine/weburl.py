@@ -113,6 +113,7 @@ def canonical_url_dedup(
     url_col: str = "url",
     num_partitions: int = 32,
     max_broadcast: int = 8_000_000,
+    mode: str = "auto",
 ) -> Dataset:
     """Per-row canonical URL + canonical-group verdicts: ``id_col, url,
     canon_url, n_forms (group size), keeper_id (min id of the group),
@@ -123,11 +124,19 @@ def canonical_url_dedup(
     :func:`engine.shuffle.grouped_count_sums` (per-block combiner
     partials — a hot canonical URL contributes one partial row per
     block, and ``salts`` protection is available there if crawl dups
-    are Zipfian); the merged ``digest -> (cnt, min_id)`` table is
-    distinct-canonical-scale and broadcasts once via ``ray.put`` for a
-    searchsorted lookup per batch.  Raises above ``max_broadcast``
-    distinct groups — the documented swap is the bucketed hash join
-    back on the digest (the frequency_cap semi-filter shape).
+    are Zipfian).
+
+    ``mode='broadcast'``: the merged ``digest -> (cnt, min_id)`` table
+    is distinct-canonical-scale and broadcasts once via ``ray.put`` for
+    a searchsorted lookup per batch.  ``mode='partition'`` (the 100 TB
+    path beyond ``max_broadcast`` distinct groups — at 10^12 pages the
+    keeper table WILL exceed any broadcast cap): a bucketed
+    :func:`engine.joins.hash_join` of the per-row digest rows against
+    the keeper table on the digest; the driver never sees the keeper
+    table and the join ships (digest, cnt, min_id) int rows only.
+    ``'auto'`` counts the distinct groups and picks (robots_filter
+    routing precedent).  Both paths are bit-identical (pytest-forced
+    equivalence, the robots broadcast≡partition template).
     Exactness is digest-level (64-bit FNV of the canonical bytes — the
     content_digests precedent); the DuckDB mirror groups by the
     LITERAL canonical string, so the gate cross-checks digest- vs
@@ -151,7 +160,53 @@ def canonical_url_dedup(
     )
     groups = grouped_count_sums(
         proj, "canon_digest", min_cols=[id_col], num_partitions=num_partitions
-    )
+    ).materialize()
+
+    if mode == "auto":
+        mode = "broadcast" if groups.count() <= max_broadcast else "partition"
+    if mode not in ("broadcast", "partition"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def canon_rows(b: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(b[url_col])
+        h = _fnv1a_tokens(pc.cast(canon, pa.binary()).to_pylist()).view(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                url_col: b[url_col],
+                "canon_url": canon,
+                "canon_digest": pa.array(h),
+            }
+        )
+
+    if mode == "partition":
+        # Beyond-broadcast path: co-partitioned hash join on the digest.
+        from engine.joins import hash_join
+
+        rows = ds.select_columns([id_col, url_col]).map_batches(
+            canon_rows, batch_format="pyarrow"
+        )
+        joined = hash_join(rows, groups, "canon_digest", how="inner")
+
+        def finish(b: pa.Table) -> pa.Table:
+            ids = b[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            kk = b[f"min_{id_col}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: ids,
+                    url_col: b[url_col],
+                    "canon_url": b["canon_url"],
+                    "n_forms": pc.cast(b["cnt"], pa.int64()),
+                    "keeper_id": pa.array(kk),
+                    "is_keeper": pa.array(kk == idv),
+                }
+            )
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
     dparts, cparts, kparts = [], [], []
     for b in groups.iter_batches(batch_size=None, batch_format="pyarrow"):
         dparts.append(b["canon_digest"].to_numpy(zero_copy_only=False))
@@ -159,11 +214,6 @@ def canonical_url_dedup(
         kparts.append(b[f"min_{id_col}"].to_numpy(zero_copy_only=False))
     if dparts:
         d = np.concatenate(dparts)
-        if len(d) > max_broadcast:
-            raise ValueError(
-                f"{len(d)} distinct canonical URLs exceed max_broadcast="
-                f"{max_broadcast}; use the bucketed hash-join swap"
-            )
         o = np.argsort(d, kind="stable")
         d, cnt, kid = d[o], np.concatenate(cparts)[o], np.concatenate(kparts)[o]
     else:
