@@ -36,9 +36,11 @@ Scale shape (one corpus-scale shuffle, everything after is reduced):
    Singleton cells (isolated noise — the common case in sparse
    regions) take a vectorized fast path; the per-cell Python loop is
    CELL-scale, not row-scale. Per-cell memory is the |home| x |group|
-   int64 block — the documented density contract (points per
-   eps-cell bounded by a worker heap; at web scale pick eps' = eps/k
-   sub-cells and widen the stencil if a single cell could exceed it).
+   int64 block — the density contract, ENFORCED since round 5: an
+   occupancy probe auto-splits to side-ceil(eps/k) sub-cells with a
+   widened (2k+1)x(2k+1) stencil when a cell exceeds
+   ``max_cell_points``, and raises loudly when even the split can't
+   bound it (see :func:`dbscan`).
 3. Core flags attach to pair endpoints via the size-adaptive
    `flag_join` (broadcast sorted id array under a cardinality guard,
    else bucketed hash join). Core-core edges feed the existing
@@ -116,37 +118,67 @@ def synth_points(ds_ids: Dataset, n_total: int, id_col: str = "event_id") -> Dat
     return ds_ids.map_batches(mk, batch_format="pyarrow")
 
 
-def _replicate(eps: int, id_col: str, x_col: str, y_col: str):
-    """9x stencil replication: point -> one row per 3x3 target cell,
-    home-flagged on the (0,0) offset. Packed cell key (cx+1, cy+1)
-    into one int64 so the co-partition hashes a single column."""
+def _replicate(side: int, radius: int, id_col: str, x_col: str, y_col: str):
+    """Stencil replication at grid side ``side`` with stencil radius
+    ``radius``: point -> one row per (2r+1)x(2r+1) target cell,
+    home-flagged on the (0,0) offset. Correctness: every eps-neighbor
+    q of p has |x_p - x_q| <= eps, so |cx_p - cx_q| <= ceil(eps/side)
+    = radius — p's HOME-cell group holds its complete neighborhood.
+    Packed cell key (cx+r, cy+r) into one int64 so the co-partition
+    hashes a single column. The classic eps-grid is side=eps, r=1
+    (9x); the sub-cell split (density contract) is side=ceil(eps/k),
+    r=k ((2k+1)² replication for a ~k² per-cell occupancy cut)."""
     offs = np.array(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=np.int64
+        [(dx, dy) for dx in range(-radius, radius + 1)
+         for dy in range(-radius, radius + 1)],
+        dtype=np.int64,
     )
     dxs, dys = offs[:, 0], offs[:, 1]
-    home9 = (dxs == 0) & (dys == 0)
+    nrep = len(offs)
+    home_m = (dxs == 0) & (dys == 0)
 
     def rep(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = ids.size
-        cx = x // eps
-        cy = y // eps
-        kx = np.repeat(cx, 9) + np.tile(dxs, n) + 1
-        ky = np.repeat(cy, 9) + np.tile(dys, n) + 1
+        cx = x // side
+        cy = y // side
+        kx = np.repeat(cx, nrep) + np.tile(dxs, n) + radius
+        ky = np.repeat(cy, nrep) + np.tile(dys, n) + radius
         cell = (kx << np.int64(21)) | ky
         return pa.table(
             {
                 "cell": pa.array(cell),
-                "id": pa.array(np.repeat(ids, 9)),
-                "x": pa.array(np.repeat(x, 9)),
-                "y": pa.array(np.repeat(y, 9)),
-                "home": pa.array(np.tile(home9, n)),
+                "id": pa.array(np.repeat(ids, nrep)),
+                "x": pa.array(np.repeat(x, nrep)),
+                "y": pa.array(np.repeat(y, nrep)),
+                "home": pa.array(np.tile(home_m, n)),
             }
         )
 
     return rep
+
+
+def _max_cell_occupancy(
+    pts: Dataset, side: int, x_col: str, y_col: str, num_partitions: int
+) -> int:
+    """Max home-cell occupancy at grid side ``side`` — the density
+    probe behind the sub-cell split (one cheap (cell,cnt) combiner
+    pass; no replication, no coordinates shipped)."""
+    from engine.shuffle import grouped_count_sums
+
+    def cells(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cell": pa.array(((x // side) << np.int64(21)) | (y // side))})
+
+    occ = grouped_count_sums(
+        pts.map_batches(cells, batch_format="pyarrow"), "cell",
+        num_partitions=min(num_partitions, 16),
+    )
+    m = occ.max("cnt")
+    return int(m) if m is not None else 0
 
 
 def _cell_pass(eps2: int):
@@ -235,10 +267,29 @@ def dbscan(
     x_col: str = "x",
     y_col: str = "y",
     num_partitions: int = 32,
+    cell_divisor: int | None = None,
+    max_cell_points: int | None = 4000,
 ) -> Dataset:
     """Exact DBSCAN over integer points (see module docstring for the
     semantics and the distributed shape). ids must be unique int64;
-    coords non-negative with x // eps < 2^20 (the packed cell key).
+    coords non-negative with x // side < 2^20 (the packed cell key).
+
+    Density contract (round-5 fix of the r4 'recorded, not coded'
+    gap): the per-cell kernel's memory is the |home| x |group| int64
+    block, so a 100x-density city-center cell breaks a worker. With
+    ``max_cell_points = B`` (default 4000 ≈ a 1 GB worst-case block at
+    r=1) a cheap occupancy probe finds the max home-cell count M at
+    side eps; above B the grid SPLITS to sub-cells of side
+    ceil(eps/k), k = ceil(sqrt(M/B)), and the stencil WIDENS to radius
+    ceil(eps/side) — per-cell occupancy drops ~k² where the hot cell's
+    points spread, at (2k+1)²/9 extra replication. A re-probe at the
+    split side then RAISES loudly (computed bound in the message) if
+    occupancy still exceeds B — the unsplittable case (a point
+    pile-up at one coordinate) that no grid refinement can fix.
+    ``cell_divisor`` forces k (no probe); ``max_cell_points=None``
+    disables the contract (classic side=eps, r=1, no probe pass).
+    All settings are bit-identical on data that fits either way
+    (pytest-forced equivalence).
 
     Returns Dataset[id, x, y, is_core, cluster] (cluster = -1 noise).
     """
@@ -247,7 +298,39 @@ def dbscan(
     from engine.joins import hash_join
     from engine.shuffle import conform_blocks, grouped_count_sums, keyed_partition_map
 
-    rep = pts.map_batches(_replicate(eps, id_col, x_col, y_col), batch_format="pyarrow")
+    if cell_divisor is not None:
+        k = int(cell_divisor)
+        if k < 1:
+            raise ValueError("cell_divisor must be >= 1")
+        side = -(-eps // k)  # ceil: sub-cell side; k=1 -> classic side=eps
+        radius = -(-eps // side)
+    elif max_cell_points is None:
+        side, radius = eps, 1
+    else:
+        # Iterative refinement: the sqrt step assumes uniform spread
+        # inside the hot cell, so re-probe at each candidate side and
+        # keep splitting while over the cap; side==1 is the floor (an
+        # exact-coordinate pile-up no grid refinement can cut).
+        k, side, radius = 1, eps, 1
+        m_occ = _max_cell_occupancy(pts, side, x_col, y_col, num_partitions)
+        while m_occ > max_cell_points and side > 1:
+            k = max(k + 1, int(np.ceil(k * np.sqrt(m_occ / max_cell_points))))
+            side = -(-eps // k)
+            radius = -(-eps // side)
+            m_occ = _max_cell_occupancy(pts, side, x_col, y_col, num_partitions)
+        if m_occ > max_cell_points:
+            raise ValueError(
+                f"unsplittable dense cell: {m_occ} points share one "
+                f"side-{side} sub-cell (cap {max_cell_points}); "
+                f"worst-case kernel block is {m_occ} x "
+                f"{(2 * radius + 1) ** 2} x {m_occ} x 8 B — raise "
+                "max_cell_points (bigger workers) or pre-aggregate "
+                "coincident points"
+            )
+
+    rep = pts.map_batches(
+        _replicate(side, radius, id_col, x_col, y_col), batch_format="pyarrow"
+    )
     # One corpus-scale pass; reused by three reduced consumers below —
     # materialized (neighbor-list scale, ~16-40 B/row; at 100 TB
     # checkpoint to parquet via engine/checkpoint.py instead).

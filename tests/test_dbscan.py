@@ -218,3 +218,90 @@ def test_synth_points_matches_constants():
             ex = h2 % WORLD
             ey = (h2 // WORLD) % WORLD
         assert got.loc[i, "x"] == ex and got.loc[i, "y"] == ey
+
+
+# ----------------- round-5 density contract: sub-cell split-and-widen
+
+
+def test_forced_divisor_equals_classic():
+    """cell_divisor k > 1 (sub-cell split + widened stencil) is
+    bit-identical to the classic side=eps grid on ordinary data."""
+    rng = np.random.default_rng(19)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    x = rng.integers(0, 600, n)
+    y = rng.integers(0, 600, n)
+    base = _run(ids, x, y, 40, 4)
+    for k in (2, 3, 5):
+        pts = rd.from_arrow(
+            pa.table(
+                {"id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)}
+            )
+        ).repartition(4)
+        out = (
+            dbscan(pts, 40, 4, num_partitions=8, cell_divisor=k)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, out)
+
+
+def test_auto_split_on_planted_dense_cell_is_exact():
+    """A planted ultra-dense eps-cell (far beyond max_cell_points)
+    must auto-split — and stay exact vs the brute reference."""
+    rng = np.random.default_rng(23)
+    n_dense = 600
+    # one 40x40 eps-cell packed with 600 points, plus sparse scatter
+    dx = rng.integers(400, 440, n_dense)
+    dy = rng.integers(400, 440, n_dense)
+    sx = rng.integers(0, 4000, 80)
+    sy = rng.integers(0, 4000, 80)
+    x = np.r_[dx, sx].astype(np.int64)
+    y = np.r_[dy, sy].astype(np.int64)
+    ids = np.arange(x.size, dtype=np.int64)
+    pts = rd.from_arrow(
+        pa.table({"id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)})
+    ).repartition(4)
+    out = (
+        dbscan(pts, 40, 5, num_partitions=8, max_cell_points=50)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    core, cluster = _brute(ids, x, y, 40, 5)
+    assert np.array_equal(out["is_core"].to_numpy(), core)
+    assert np.array_equal(out["cluster"].to_numpy(), cluster)
+
+
+def test_unsplittable_pileup_raises_loudly():
+    """All points at ONE coordinate: no grid refinement can bound the
+    cell — the density contract must raise with the computed bound,
+    not OOM silently."""
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    x = np.full(n, 123, dtype=np.int64)
+    y = np.full(n, 456, dtype=np.int64)
+    pts = rd.from_arrow(
+        pa.table({"id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)})
+    )
+    with pytest.raises(ValueError, match="unsplittable dense cell"):
+        dbscan(pts, 40, 5, max_cell_points=50).materialize()
+
+
+def test_contract_disabled_matches_default():
+    """max_cell_points=None (no probe, classic grid) equals the
+    default probing path on data under the cap."""
+    rng = np.random.default_rng(29)
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    x = rng.integers(0, 500, n)
+    y = rng.integers(0, 500, n)
+    pts = rd.from_arrow(
+        pa.table({"id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)})
+    ).repartition(3)
+    a = (
+        dbscan(pts, 40, 4, max_cell_points=None)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    b = (
+        dbscan(pts, 40, 4)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
