@@ -70,6 +70,13 @@ def cohort_retention(
         u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = b[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         p = ts.astype(np.int64) // period_us
+        # packing contract (rolling_active_users precedent): an
+        # out-of-range user/period would silently corrupt packed keys
+        # and miscount retention — fail loudly instead
+        if len(u) and (u.min() < 0 or u.max() >= (1 << 43)
+                       or p.min() < 0 or p.max() >= (1 << 20)):
+            raise ValueError("cohort_retention: packing contract "
+                             "(user_id in [0, 2^43), period in [0, 2^20))")
         # per-block distinct (user, period): packed key unique
         key = np.unique((u << np.int64(20)) | p)
         return pa.table(

@@ -105,15 +105,24 @@ def global_kth(
         # gather small populations exactly in one bounded filter pass
         gather = {t: s for t, s in state.items() if s[3] <= _GATHER_CAP}
         if gather:
-            los = min(s[0] for s in gather.values())
-            his = max(s[1] for s in gather.values())
+            # OR of each tag's OWN [lo, hi] — NOT their union hull.
+            # All rank intervals narrow at the same rate, so p25..p99
+            # typically cross the cap in the same round; the hull from
+            # the p25 interval to the p99 interval would collect an
+            # O(n) fraction of the corpus to the driver (~74% measured
+            # on uniform data). Per-interval OR bounds the collect at
+            # n_tags * _GATHER_CAP rows — the documented contract.
+            ivs = sorted({(s[0], s[1]) for s in gather.values()})
 
             def in_range(b: pa.Table) -> pa.Table:
                 x = b[x_col]
-                m = pc.and_(
-                    pc.greater_equal(x, pa.scalar(los)),
-                    pc.less_equal(x, pa.scalar(his)),
-                )
+                m = None
+                for lo_i, hi_i in ivs:
+                    mi = pc.and_(
+                        pc.greater_equal(x, pa.scalar(lo_i)),
+                        pc.less_equal(x, pa.scalar(hi_i)),
+                    )
+                    m = mi if m is None else pc.or_(m, mi)
                 return pa.table({x_col: x.filter(m)})
 
             vals = np.sort(

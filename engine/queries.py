@@ -4446,13 +4446,21 @@ def q_sorted_export_events(sf_dir: str):
         return pa.table({"key": m * (1 << 25) + e, "event_id": e})
 
     keyed = ds.map_batches(prep, batch_format="pyarrow")
-    out_dir = f"/tmp/geokit_sorted_export/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    manifest = sorted_export(
-        keyed, col="key", out_dir=out_dir, num_partitions=16,
-        keep_cols=["event_id"],
-    )
-    return ranked_rows(out_dir, manifest, "key", ["event_id"])
+    # Unique per-run dir: two concurrent runs over the same sf_dir
+    # (parallel test workers) must not rmtree/overwrite each other's
+    # partition files mid-read (ADVICE r4). sorted_export itself
+    # documents the single-node shared-filesystem assumption.
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="geokit_sorted_export_")
+    try:
+        manifest = sorted_export(
+            keyed, col="key", out_dir=out_dir, num_partitions=16,
+            keep_cols=["event_id"],
+        )
+        return ranked_rows(out_dir, manifest, "key", ["event_id"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def _sorted_export_sql_gate() -> str:

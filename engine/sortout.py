@@ -78,7 +78,15 @@ def sorted_export(
 ) -> pd.DataFrame:
     """Write ds as out_dir/part-*.parquet, each sorted by ``col``,
     file order = global order. Returns the manifest DataFrame
-    (file, rows, min, max). ``col`` must be int64."""
+    (file, rows, min, max). ``col`` must be int64.
+
+    Filesystem contract: partition files are written from WORKER
+    tasks and read back by whoever consumes the manifest — correct
+    only when ``out_dir`` is on a filesystem all workers and the
+    reader share (single node, NFS, or an object-store mount; at
+    cluster scale point it at shared storage). Callers must also use
+    a UNIQUE per-run dir (tempfile.mkdtemp — two concurrent runs over
+    one dir overwrite each other's part files)."""
     from engine.shuffle import keyed_partition_map
 
     splits = sampled_splits(ds, col, num_partitions)

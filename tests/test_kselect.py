@@ -116,3 +116,38 @@ def test_kselect_gate_sql_parity_sf0001(ray_session):
     pd.testing.assert_frame_equal(
         ray_df, sql_df.astype({"n": np.int64, "k": np.int64, "value": np.int64})
     )
+
+
+def test_kselect_gather_collects_bounded_rows(ray_session, monkeypatch):
+    """ADVICE r4 regression: the gather pass must filter with the OR
+    of each tag's OWN interval, never their union hull — on uniform
+    data all rank intervals cross the cap in the same round and the
+    hull spans p25..p99 (~74% of the corpus collected to the driver).
+    Wrap the filter stage to count what actually lands driverside and
+    assert the n_tags * cap contract, plus exactness."""
+    rng = np.random.RandomState(4)
+    n = 60_000
+    x = rng.randint(0, 10**9, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": x})).repartition(6)
+
+    monkeypatch.setattr(ks, "_GATHER_CAP", 2_000)
+    collected = []
+    orig_sort = np.sort
+
+    def counting_sort(a, *args, **kw):
+        if isinstance(a, np.ndarray) and a.dtype == np.int64:
+            collected.append(len(a))
+        return orig_sort(a, *args, **kw)
+
+    monkeypatch.setattr(ks.np, "sort", counting_sort)
+    got = global_kth(ds, "x").to_pandas().set_index("tag")
+    monkeypatch.setattr(ks.np, "sort", orig_sort)
+    exp = _oracle(x)
+    for tag, (nn, k, v) in exp.items():
+        row = got.loc[tag]
+        assert (int(row.n), int(row.k), int(row.value)) == (nn, k, v), tag
+    gathered = max(collected)  # the gather pass is the largest sort
+    assert gathered <= len(DEFAULT_RANKS) * 2_000, (
+        f"gather collected {gathered} rows (> n_tags * cap); "
+        "union-hull regression"
+    )
