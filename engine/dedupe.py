@@ -2666,18 +2666,24 @@ def incremental_minhash_dedup(
         ).materialize()
         n_pairs = pairs.count()
 
+    lab_tbl: pa.Table | None = None
     if n_pairs <= max_broadcast_pairs:
-        # endpoint-restricted signature broadcast: filter each sig
-        # table to the pairs' endpoint ids (one map, no shuffle),
-        # broadcast the two small (ids, sig-matrix) lookups once
-        def _endpoint_ids(col: str) -> np.ndarray:
-            vals = [
-                b[col].to_numpy(zero_copy_only=False)
-                for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow")
-            ]
-            return (
-                np.unique(np.concatenate(vals)) if vals else np.array([], np.int64)
-            )
+        # Broadcast regime == the pair list is driver-bounded by
+        # definition, so collect it ONCE and finish the verify AND the
+        # per-new-doc min-keeper driver-side (r5 latency trim: the
+        # former shape paid a verify map stage + a keeper co-partition
+        # + two extra materialize/count round trips on candidate-scale
+        # data; the sig gathers below stay endpoint-restricted maps).
+        pbatches = list(
+            pairs.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        pt = (
+            pa.concat_tables(pbatches, promote_options="default")
+            if pbatches
+            else PAIR_SCHEMA.empty_table()
+        )
+        ia_all = pt["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib_all = pt["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
 
         def _gather(sig_ds: Dataset, ids_sorted: np.ndarray):
             def filt(b: pa.Table) -> pa.Table:
@@ -2701,32 +2707,28 @@ def incremental_minhash_dedup(
             order = np.argsort(ids, kind="stable")
             return ids[order], _unpack_u64_rows(t["sig"], num_perm)[order]
 
-        ai, asig = _gather(index, _endpoint_ids("id_a"))
-        bi, bsig = _gather(new_sigs, _endpoint_ids("id_b"))
-        ref = ray.put((ai, asig, bi, bsig))
-
-        class _VerifyBroadcast:
-            def __init__(self):
-                self.ai, self.asig, self.bi, self.bsig = ray.get(ref)
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                b = b.combine_chunks()
-                if b.num_rows == 0:
-                    return b
-                if len(self.ai) == 0 or len(self.bi) == 0:
-                    raise RuntimeError("pair endpoint missing from signature table")
-                ia = b["id_a"].to_numpy(zero_copy_only=False)
-                ib = b["id_b"].to_numpy(zero_copy_only=False)
-                pa_ = np.minimum(np.searchsorted(self.ai, ia), len(self.ai) - 1)
-                pb_ = np.minimum(np.searchsorted(self.bi, ib), len(self.bi) - 1)
-                if (self.ai[pa_] != ia).any() or (self.bi[pb_] != ib).any():
-                    raise RuntimeError("pair endpoint missing from signature table")
-                matches = (self.asig[pa_] == self.bsig[pb_]).sum(axis=1).astype(np.int64)
-                return b.filter(pa.array(den * matches >= num * num_perm))
-
-        matched = pairs.map_batches(
-            _VerifyBroadcast, batch_format="pyarrow", concurrency=(1, 8)
-        )
+        ai, asig = _gather(index, np.unique(ia_all))
+        bi, bsig = _gather(new_sigs, np.unique(ib_all))
+        if len(ia_all):
+            if len(ai) == 0 or len(bi) == 0:
+                raise RuntimeError("pair endpoint missing from signature table")
+            pa_ = np.minimum(np.searchsorted(ai, ia_all), len(ai) - 1)
+            pb_ = np.minimum(np.searchsorted(bi, ib_all), len(bi) - 1)
+            if (ai[pa_] != ia_all).any() or (bi[pb_] != ib_all).any():
+                raise RuntimeError("pair endpoint missing from signature table")
+            matches = (asig[pa_] == bsig[pb_]).sum(axis=1).astype(np.int64)
+            ok = den * matches >= num * num_perm
+            mb, ma = ib_all[ok], ia_all[ok]
+            order = np.lexsort((ma, mb))
+            mb, ma = mb[order], ma[order]
+            first = np.r_[True, mb[1:] != mb[:-1]] if len(mb) else np.zeros(0, bool)
+            lab_tbl = pa.table(
+                {"id_b": pa.array(mb[first]), "dup_idx": pa.array(ma[first])}
+            )
+        else:
+            lab_tbl = pa.schema(
+                [("id_b", pa.int64()), ("dup_idx", pa.int64())]
+            ).empty_table()
     else:
         # distributed path (pairs already globally distinct): two
         # bucketed hash joins attach the signature blobs
@@ -2759,22 +2761,22 @@ def incremental_minhash_dedup(
 
         matched = j2.map_batches(verify, batch_format="pyarrow")
 
-    def min_keeper(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("id_b", sort=False, as_index=False)["id_a"].min()
-        return pd.DataFrame(
-            {
-                "id_b": g["id_b"].to_numpy().astype(np.int64),
-                "dup_idx": g["id_a"].to_numpy().astype(np.int64),
-            }
-        )
+        def min_keeper(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("id_b", sort=False, as_index=False)["id_a"].min()
+            return pd.DataFrame(
+                {
+                    "id_b": g["id_b"].to_numpy().astype(np.int64),
+                    "dup_idx": g["id_a"].to_numpy().astype(np.int64),
+                }
+            )
 
-    labels = keyed_partition_map(
-        matched,
-        ["id_b"],
-        min_keeper,
-        num_partitions=int(max(8, min(num_partitions, n_pairs // 65536))),
-        out_schema=pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())]),
-    ).materialize()  # matched-doc scale; hash_join/broadcast read its schema
+        labels = keyed_partition_map(
+            matched,
+            ["id_b"],
+            min_keeper,
+            num_partitions=int(max(8, min(num_partitions, n_pairs // 65536))),
+            out_schema=pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())]),
+        ).materialize()  # matched-doc scale; hash_join/broadcast read its schema
 
     # derive the id roll from the MATERIALIZED signature table — not
     # from new_ds, whose lineage would re-execute the whole increment
@@ -2782,7 +2784,7 @@ def incremental_minhash_dedup(
     new_ids = new_sigs.map_batches(
         lambda b: pa.table({id_col: b["keep_id"]}), batch_format="pyarrow"
     )
-    if labels.count() <= 2_000_000:
+    if lab_tbl is None and labels.count() <= 2_000_000:
         batches = list(labels.iter_batches(batch_size=None, batch_format="pyarrow"))
         schema = pa.schema([("id_b", pa.int64()), ("dup_idx", pa.int64())])
         lab_tbl = (
@@ -2790,6 +2792,7 @@ def incremental_minhash_dedup(
             if batches
             else schema.empty_table()
         )
+    if lab_tbl is not None:
         joined = broadcast_lookup(new_ids, lab_tbl, id_col, "id_b", ["dup_idx"], how="left")
     else:
         lab = labels.map_batches(
