@@ -189,18 +189,35 @@ class DecodeImage:
     NotImplementedError (clearly-marked stub). ``backend="fake"``
     produces a deterministic pseudo-decode (seeded from a payload
     digest) with the exact schema/layout the real decoder would emit —
-    used to test the Ray-side plumbing end-to-end."""
+    used to test the Ray-side plumbing end-to-end.
 
-    def __init__(self, backend: str = "fake", out_hw: tuple[int, int] = (8, 8)):
+    Injection seam (r5, VERDICT item 7): ``backend="callable"`` takes
+    a user ``decode_fn(payload: bytes) -> np.ndarray (H, W, 3) uint8``
+    — the drop-in point for a real codec without touching pipeline
+    code, e.g. ``decode_fn=lambda p: np.asarray(PIL.Image.open(
+    io.BytesIO(p)).convert("RGB"))``; the stage nn-resizes the
+    returned frame to ``out_hw`` like every real-container backend
+    (the fn ships to the actor pool via cloudpickle)."""
+
+    def __init__(
+        self,
+        backend: str = "fake",
+        out_hw: tuple[int, int] = (8, 8),
+        decode_fn=None,
+    ):
         if backend == "real":
             raise NotImplementedError(
                 "compressed image decode (JPEG/PNG) not available in this "
-                "environment; install Pillow/opencv and implement _decode_real()"
+                "environment; install Pillow/opencv and inject it via "
+                "backend='callable', decode_fn=..."
             )
-        if backend not in ("fake", "ppm", "bmp", "auto"):
+        if backend not in ("fake", "ppm", "bmp", "auto", "callable"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "callable" and not callable(decode_fn):
+            raise ValueError("backend='callable' requires decode_fn")
         self.backend = backend
         self.out_hw = out_hw
+        self.decode_fn = decode_fn
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
         h, w = self.out_hw
@@ -230,6 +247,15 @@ class DecodeImage:
     def _nn_resize(self, pix: np.ndarray) -> np.ndarray:
         return _nn_resize(pix, self.out_hw)
 
+    def _decode_callable(self, payload: bytes) -> np.ndarray:
+        pix = np.asarray(self.decode_fn(payload))
+        if pix.ndim != 3 or pix.shape[2] != 3 or pix.dtype != np.uint8:
+            raise ValueError(
+                "decode_fn must return an (H, W, 3) uint8 array, got "
+                f"shape={pix.shape} dtype={pix.dtype}"
+            )
+        return self._nn_resize(pix)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         h, w = self.out_hw
@@ -238,6 +264,7 @@ class DecodeImage:
             "bmp": self._decode_bmp,
             "auto": self._decode_auto,
             "fake": self._decode_fake,
+            "callable": self._decode_callable,
         }[self.backend]
         pix = np.stack([decode(p) for p in payloads])  # (n, h, w, 3)
         flat = pix.reshape(len(payloads), -1)
@@ -391,24 +418,44 @@ class DecodeAudio:
     contract as DecodeImage: ``backend="real"`` raises (no audio lib in
     this container); ``backend="fake"`` emits a deterministic payload-
     digest-seeded waveform with the real schema (fixed sample count at
-    ``rate_hz`` over a fixed window)."""
+    ``rate_hz`` over a fixed window).
 
-    def __init__(self, backend: str = "fake", n_samples: int = 256):
+    Injection seam (r5): ``backend="callable"`` takes a user
+    ``decode_fn(payload: bytes) -> 1-D float array`` (or a
+    ``(samples, rate)`` tuple, rate ignored) — the soundfile/librosa
+    drop-in point; samples truncate / zero-pad to ``n_samples`` like
+    the container backends."""
+
+    def __init__(self, backend: str = "fake", n_samples: int = 256,
+                 decode_fn=None):
         if backend == "real":
             raise NotImplementedError(
                 "compressed audio decode (MP3/OGG/FLAC) not available in this "
-                "environment; install soundfile/librosa and implement _decode_real()"
+                "environment; install soundfile/librosa and inject it via "
+                "backend='callable', decode_fn=..."
             )
-        if backend not in ("fake", "wav", "au", "auto"):
+        if backend not in ("fake", "wav", "au", "auto", "callable"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "callable" and not callable(decode_fn):
+            raise ValueError("backend='callable' requires decode_fn")
         self.backend = backend
         self.n_samples = n_samples
+        self.decode_fn = decode_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         n = len(payloads)
         wav = np.empty((n, self.n_samples), dtype=np.float32)
         for i, p in enumerate(payloads):
+            if self.backend == "callable":
+                s = self.decode_fn(p)
+                if isinstance(s, tuple):
+                    s = s[0]
+                s = np.asarray(s, dtype=np.float32).ravel()
+                k = min(len(s), self.n_samples)
+                wav[i, :k] = s[:k]
+                wav[i, k:] = 0.0
+                continue
             if self.backend in ("wav", "au", "auto"):
                 if self.backend == "auto":
                     # magic-byte sniff: RIFF/WAVE vs Sun .snd (both
@@ -519,24 +566,35 @@ class DecodeVideo:
     AT each every_ms tick (floor of tick x fps — the frame on screen
     at that instant); ``backend="fake"`` emits digest-seeded frames
     with the same schema; ``backend="real"`` (compressed codecs —
-    H.264/VP9/...) raises: no video library in this container."""
+    H.264/VP9/...) raises: no video library in this container.
+
+    Injection seam (r5): ``backend="callable"`` takes a user
+    ``decode_fn(payload: bytes) -> (frames, fps_num, fps_den)`` with
+    ``frames`` a sequence of (H, W) uint8 luma arrays — parse_y4m's
+    interface, so the pyav/opencv drop-in reuses the exact y4m
+    tick-sampling path."""
 
     def __init__(
         self,
         backend: str = "fake",
         every_ms: int = 1000,
         out_hw: tuple[int, int] = (8, 8),
+        decode_fn=None,
     ):
         if backend == "real":
             raise NotImplementedError(
                 "compressed video decode (H.264/VP9) not available in this "
-                "environment; install pyav/opencv and implement _decode_real()"
+                "environment; install pyav/opencv and inject it via "
+                "backend='callable', decode_fn=..."
             )
-        if backend not in ("fake", "y4m"):
+        if backend not in ("fake", "y4m", "callable"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "callable" and not callable(decode_fn):
+            raise ValueError("backend='callable' requires decode_fn")
         self.backend = backend
         self.every_ms = every_ms
         self.out_hw = out_hw
+        self.decode_fn = decode_fn
 
     def _nn(self, fr: np.ndarray) -> np.ndarray:
         return _nn_resize(fr, self.out_hw)
@@ -549,8 +607,12 @@ class DecodeVideo:
             batch["payload"].to_pylist(),
             batch["duration_ms"].to_pylist(),
         ):
-            if self.backend == "y4m":
-                frames, num, den = parse_y4m(payload)
+            if self.backend in ("y4m", "callable"):
+                frames, num, den = (
+                    parse_y4m(payload)
+                    if self.backend == "y4m"
+                    else self.decode_fn(payload)
+                )
                 if len(frames) == 0:
                     continue
                 total_ms = int(len(frames) * 1000 * den / num)

@@ -215,3 +215,39 @@ def test_asof_events_query_vs_duckdb(ray_session):
             np.testing.assert_allclose(g.to_numpy(), w.to_numpy())
         else:
             assert (g.to_numpy() == w.to_numpy()).all(), c
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_string_key_falls_back_to_pandas_probe(ray_session, direction):
+    """r5: the broadcast path's Arrow struct-searchsorted kernel only
+    engages for integer/temporal keys; a STRING key must route through
+    the merge_asof fallback with identical values (brute-checked)."""
+    import ray
+    from engine.asof import asof_join
+
+    l, r = _mk()
+    ls = l.copy()
+    rs = r.copy()
+    ls["k"] = "key" + ls["k"].astype(str)
+    rs["k"] = "key" + rs["k"].astype(str)
+    got = (
+        asof_join(
+            # from_arrow: a pandas block with a string column reports a
+            # PandasBlockSchema (python types), which pa.schema rejects
+            ray.data.from_arrow(pa.Table.from_pandas(ls)).repartition(3),
+            ray.data.from_arrow(pa.Table.from_pandas(rs)).repartition(2),
+            key="k",
+            on="t",
+            direction=direction,
+            tie_breaks=("rid",),
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_asof(ls, rs, "k", "t", "t_r", ["rid", "rv"], direction, ("rid",))
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)

@@ -1983,3 +1983,94 @@ def test_incremental_minhash_matches_scalar_oracle(tmp_path):
     # the planted classes actually exercise both verdicts
     assert not res["keep"][:40].any()  # exact re-carries are dups
     assert res["keep"][70:].all()  # fresh docs are kept
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_callable_codec_injection_seam():
+    """r5 (VERDICT item 7): backend='callable' is the drop-in point
+    for a real codec (Pillow/soundfile/pyav) without touching pipeline
+    code. Wire the engine's own from-spec parsers through it as 'user'
+    codecs and assert bit-identity with the native backends through
+    the Ray actor-pool plumbing; plus the seam's validation errors."""
+    import ray.data as rd
+
+    from engine.multimodal import (
+        DecodeAudio,
+        DecodeImage,
+        DecodeVideo,
+        make_fake_media_table,
+        parse_ppm,
+        parse_wav,
+        parse_y4m,
+    )
+
+    imgs_t = make_fake_media_table(12, fmt="ppm")
+
+    def run_img(**kw):
+        return (
+            rd.from_arrow(imgs_t)
+            .map_batches(
+                DecodeImage,
+                fn_constructor_kwargs=dict(out_hw=(8, 8), **kw),
+                batch_format="pyarrow",
+                batch_size=6,
+                concurrency=(1, 2),
+            )
+            .to_pandas()
+            .sort_values("media_id")
+            .reset_index(drop=True)
+        )
+
+    native = run_img(backend="ppm")
+    injected = run_img(backend="callable", decode_fn=parse_ppm)
+    pd.testing.assert_frame_equal(native, injected)
+
+    auds_t = make_fake_media_table(12, seed=11, fmt="wav")
+
+    def run_aud(**kw):
+        return (
+            rd.from_arrow(auds_t)
+            .map_batches(
+                DecodeAudio,
+                fn_constructor_kwargs=dict(n_samples=256, **kw),
+                batch_format="pyarrow",
+                batch_size=6,
+                concurrency=(1, 2),
+            )
+            .to_pandas()
+            .sort_values("media_id")
+            .reset_index(drop=True)
+        )
+
+    a_native = run_aud(backend="wav")
+    a_injected = run_aud(backend="callable", decode_fn=parse_wav)
+    pd.testing.assert_frame_equal(a_native, a_injected)
+
+    vids_t = make_fake_media_table(6, seed=19, fmt="y4m")
+    for vkw in (dict(backend="y4m"),
+                dict(backend="callable", decode_fn=parse_y4m)):
+        out = (
+            rd.from_arrow(vids_t)
+            .map_batches(
+                DecodeVideo,
+                fn_constructor_kwargs=dict(every_ms=500, out_hw=(4, 4), **vkw),
+                batch_format="pyarrow",
+                batch_size=3,
+                concurrency=(1, 2),
+            )
+            .to_pandas()
+            .sort_values(["media_id", "frame_ts_ms"])
+            .reset_index(drop=True)
+        )
+        if vkw["backend"] == "y4m":
+            v_native = out
+        else:
+            pd.testing.assert_frame_equal(v_native, out)
+
+    # seam validation: no fn, and a wrong-shape user fn, both fail loudly
+    with pytest.raises(ValueError, match="decode_fn"):
+        DecodeImage(backend="callable")
+    bad = DecodeImage(backend="callable",
+                      decode_fn=lambda p: np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="uint8"):
+        bad(imgs_t.slice(0, 2))
