@@ -4,7 +4,13 @@ mirror; compare row count, schema (column-name set) and
 order-insensitive values (columns sorted by name, rows sorted by all
 columns; floats must match to 1e-9 relative, ints/strings exactly).
 
-Usage: python -m tools.check_oracles [sf_dir] [query ...]
+Usage: python -m tools.check_oracles [--all] [sf_dir] [query ...]
+
+``--all`` sweeps the ENTIRE registry (engine.queries.REGISTRY +
+GEO_REGISTRY), not just the driver's 50-query window — the
+window-rotation debt check (VERDICT r4 item 8): every rotated-out
+entry re-verifies against its REGISTRY oracle so rotation never
+silently hides a regression. Entries without SQL run rows-only.
 """
 
 from __future__ import annotations
@@ -95,8 +101,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    all_mode = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -111,8 +119,21 @@ def main() -> int:
 
     import __ray_entry__ as e
 
-    qs = e.queries()
-    oracles = e.oracle_sql()
+    if all_mode:
+        from engine.geo_queries import GEO_REGISTRY
+        from engine.queries import REGISTRY
+
+        qs = {}
+        oracles = {}
+        for n, (fn, sql) in REGISTRY.items():
+            qs[n] = fn
+            if sql is not None:
+                oracles[n] = sql
+        for n, fn in GEO_REGISTRY.items():
+            qs.setdefault(n, fn)
+    else:
+        qs = e.queries()
+        oracles = e.oracle_sql()
 
     con = duckdb.connect()
     for t in TABLES:
